@@ -1,0 +1,156 @@
+"""In-graph audio frontends as Flax modules.
+
+TPU re-design of the reference's AudioFrontendLayer + MagnitudeScalingLayer
+(models/frontend.py:59-384, models/magnitude.py:16-217). The reference
+encodes per-channel scaling as 1x1 depthwise convolutions because the N6 NPU
+only has conv/pool/relu; on TPU those collapse to per-channel vector
+parameters applied with plain VPU math — mathematically identical, trainable
+the same way, and fusable by XLA into the surrounding ops.
+
+Modes (matching frontend.py:288-358):
+- precomputed: [B, bins, T, 1] -> slice to spec_width.
+- hybrid: [B, fft_bins, W, 1] linear |STFT| -> mel mixer matmul (NonNeg,
+  Slaney-seeded) -> ReLU -> per-sample max-normalize -> magnitude scaling.
+- raw: [B, T, 1] -> symmetric pad -> strided conv filterbank (k=16,
+  stride=ceil(T/W)) -> BN -> ReLU6 -> magnitude scaling.
+
+Output is always [B, mel_bins, spec_width, 1].
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from birdnet_stm32_tpu.models.blocks import BN_EPS, BN_MOMENTUM, relu6
+from birdnet_stm32_tpu.ops.mel import mel_filterbank
+
+# Default pwl/pcen constants (reference magnitude.py:53-134).
+_PWL_K0 = 0.40
+_PWL_THRESHOLDS = (0.10, 0.35, 0.65)
+_PWL_SLOPES = (0.25, 0.15, 0.08)
+_PCEN_AGC = 0.6
+_PCEN_K1 = 0.15
+_PCEN_SHIFT = -0.2
+_PCEN_K2MK1 = 0.45
+
+
+class MagnitudeScaling(nn.Module):
+    """Per-channel magnitude compression: 'none' | 'pwl' | 'pcen' | 'db'.
+
+    Operates on [..., C] with C = mel_bins (the reference's [B, 1, W, C]
+    layout before the final transpose). Parameters are per-channel vectors,
+    the exact equivalent of the reference's 1x1 depthwise conv weights.
+    """
+
+    method: str = "pwl"
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        if self.method == "none":
+            return x
+        if self.method == "db":
+            return 10.0 * jnp.log10(jnp.maximum(x, 1e-6))
+
+        c = self.channels
+        if self.method == "pwl":
+            k0 = self.param("pwl_k0", lambda k: jnp.full((c,), _PWL_K0, jnp.float32))
+            y = k0 * x
+            for i, (t, slope) in enumerate(zip(_PWL_THRESHOLDS, _PWL_SLOPES), start=1):
+                w = self.param(f"pwl_shift{i}_w", lambda k, _t=t: jnp.ones((c,), jnp.float32))
+                b = self.param(f"pwl_shift{i}_b", lambda k, _t=t: jnp.full((c,), -_t, jnp.float32))
+                ki = self.param(f"pwl_k{i}", lambda k, _s=slope: jnp.full((c,), _s, jnp.float32))
+                y = y + ki * nn.relu(w * x + b)
+            return y
+
+        if self.method == "pcen":
+            # Reference pcen approx (magnitude.py:166-177): the K "EMA" pools
+            # are 1x1 identity average-pools, so the smoother is x itself.
+            agc_w = self.param("pcen_agc", lambda k: jnp.full((c,), _PCEN_AGC, jnp.float32))
+            k1 = self.param("pcen_k1", lambda k: jnp.full((c,), _PCEN_K1, jnp.float32))
+            shift_w = self.param("pcen_shift_w", lambda k: jnp.ones((c,), jnp.float32))
+            shift_b = self.param("pcen_shift_b", lambda k: jnp.full((c,), _PCEN_SHIFT, jnp.float32))
+            k2mk1 = self.param("pcen_k2mk1", lambda k: jnp.full((c,), _PCEN_K2MK1, jnp.float32))
+            y0 = nn.relu(x - agc_w * x)
+            b1 = k1 * y0
+            b2 = k2mk1 * nn.relu(shift_w * y0 + shift_b)
+            return nn.relu(b1 + b2)
+
+        raise ValueError(f"Invalid mag_scale: {self.method!r}")
+
+
+def _mel_mixer_init(sample_rate: int, fft_length: int, mel_bins: int):
+    """Slaney mel basis seed for the hybrid mixer (frontend.py:257-276)."""
+    def init(key):
+        fb = mel_filterbank(sample_rate, fft_length, mel_bins, fmin=150.0,
+                            fmax=sample_rate / 2.0)
+        return jnp.asarray(fb)  # [fft_bins, mel_bins]
+    return init
+
+
+class AudioFrontend(nn.Module):
+    """Interchangeable in-graph frontend producing [B, mel_bins, W, 1]."""
+
+    mode: str  # 'precomputed' | 'hybrid' | 'raw'
+    mel_bins: int = 64
+    spec_width: int = 256
+    sample_rate: int = 24000
+    chunk_duration: float = 3.0
+    fft_length: int = 512
+    mag_scale: str = "pwl"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.mode == "precomputed":
+            return x[:, :, : self.spec_width, :]
+
+        if self.mode == "hybrid":
+            fft_bins = self.fft_length // 2 + 1
+            if x.ndim != 4 or x.shape[1] != fft_bins:
+                raise ValueError(f"Hybrid expects [B,{fft_bins},W,1], got {x.shape}")
+            # [B, F, W, 1] -> [B, W, F]: mel mixing is a plain MXU matmul.
+            y = jnp.transpose(x[:, :, : self.spec_width, 0], (0, 2, 1))
+            mixer = self.param(
+                "mel_mixer",
+                _mel_mixer_init(self.sample_rate, self.fft_length, self.mel_bins),
+            )
+            # NonNeg constraint parity: the reference's Keras mixer is
+            # NonNeg-constrained; projection happens in the optimizer
+            # (training/trainer.py applies the same clamp post-update).
+            # Full f32 accumulation: this matmul is tiny next to the conv
+            # stack, and default (bf16-allowed) precision costs ~3e-3
+            # relative error that breaks frontend parity.
+            y = jnp.matmul(y, mixer, precision=jax.lax.Precision.HIGHEST)  # [B, W, M]
+            y = nn.relu(y)
+            y_max = jnp.max(y, axis=(1, 2), keepdims=True)
+            y = y / (y_max + 1e-6)
+            y = MagnitudeScaling(self.mag_scale, self.mel_bins, name="mag")(y)
+            return jnp.transpose(y, (0, 2, 1))[..., None]  # [B, M, W, 1]
+
+        if self.mode == "raw":
+            T = int(self.sample_rate * self.chunk_duration)
+            W = self.spec_width
+            k_t = 16
+            stride_t = int(math.ceil(T / float(W)))
+            pad_total = max(0, stride_t * (W - 1) + k_t - T)
+            pad_l, pad_r = pad_total // 2, pad_total - pad_total // 2
+
+            y = x[:, :T, :]
+            y = jnp.pad(y, ((0, 0), (pad_l, pad_r), (0, 0)))
+            # [B, T, 1] -> 1-D strided conv filterbank -> [B, W, M].
+            y = nn.Conv(
+                self.mel_bins, (k_t,), strides=(stride_t,), padding="VALID",
+                use_bias=False, name="raw_fb",
+            )(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, name="raw_fb_bn")(y)
+            y = relu6(y)
+            y = MagnitudeScaling(self.mag_scale, self.mel_bins, name="mag")(y)
+            return jnp.transpose(y, (0, 2, 1))[..., None]  # [B, M, W, 1]
+
+        raise ValueError(f"Invalid frontend mode: {self.mode!r}")

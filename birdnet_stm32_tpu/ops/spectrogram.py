@@ -1,0 +1,107 @@
+"""Batched spectrogram features on device.
+
+TPU-native twin of the reference host feature extractor
+`get_spectrogram_from_audio` (audio/spectrogram.py:24-149): one jitted call
+maps a [B, T] waveform batch to [B, bins, W] features, instead of per-file
+librosa calls inside multiprocessing workers. Modes and magnitude-scaling
+semantics (including normalization placement, PCEN's 2^31 PCM scaling, and
+power_to_db's ref=max over *unsliced* frames in mfcc mode) are replicated
+exactly; golden tests pin them against a pure-numpy reference.
+
+The pipeline is MXU/VPU friendly: frame gather -> rFFT -> |.| -> mel matmul
+-> elementwise compression, all fused by XLA within one jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from birdnet_stm32_tpu.ops import magnitude as mag_ops
+from birdnet_stm32_tpu.ops.dct import dct2_ortho
+from birdnet_stm32_tpu.ops.mel import mel_filterbank
+from birdnet_stm32_tpu.ops.stft import stft_magnitude
+
+VALID_MODES = ("mel", "mfcc", "log_mel", "linear")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sample_rate", "n_fft", "mel_bins", "spec_width", "mag_scale", "mode", "n_mfcc"),
+)
+def spectrogram_batch(
+    audio: jax.Array,
+    sample_rate: int = 24000,
+    n_fft: int = 512,
+    mel_bins: int = 64,
+    spec_width: int = 256,
+    mag_scale: str = "none",
+    mode: str = "mel",
+    n_mfcc: int = 20,
+) -> jax.Array:
+    """Compute magnitude spectrogram features for a batch of waveforms.
+
+    Args:
+        audio: [B, T] mono waveforms.
+        sample_rate: Sample rate in Hz.
+        n_fft: FFT size.
+        mel_bins: Mel band count; <= 0 selects linear STFT bins.
+        spec_width: Output frame count W (hop = T // W).
+        mag_scale: 'none' | 'pcen' | 'pwl' | 'db' (mel/linear modes only).
+        mode: 'mel' | 'mfcc' | 'log_mel' | 'linear'.
+        n_mfcc: Coefficients kept in mfcc mode.
+
+    Returns:
+        [B, bins, spec_width] features in [0, 1] (bins = mel_bins, n_mfcc,
+        or n_fft//2+1 depending on mode), freq-major like the reference.
+    """
+    if mode not in VALID_MODES:
+        raise ValueError(f"Invalid mode: {mode!r}")
+    B, T = audio.shape
+    hop = (T // spec_width) if spec_width > 0 else n_fft // 2
+    sample_axes = (1, 2)
+
+    linear_mode = mel_bins <= 0 or mode == "linear"
+    # librosa (center=True) yields 1 + T//hop frames; the reference slices to
+    # spec_width *before* any stats except in mfcc mode, where power_to_db's
+    # ref/top_db max runs over the full frame count.
+    n_frames_full = 1 + T // hop
+    n_frames = n_frames_full if mode == "mfcc" else min(spec_width, n_frames_full)
+
+    S = stft_magnitude(audio, n_fft=n_fft, hop=hop, n_frames=n_frames, center=True)  # [B, W, F]
+
+    if not linear_mode:
+        power = 2.0 if mode == "mfcc" else 1.0
+        if power != 1.0:
+            S = jnp.square(S)
+        fb = jnp.asarray(
+            mel_filterbank(sample_rate, n_fft, mel_bins, fmin=150.0, fmax=sample_rate / 2.0),
+            dtype=S.dtype,
+        )
+        S = S @ fb  # [B, W, M] on the MXU
+
+    S = jnp.swapaxes(S, 1, 2)  # [B, bins, W] freq-major
+
+    if mode == "mfcc":
+        ref = jnp.max(S, axis=sample_axes, keepdims=True)
+        S_log = mag_ops.power_to_db(S, ref=ref, top_db=80.0, axis=sample_axes)
+        S = dct2_ortho(jnp.swapaxes(S_log, 1, 2), n_mfcc)  # DCT over mel axis
+        S = jnp.swapaxes(S, 1, 2)[:, :, :spec_width]
+        return mag_ops.normalize_minmax(S, axis=sample_axes)
+
+    if mode == "log_mel":
+        S = jnp.log1p(S)
+        return mag_ops.normalize_minmax(S, axis=sample_axes)
+
+    # 'mel' and 'linear' modes share the mag_scale behavior matrix.
+    if mag_scale == "pcen":
+        S = mag_ops.pcen(S * (2.0**31), sr=sample_rate, hop_length=hop)
+    elif mag_scale == "pwl":
+        S = mag_ops.pwl_compress(mag_ops.normalize_minmax(S, axis=sample_axes))
+    elif mag_scale == "db":
+        ref = jnp.max(S, axis=sample_axes, keepdims=True)
+        S = mag_ops.amplitude_to_db(S, ref=ref, top_db=80.0, axis=sample_axes)
+
+    return mag_ops.normalize_minmax(S, axis=sample_axes)

@@ -1,0 +1,112 @@
+"""Batched STFT magnitude for TPU.
+
+Replaces two reference components with one batched device op:
+- the host librosa STFT path (audio/spectrogram.py:106-115; center=True,
+  zero pad, periodic Hann) used for precomputed features, and
+- the firmware C STFT (firmware/Src/audio_stft.c:24-71; left-aligned frames,
+  zero-pad past the end) used on-device.
+
+Framing is a gather with static shapes so XLA can fuse window+FFT+magnitude;
+the [B, W, F] output feeds straight into the mel matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic (DFT-even) Hann window of length `n`.
+
+    Matches `scipy.signal.get_window("hann", n, fftbins=True)`, which both
+    librosa and the firmware table (audio_stft.c:18-22) use.
+    """
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames", "center"))
+def frame_signal(
+    y: jax.Array,
+    n_fft: int,
+    hop: int,
+    n_frames: int,
+    center: bool = True,
+) -> jax.Array:
+    """Slice a batch of waveforms into overlapping frames.
+
+    Args:
+        y: [B, T] waveforms.
+        n_fft: Frame length.
+        hop: Hop between frame starts.
+        n_frames: Number of frames to produce (static).
+        center: If True, frame k is centered at k*hop (librosa semantics,
+            zero padding). If False, frame k starts at k*hop (firmware
+            semantics), zero-padded past the end.
+
+    Returns:
+        [B, n_frames, n_fft] frames.
+    """
+    B, T = y.shape
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)))
+    # Ensure every frame fits; zero-pad the tail once.
+    needed = (n_frames - 1) * hop + n_fft
+    if needed > y.shape[1]:
+        y = jnp.pad(y, ((0, 0), (0, needed - y.shape[1])))
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]  # [W, n_fft]
+    return y[:, idx]
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames", "center"))
+def stft_magnitude(
+    y: jax.Array,
+    n_fft: int,
+    hop: int,
+    n_frames: int,
+    center: bool = True,
+) -> jax.Array:
+    """Batched |STFT| with a periodic Hann window.
+
+    Args:
+        y: [B, T] float32 waveforms.
+        n_fft: FFT size (== window length).
+        hop: Hop length in samples.
+        n_frames: Static number of output frames.
+        center: librosa-style centering (True) or firmware left-aligned (False).
+
+    Returns:
+        [B, n_frames, n_fft//2 + 1] magnitude spectrogram (time-major).
+    """
+    frames = frame_signal(y, n_fft, hop, n_frames, center=center)
+    win = jnp.asarray(hann_window(n_fft), dtype=y.dtype)
+    spec = jnp.fft.rfft(frames * win, axis=-1)
+    return jnp.abs(spec).astype(y.dtype)
+
+
+def stft_magnitude_host(
+    y: np.ndarray,
+    n_fft: int,
+    hop: int,
+    center: bool = True,
+    n_frames: int | None = None,
+) -> np.ndarray:
+    """Numpy twin of `stft_magnitude` for host-side golden tests.
+
+    Returns [F, W] (freq-major, like librosa) for a single 1-D waveform.
+    """
+    if n_frames is None:
+        n_frames = 1 + len(y) // hop if center else int(np.ceil(len(y) / hop))
+    if center:
+        pad = n_fft // 2
+        y = np.pad(y, (pad, pad))
+    needed = (n_frames - 1) * hop + n_fft
+    if needed > len(y):
+        y = np.pad(y, (0, needed - len(y)))
+    win = hann_window(n_fft).astype(np.float64)
+    frames = np.stack([y[k * hop : k * hop + n_fft] for k in range(n_frames)])
+    return np.abs(np.fft.rfft(frames * win, axis=-1)).T.astype(np.float32)

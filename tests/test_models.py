@@ -1,0 +1,116 @@
+"""DS-CNN model family tests: shapes, scaling, frontends (tiny configs).
+
+Structural assertions use jax.eval_shape (no compute); only a handful of
+tests run real jitted forwards.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.models.blocks import make_divisible
+from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model, shape_init
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+        chunk_duration=1.0, embeddings_size=32, num_classes=3,
+        class_names=["a", "b", "c"], audio_frontend="librosa", mag_scale="none",
+        alpha=0.25, depth_multiplier=1,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def n_params(variables):
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def test_make_divisible():
+    assert make_divisible(16) == 16
+    assert make_divisible(1) == 8
+    assert make_divisible(12) == 16
+    assert make_divisible(100) == 104
+
+
+@pytest.mark.parametrize("frontend", ["librosa", "hybrid", "raw", "mfcc", "log_mel"])
+def test_shapes_per_frontend(frontend):
+    cfg = tiny_cfg(audio_frontend=frontend)
+    model = build_dscnn(cfg)
+    shapes = shape_init(model, cfg, batch=2)
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False),
+        shapes, jax.ShapeDtypeStruct((2, *cfg.input_shape()), jnp.float32),
+    )
+    assert out.shape == (2, 3)
+
+
+def test_channels_divisible_by_8():
+    cfg = tiny_cfg(alpha=0.7)
+    shapes = shape_init(build_dscnn(cfg), cfg)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(shapes["params"])[0]:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "kernel" and len(leaf.shape) == 4:
+            assert leaf.shape[-1] % 8 == 0, (path, leaf.shape)
+
+
+def test_alpha_monotonic_params():
+    sizes = []
+    for alpha in (0.25, 0.5, 1.0):
+        cfg = tiny_cfg(alpha=alpha)
+        sizes.append(n_params(shape_init(build_dscnn(cfg), cfg)))
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_depth_multiplier_adds_layers():
+    c1, c2 = tiny_cfg(depth_multiplier=1), tiny_cfg(depth_multiplier=2)
+    p1 = shape_init(build_dscnn(c1), c1)["params"]
+    p2 = shape_init(build_dscnn(c2), c2)["params"]
+    assert len(p2) > len(p1)
+
+
+def test_raw_length_guard():
+    with pytest.raises(ValueError, match="raw frontend"):
+        build_dscnn(tiny_cfg(audio_frontend="raw", sample_rate=24000, chunk_duration=3.0))
+
+
+def test_plain_ds_and_attention_pooling_structure():
+    cfg = tiny_cfg(use_inverted_residual=False, use_se=True, use_attention_pooling=True)
+    shapes = shape_init(build_dscnn(cfg), cfg)
+    assert any("attn_pool" in k for k in shapes["params"])
+    assert any("_se" in k for k in shapes["params"])
+    assert any("_ds1_pw" in k for k in shapes["params"])
+
+
+def test_inverted_residual_structure():
+    cfg = tiny_cfg(use_inverted_residual=True, use_se=True)
+    shapes = shape_init(build_dscnn(cfg), cfg)
+    assert any("_ir1_expand" in k for k in shapes["params"])
+    assert any("_ir1_project" in k for k in shapes["params"])
+
+
+def test_forward_softmax_and_embeddings():
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="softmax")
+    variables = init_model(model, cfg)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False, return_embeddings=True))
+    y, emb = fwd(variables, jnp.ones((2, *cfg.input_shape())))
+    np.testing.assert_allclose(np.asarray(y).sum(axis=1), 1.0, rtol=1e-5)
+    assert emb.shape == (2, make_divisible(cfg.embeddings_size, 8))
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_train_mode_runs_with_dropout_rng():
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg)
+    variables = init_model(model, cfg)
+    fwd = jax.jit(
+        lambda v, x, k: model.apply(v, x, train=True, rngs={"dropout": k}, mutable=["batch_stats"])
+    )
+    y, updates = fwd(variables, jnp.ones((4, *cfg.input_shape())), jax.random.key(1))
+    assert y.shape == (4, 3)
+    assert "batch_stats" in updates

@@ -1,0 +1,104 @@
+"""Golden tests: JAX DSP ops vs the independent numpy oracle (ref_dsp)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from birdnet_stm32_tpu.ops import magnitude as mag_ops
+from birdnet_stm32_tpu.ops.dct import dct_matrix
+from birdnet_stm32_tpu.ops.mel import hz_to_mel, mel_filterbank, mel_to_hz
+from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
+from birdnet_stm32_tpu.ops.stft import stft_magnitude
+
+from tests import ref_dsp
+
+
+def test_mel_scale_roundtrip():
+    f = np.array([0.0, 100.0, 500.0, 999.0, 1000.0, 4000.0, 11025.0])
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, rtol=1e-10)
+    np.testing.assert_allclose(hz_to_mel(f), ref_dsp.hz_to_mel(f), rtol=1e-12)
+
+
+@pytest.mark.parametrize("sr,n_fft,n_mels", [(22050, 512, 64), (24000, 512, 64), (16000, 256, 40)])
+def test_mel_filterbank_matches_librosa_semantics(sr, n_fft, n_mels):
+    ours = mel_filterbank(sr, n_fft, n_mels, fmin=150.0, fmax=sr / 2.0)
+    golden = ref_dsp.mel_fb(sr, n_fft, n_mels, 150.0, sr / 2).T
+    np.testing.assert_allclose(ours, golden, atol=1e-7)
+
+
+def test_mel_filterbank_triangle_properties():
+    fb = mel_filterbank(22050, 512, 64, fmin=150.0)
+    assert fb.shape == (257, 64)
+    assert (fb >= 0).all()
+    # Every band has support.
+    assert (fb.sum(axis=0) > 0).all()
+
+
+def test_dct_matrix_matches_scipy():
+    from scipy.fft import dct as scipy_dct
+
+    x = np.random.default_rng(0).normal(size=(64,))
+    golden = scipy_dct(x, type=2, norm="ortho")[:20]
+    ours = x @ dct_matrix(64, 20)
+    np.testing.assert_allclose(ours, golden, atol=1e-6)
+
+
+def test_stft_matches_oracle(sine_wave):
+    y, sr = sine_wave
+    hop = len(y) // 256
+    golden = ref_dsp.stft_mag(y, 512, hop)[:, :256]  # [F, W]
+    ours = stft_magnitude(jnp.asarray(y)[None, :], n_fft=512, hop=hop, n_frames=256)
+    ours_fm = np.asarray(ours)[0].T  # -> [F, W]
+    np.testing.assert_allclose(ours_fm, golden, atol=2e-3, rtol=1e-4)
+
+
+def test_stft_noncentered_firmware_semantics(noise_wave):
+    y, _ = noise_wave
+    hop = 258
+    ours = np.asarray(stft_magnitude(jnp.asarray(y)[None], n_fft=512, hop=hop, n_frames=4, center=False))[0]
+    win = ref_dsp.hann_periodic(512)
+    for k in range(4):
+        frame = y[k * hop : k * hop + 512].astype(np.float64)
+        golden = np.abs(np.fft.rfft(frame * win))
+        np.testing.assert_allclose(ours[k], golden, atol=2e-3, rtol=1e-4)
+
+
+def test_pcen_matches_librosa_semantics(noise_wave):
+    y, sr = noise_wave
+    hop = len(y) // 256
+    S = ref_dsp.stft_mag(y, 512, hop)[:, :256] * (2.0**31)
+    golden = ref_dsp.pcen(S, sr, hop, axis=1)
+    ours = np.asarray(mag_ops.pcen(jnp.asarray(S, dtype=jnp.float32), sr=sr, hop_length=hop))
+    np.testing.assert_allclose(ours, golden, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("mode,mag", [
+    ("mel", "none"), ("mel", "pwl"), ("mel", "db"), ("mel", "pcen"),
+    ("log_mel", "none"), ("mfcc", "none"), ("linear", "none"), ("linear", "pwl"),
+])
+def test_spectrogram_batch_matches_oracle(sine_wave, noise_wave, mode, mag):
+    y1, sr = sine_wave
+    y2, _ = noise_wave
+    mel_bins = -1 if mode == "linear" else 64
+    batch = jnp.stack([jnp.asarray(y1), jnp.asarray(y2)])
+    ours = np.asarray(
+        spectrogram_batch(batch, sample_rate=sr, n_fft=512, mel_bins=mel_bins,
+                          spec_width=256, mag_scale=mag, mode=mode, n_mfcc=20)
+    )
+    for i, y in enumerate([y1, y2]):
+        golden = ref_dsp.get_spectrogram(y, sr, 512, mel_bins, 256, mag, mode, 20)
+        assert ours[i].shape == golden.shape
+        # Normalized [0,1] outputs: compare with absolute tolerance. PCEN's
+        # EMA over 2^31-scaled magnitudes accumulates float32 rounding the
+        # float64 oracle doesn't, so it gets a looser bound.
+        atol = 2.5e-2 if mag == "pcen" else 5e-3
+        np.testing.assert_allclose(ours[i], golden, atol=atol)
+        corr = np.corrcoef(ours[i].ravel(), golden.ravel())[0, 1]
+        assert corr > 0.9999, f"{mode}/{mag} corr={corr}"
+
+
+def test_spectrogram_output_range(noise_wave):
+    y, sr = noise_wave
+    S = np.asarray(spectrogram_batch(jnp.asarray(y)[None], sample_rate=sr, spec_width=256))
+    assert S.min() >= 0.0 and S.max() <= 1.0 + 1e-6
