@@ -7,16 +7,20 @@ sharding/pjit tests run against a virtual 8-device CPU mesh via
 
 import os
 
-# Must happen before `import jax` anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Must happen before `import jax` anywhere in the test process. The
+# environment force-exports JAX_PLATFORMS=axon (real TPU), so override
+# unconditionally — tests always run on a virtual 8-device CPU mesh.
+# NOTE: in this JAX version --xla_force_host_platform_device_count no longer
+# creates devices; jax_num_cpu_devices is the working knob.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import pytest
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: CPU compiles of the full DS-CNN take ~1 min;
 # cache them across test runs.
