@@ -24,37 +24,52 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_birdnet_tpu")
 TARGET_PER_CHIP = 100_000 / 8.0  # BASELINE.json: >=100k chunks/s on v5e-8
 
 
+def _throughput(fn, wave, iters=10):
+    """Median per-batch wall time, forcing a host read per iteration.
+
+    NOTE: on this backend block_until_ready() returns before execution
+    completes (remote-tunnel async dispatch); the only reliable
+    synchronization is a device->host transfer, so `fn` must reduce its
+    output to a scalar which we read back each iteration.
+    """
+    import statistics
+
+    float(fn(wave))  # warmup/compile + drain
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(wave))
+        times.append(time.perf_counter() - t0)
+    return wave.shape[0] / statistics.median(times)
+
+
 def main() -> None:
-    from birdnet_stm32_tpu.models.transplant import load_reference_model
+    from birdnet_stm32_tpu.config import ModelConfig
     from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    from birdnet_stm32_tpu.quant.tflite_import import TFLiteGraph, build_executor
 
-    model, variables, cfg = load_reference_model(
-        "/root/reference/checkpoints/birdnet_stm32n6_100.keras",
-        "/root/reference/checkpoints/birdnet_stm32n6_100_model_config.json",
+    cfg = ModelConfig.load(
+        "/root/reference/checkpoints/birdnet_stm32n6_100_model_config.json"
     )
-
-    @jax.jit
-    def classify(wave):
-        x = inputs_for_config(wave, cfg)
-        return model.apply(variables, x, train=False)
-
     B = 1024
     rng = np.random.default_rng(0)
     wave = jnp.asarray(rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32))
 
-    # Warmup / compile.
-    classify(wave).block_until_ready()
+    # Headline: waveform -> STFT frontend -> INT8 DS-CNN (bit-exact vs the
+    # shipped reference TFLite -> cosine 1.0 by construction).
+    graph = TFLiteGraph("/root/reference/checkpoints/birdnet_stm32n6_100.tflite")
+    int8_forward = build_executor(graph, batch_size=B)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = classify(wave)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    @jax.jit
+    def classify_int8(wave):
+        x = inputs_for_config(wave, cfg)
+        # Reduce to a scalar so the benchmark's host read is cheap; the sum
+        # depends on every output element, so nothing is dead-code-eliminated.
+        return int8_forward(x).astype(jnp.int32).sum()
 
-    chunks_per_sec = B * iters / dt
+    chunks_per_sec = _throughput(classify_int8, wave)
     print(json.dumps({
-        "metric": "3s-chunks/sec/chip end-to-end (STFT frontend + DS-CNN, flagship ckpt)",
+        "metric": "3s-chunks/sec/chip end-to-end (STFT frontend + INT8-sim DS-CNN, bit-exact vs ref TFLite)",
         "value": round(chunks_per_sec, 1),
         "unit": "chunks/sec/chip",
         "vs_baseline": round(chunks_per_sec / TARGET_PER_CHIP, 4),

@@ -31,18 +31,24 @@ def relu6(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
 
 
-def batch_norm(x, name: str, train: bool):
-    """Keras-default BatchNormalization (momentum .99, eps 1e-3)."""
+def batch_norm(x, name: str, train: bool, freeze_bn: bool = False):
+    """Keras-default BatchNormalization (momentum .99, eps 1e-3).
+
+    freeze_bn=True runs BN on its running statistics even in training mode
+    (no stat updates) — the reference's QAT BN freeze (training/qat.py:142-158).
+    """
     return nn.BatchNorm(
-        use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, name=name
+        use_running_average=(not train) or freeze_bn,
+        momentum=BN_MOMENTUM, epsilon=BN_EPS, name=name,
     )(x)
 
 
-def conv_bn(x, features: int, kernel, strides, name: str, train: bool, act: bool = True):
+def conv_bn(x, features: int, kernel, strides, name: str, train: bool, act: bool = True,
+            freeze_bn: bool = False):
     """Conv2D (no bias, SAME) + BN + optional ReLU6; `name` is the base
     (e.g. 'stem' -> layers 'stem_conv' + 'stem_bn', matching Keras names)."""
     x = nn.Conv(features, kernel, strides=strides, padding="SAME", use_bias=False, name=f"{name}_conv")(x)
-    x = batch_norm(x, f"{name}_bn", train)
+    x = batch_norm(x, f"{name}_bn", train, freeze_bn)
     return relu6(x) if act else x
 
 
@@ -73,15 +79,15 @@ def se_block(x, reduction: int = 8, name: str = "se"):
 
 
 def ds_conv_block(x, out_ch: int, strides=(1, 1), name: str = "ds",
-                  drop_rate: float = 0.1, train: bool = False):
+                  drop_rate: float = 0.1, train: bool = False, freeze_bn: bool = False):
     """DW 3x3 -> BN -> ReLU6 -> PW 1x1 -> BN -> drop -> +res -> ReLU6
     (reference dscnn.py:28-84)."""
     in_ch = x.shape[-1]
     y = depthwise_conv(x, strides, name=f"{name}_dw")
-    y = batch_norm(y, f"{name}_dw_bn", train)
+    y = batch_norm(y, f"{name}_dw_bn", train, freeze_bn)
     y = relu6(y)
     y = nn.Conv(out_ch, (1, 1), padding="SAME", use_bias=False, name=f"{name}_pw")(y)
-    y = batch_norm(y, f"{name}_pw_bn", train)
+    y = batch_norm(y, f"{name}_pw_bn", train, freeze_bn)
     if drop_rate > 0:
         y = spatial_dropout(y, drop_rate, f"{name}_drop", train)
     if strides == (1, 1) and in_ch == out_ch:
@@ -92,25 +98,25 @@ def ds_conv_block(x, out_ch: int, strides=(1, 1), name: str = "ds",
 def inverted_residual_block(x, out_ch: int, expansion: int = 2, strides=(1, 1),
                             use_se: bool = True, se_reduction: int = 8,
                             drop_rate: float = 0.1, name: str = "ir",
-                            train: bool = False):
+                            train: bool = False, freeze_bn: bool = False):
     """1x1 expand -> BN/ReLU6 -> DW 3x3 -> BN/ReLU6 -> [SE] -> 1x1 project
     -> BN -> drop -> +res (reference blocks.py:49-133)."""
     in_ch = x.shape[-1]
     hidden = make_divisible(in_ch * expansion, 8)
 
     y = nn.Conv(hidden, (1, 1), padding="SAME", use_bias=False, name=f"{name}_expand")(x)
-    y = batch_norm(y, f"{name}_expand_bn", train)
+    y = batch_norm(y, f"{name}_expand_bn", train, freeze_bn)
     y = relu6(y)
 
     y = depthwise_conv(y, strides, name=f"{name}_dw")
-    y = batch_norm(y, f"{name}_dw_bn", train)
+    y = batch_norm(y, f"{name}_dw_bn", train, freeze_bn)
     y = relu6(y)
 
     if use_se:
         y = se_block(y, reduction=se_reduction, name=f"{name}_se")
 
     y = nn.Conv(out_ch, (1, 1), padding="SAME", use_bias=False, name=f"{name}_project")(y)
-    y = batch_norm(y, f"{name}_project_bn", train)
+    y = batch_norm(y, f"{name}_project_bn", train, freeze_bn)
     if drop_rate > 0:
         y = spatial_dropout(y, drop_rate, f"{name}_drop", train)
     if strides == (1, 1) and in_ch == out_ch:

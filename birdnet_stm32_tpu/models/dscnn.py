@@ -60,13 +60,15 @@ class DSCNN(nn.Module):
     use_attention_pooling: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_embeddings: bool = False):
+    def __call__(self, x, train: bool = False, return_embeddings: bool = False,
+                 freeze_bn: bool = False):
         """Forward pass.
 
         Args:
             x: [B, bins, W, 1] spectrogram input, or [B, T, 1] raw waveform.
             train: Enables BN batch stats + dropout.
             return_embeddings: Also return the pooled embedding vector.
+            freeze_bn: Run BN on running stats even when train=True (QAT).
 
         Returns:
             [B, num_classes] scores (activation per `class_activation`),
@@ -88,10 +90,10 @@ class DSCNN(nn.Module):
             fft_length=self.fft_length,
             mag_scale=self.mag_scale if frontend_mode != "precomputed" else "none",
             name="audio_frontend",
-        )(x, train=train)
+        )(x, train=train, freeze_bn=freeze_bn)
 
         stem_ch = make_divisible(16 * self.alpha, 8)
-        x = conv_bn(x, stem_ch, (3, 3), (1, 2), name="stem", train=train)
+        x = conv_bn(x, stem_ch, (3, 3), (1, 2), name="stem", train=train, freeze_bn=freeze_bn)
 
         for si, (bf, br) in enumerate(zip(BASE_FILTERS, BASE_REPEATS), start=1):
             out_ch = make_divisible(int(bf * self.alpha), 8)
@@ -106,16 +108,17 @@ class DSCNN(nn.Module):
                         use_se=self.use_se,
                         se_reduction=self.se_reduction,
                         name=f"stage{si}_ir{bi}",
-                        train=train,
+                        train=train, freeze_bn=freeze_bn,
                     )
                 else:
-                    x = ds_conv_block(x, out_ch, strides=strides, name=f"stage{si}_ds{bi}", train=train)
+                    x = ds_conv_block(x, out_ch, strides=strides, name=f"stage{si}_ds{bi}",
+                                      train=train, freeze_bn=freeze_bn)
                     if self.use_se:
                         x = se_block(x, reduction=self.se_reduction, name=f"stage{si}_se{bi}")
 
         emb_ch = make_divisible(self.embeddings_size, 8)
         if x.shape[-1] != emb_ch:
-            x = conv_bn(x, emb_ch, (1, 1), (1, 1), name="emb", train=train)
+            x = conv_bn(x, emb_ch, (1, 1), (1, 1), name="emb", train=train, freeze_bn=freeze_bn)
 
         if self.use_attention_pooling:
             emb = attention_pooling(x, name="attn_pool")

@@ -105,7 +105,7 @@ class AudioFrontend(nn.Module):
     mag_scale: str = "pwl"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, freeze_bn: bool = False):
         if self.mode == "precomputed":
             return x[:, :, : self.spec_width, :]
 
@@ -147,8 +147,8 @@ class AudioFrontend(nn.Module):
                 self.mel_bins, (k_t,), strides=(stride_t,), padding="VALID",
                 use_bias=False, name="raw_fb",
             )(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=BN_EPS, name="raw_fb_bn")(y)
+            y = nn.BatchNorm(use_running_average=(not train) or freeze_bn,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS, name="raw_fb_bn")(y)
             y = relu6(y)
             y = MagnitudeScaling(self.mag_scale, self.mel_bins, name="mag")(y)
             return jnp.transpose(y, (0, 2, 1))[..., None]  # [B, M, W, 1]

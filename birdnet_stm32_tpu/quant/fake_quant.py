@@ -1,0 +1,97 @@
+"""INT8 fake-quantization with straight-through gradients.
+
+Numerics match the reference's shadow-weight QAT
+(training/qat.py:30-68): asymmetric min/max affine quantization to
+`2^bits - 1` levels, per-channel over the output-channel axis, with
+banker's rounding (np.round). The reference injects quantization through a
+Keras callback that swaps weights around each step (qat.py:80-139); in JAX
+the same computation is a straight-through-estimator transform applied to
+the parameter pytree inside the loss — functionally identical, but pure.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def _ste(w: jax.Array, wq: jax.Array) -> jax.Array:
+    return wq
+
+
+def _ste_fwd(w, wq):
+    return wq, None
+
+
+def _ste_bwd(_, g):
+    return g, None  # gradient flows straight through to the FP weights
+
+
+_ste.defvjp(_ste_fwd, _ste_bwd)
+
+
+def fake_quantize(
+    w: jax.Array,
+    num_bits: int = 8,
+    per_channel: bool = True,
+    channel_axis: int = -1,
+) -> jax.Array:
+    """Quantize-dequantize a weight tensor (asymmetric min/max affine).
+
+    Args:
+        w: Float weight tensor.
+        num_bits: Bit width (8 -> 255 levels).
+        per_channel: Per-channel ranges over `channel_axis`, else per-tensor.
+        channel_axis: Channel axis for per-channel mode.
+
+    Returns:
+        Fake-quantized tensor, same shape/dtype.
+    """
+    qmax = (1 << num_bits) - 1
+    if per_channel and w.ndim > 1:
+        axes = tuple(i for i in range(w.ndim) if i != channel_axis % w.ndim)
+        w_min = jnp.min(w, axis=axes, keepdims=True)
+        w_max = jnp.max(w, axis=axes, keepdims=True)
+    else:
+        w_min = jnp.min(w)
+        w_max = jnp.max(w)
+    scale = jnp.maximum((w_max - w_min) / qmax, 1e-10)
+    return jnp.round((w - w_min) / scale) * scale + w_min
+
+
+def fake_quantize_ste(w: jax.Array, **kw) -> jax.Array:
+    """fake_quantize with identity (straight-through) gradient."""
+    return _ste(w, fake_quantize(w, **kw))
+
+
+def is_quantizable(path: tuple, leaf: Any) -> bool:
+    """QAT weight selection, mirroring reference qat.py:24-77:
+    conv/dense kernels only — skip biases, BN params, and the frontend."""
+    keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+    if not keys:
+        return False
+    if keys[0] == "audio_frontend":
+        return False
+    if keys[-1] != "kernel":
+        return False
+    return getattr(leaf, "ndim", 0) >= 2
+
+
+def quantize_params(params, num_bits: int = 8, per_channel: bool = True, ste: bool = True):
+    """Apply fake quantization to every quantizable kernel in a param tree.
+
+    Channel axis is always -1 in this framework's layouts (Conv [kh,kw,i,o],
+    depthwise [kh,kw,1,C], Dense [i,o]) — the reference's axis=-2 special
+    case exists only for Keras' [kh,kw,C,1] depthwise layout.
+    """
+    fq = fake_quantize_ste if ste else fake_quantize
+
+    def maybe_quantize(path, leaf):
+        if is_quantizable(path, leaf):
+            return fq(leaf, num_bits=num_bits, per_channel=per_channel, channel_axis=-1)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(maybe_quantize, params)

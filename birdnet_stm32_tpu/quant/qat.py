@@ -1,0 +1,73 @@
+"""Quantization-aware training: STE fake-quant train step.
+
+Functional re-design of the reference's shadow-weight QAT callback
+(training/qat.py:80-139). The callback saves FP weights, injects
+fake-quantized copies before each batch, and re-applies the optimizer delta
+to the FP copy afterwards — an imperative approximation of the
+straight-through estimator. In JAX the same thing is direct: keep FP
+parameters, fake-quantize them *inside* the loss with an identity-gradient
+transform, and let the optimizer update the FP parameters. Exactly the same
+math, no weight swapping.
+
+Matching reference policy: biases/BN/frontend excluded (qat.py:24-77), BN
+frozen during QAT fine-tuning (qat.py:142-158).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import optax
+from jax.sharding import Mesh
+
+from birdnet_stm32_tpu.parallel.mesh import batch_sharding, replicated
+from birdnet_stm32_tpu.parallel.steps import TrainState, _project_nonneg_mel_mixer
+from birdnet_stm32_tpu.quant.fake_quant import quantize_params
+
+
+def make_qat_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable,
+    mesh: Mesh | None = None,
+    num_bits: int = 8,
+    per_channel: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted QAT fine-tuning step.
+
+    The model runs with train=True (dropout active) and freeze_bn=True
+    (BN on running statistics, no updates), on STE-fake-quantized kernels.
+
+    Returns:
+        step(state, x, y, rng) -> (state, metrics).
+    """
+
+    def step(state: TrainState, x, y, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            q_params = quantize_params(params, num_bits=num_bits, per_channel=per_channel, ste=True)
+            logits = model.apply(
+                {"params": q_params, "batch_stats": state.batch_stats},
+                x, train=True, freeze_bn=True, rngs={"dropout": rng},
+            )
+            return loss_fn(logits, y)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = _project_nonneg_mel_mixer(params)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, data, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )

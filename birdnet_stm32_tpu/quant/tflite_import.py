@@ -1,0 +1,550 @@
+"""TFLite flatbuffer -> JAX integer-graph executor.
+
+The reference deploys by converting Keras to INT8 TFLite and validating with
+the TFLite interpreter (conversion/quantize.py:111-163). The TPU equivalent
+runs the *same integer graph* on the MXU: this module parses a .tflite
+flatbuffer (per-tensor activation scales, per-channel weight scales, op
+options) and builds a jittable batched JAX function that reproduces the
+interpreter's arithmetic:
+
+- int8 convolutions accumulate exactly in int32 (MXU int8 x int8 -> int32),
+  with SAME padding realized by padding with the input zero point and the
+  zero-point correction folded into a per-channel constant;
+- requantization uses the real multiplier in_s * w_s / out_s with
+  round-half-away-from-zero (TFLite's fixed-point pipeline differs by at
+  most 1 LSB in rare ties);
+- LOGISTIC is a 256-entry lookup table, elementwise-exact.
+
+Shape-manipulation subgraphs (SHAPE/PACK/FILL feeding dynamic zero padding)
+are partially evaluated on the host at build time for a static batch size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tensorflow.lite.python import schema_py_generated as fb
+
+_OPNAMES = {v: k for k, v in fb.BuiltinOperator.__dict__.items() if not k.startswith("_")}
+
+# FusedActivationFunction enum.
+_ACT_NONE, _ACT_RELU, _ACT_RELU_N1_1, _ACT_RELU6 = 0, 1, 2, 3
+
+
+@dataclass
+class TensorInfo:
+    index: int
+    shape: tuple
+    dtype: str
+    scale: np.ndarray | None  # [1] per-tensor or [C] per-channel
+    zero_point: np.ndarray | None
+    quantized_dimension: int
+    data: np.ndarray | None  # constant buffer contents, else None
+
+
+@dataclass
+class OpInfo:
+    name: str
+    inputs: list[int]
+    outputs: list[int]
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+_DTYPES = {
+    fb.TensorType.FLOAT32: ("float32", np.float32),
+    fb.TensorType.INT8: ("int8", np.int8),
+    fb.TensorType.INT16: ("int16", np.int16),
+    fb.TensorType.INT32: ("int32", np.int32),
+    fb.TensorType.INT64: ("int64", np.int64),
+    fb.TensorType.BOOL: ("bool", np.bool_),
+    fb.TensorType.UINT8: ("uint8", np.uint8),
+}
+
+
+def _options(op, name):
+    """Decode the builtin options union for the op kinds we support."""
+    tbl = op.BuiltinOptions()
+    if tbl is None:
+        return {}
+
+    def init(cls):
+        o = cls()
+        o.Init(tbl.Bytes, tbl.Pos)
+        return o
+
+    if name == "CONV_2D":
+        o = init(fb.Conv2DOptions)
+        return {
+            "strides": (o.StrideH(), o.StrideW()),
+            "padding": "SAME" if o.Padding() == fb.Padding.SAME else "VALID",
+            "dilation": (o.DilationHFactor(), o.DilationWFactor()),
+            "activation": o.FusedActivationFunction(),
+        }
+    if name == "DEPTHWISE_CONV_2D":
+        o = init(fb.DepthwiseConv2DOptions)
+        return {
+            "strides": (o.StrideH(), o.StrideW()),
+            "padding": "SAME" if o.Padding() == fb.Padding.SAME else "VALID",
+            "dilation": (o.DilationHFactor(), o.DilationWFactor()),
+            "activation": o.FusedActivationFunction(),
+            "depth_multiplier": o.DepthMultiplier(),
+        }
+    if name == "ADD":
+        o = init(fb.AddOptions)
+        return {"activation": o.FusedActivationFunction()}
+    if name == "FULLY_CONNECTED":
+        o = init(fb.FullyConnectedOptions)
+        return {"activation": o.FusedActivationFunction()}
+    if name == "CONCATENATION":
+        o = init(fb.ConcatenationOptions)
+        return {"axis": o.Axis(), "activation": o.FusedActivationFunction()}
+    if name == "MEAN":
+        o = init(fb.ReducerOptions)
+        return {"keepdims": bool(o.KeepDims())}
+    if name == "STRIDED_SLICE":
+        o = init(fb.StridedSliceOptions)
+        return {
+            "begin_mask": o.BeginMask(),
+            "end_mask": o.EndMask(),
+            "ellipsis_mask": o.EllipsisMask(),
+            "new_axis_mask": o.NewAxisMask(),
+            "shrink_axis_mask": o.ShrinkAxisMask(),
+        }
+    if name == "PACK":
+        o = init(fb.PackOptions)
+        return {"axis": o.Axis(), "count": o.ValuesCount()}
+    return {}
+
+
+class TFLiteGraph:
+    """Parsed .tflite model: tensor metadata + ops in execution order."""
+
+    def __init__(self, path_or_bytes):
+        buf = path_or_bytes if isinstance(path_or_bytes, bytes) else open(path_or_bytes, "rb").read()
+        model = fb.Model.GetRootAsModel(buf, 0)
+        sg = model.Subgraphs(0)
+        opcodes = [model.OperatorCodes(i) for i in range(model.OperatorCodesLength())]
+
+        self.tensors: list[TensorInfo] = []
+        for i in range(sg.TensorsLength()):
+            t = sg.Tensors(i)
+            dtype_name, np_dtype = _DTYPES[t.Type()]
+            q = t.Quantization()
+            scale = zp = None
+            qdim = 0
+            if q is not None and q.ScaleLength() > 0:
+                scale = q.ScaleAsNumpy().astype(np.float64)
+                zp = q.ZeroPointAsNumpy().astype(np.int64)
+                qdim = q.QuantizedDimension()
+            data = None
+            b = model.Buffers(t.Buffer())
+            if b.DataLength() > 0:
+                raw = b.DataAsNumpy()
+                data = np.frombuffer(raw.tobytes(), dtype=np_dtype).reshape(t.ShapeAsNumpy())
+            self.tensors.append(
+                TensorInfo(i, tuple(int(s) for s in t.ShapeAsNumpy()), dtype_name, scale, zp, qdim, data)
+            )
+
+        self.ops: list[OpInfo] = []
+        for i in range(sg.OperatorsLength()):
+            op = sg.Operators(i)
+            name = _OPNAMES[opcodes[op.OpcodeIndex()].BuiltinCode()]
+            self.ops.append(
+                OpInfo(
+                    name,
+                    [int(x) for x in op.InputsAsNumpy()],
+                    [int(x) for x in op.OutputsAsNumpy()],
+                    _options(op, name),
+                )
+            )
+        self.inputs = [int(x) for x in sg.InputsAsNumpy()]
+        self.outputs = [int(x) for x in sg.OutputsAsNumpy()]
+
+
+def _round_away(x):
+    """Round half away from zero (TFLite quantize rounding)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+# --- Bit-exact gemmlowp fixed-point pipeline -------------------------------
+#
+# TFLite requantizes with MultiplyByQuantizedMultiplier: a saturating rounding
+# doubling-high multiply (SRDHM) by an int32 fixed-point multiplier, then a
+# rounding divide by a power of two. Reproducing its exact tie behavior needs
+# the high 33 bits of an int32*int32 product, which we synthesize from 16-bit
+# limbs in uint32 arithmetic (no int64 on TPU).
+
+
+def _quantize_multiplier(m: float) -> tuple[int, int]:
+    """double multiplier -> (int32 fixed-point multiplier, shift)."""
+    if m == 0.0:
+        return 0, 0
+    import math
+
+    q, shift = math.frexp(m)
+    q_fixed = int(round(q * (1 << 31)))
+    if q_fixed == (1 << 31):
+        q_fixed //= 2
+        shift += 1
+    if shift < -31:
+        return 0, 0
+    return q_fixed, shift
+
+
+def _srdhm(x, qm: int):
+    """SaturatingRoundingDoublingHighMul(x, qm) for qm > 0, elementwise.
+
+    Computes trunc((x*qm + nudge) / 2^31) with nudge = 2^30 (x>=0) or
+    1 - 2^30 (x<0), exactly, via 16-bit limb decomposition.
+    """
+    neg = x < 0
+    a = jnp.abs(x).astype(jnp.uint32)
+    b_hi, b_lo = np.uint32(qm >> 16), np.uint32(qm & 0xFFFF)
+    a_hi = a >> 16
+    a_lo = a & 0xFFFF
+    hh = a_hi * b_hi                      # < 2^30
+    mid = a_hi * b_lo + a_lo * b_hi       # < 2^32
+    ll = a_lo * b_lo                      # < 2^32
+    low = ll + ((mid & 0xFFFF) << 16)     # wraps mod 2^32
+    carry = (low < ll).astype(jnp.uint32)
+    high = hh + (mid >> 16) + carry       # p = high*2^32 + low
+    # (p + addend) >> 31, addend = 2^30 (pos) or 2^30 - 1 (neg, then negate):
+    addend = jnp.where(neg, jnp.uint32((1 << 30) - 1), jnp.uint32(1 << 30))
+    low2 = low + addend
+    carry2 = (low2 < low).astype(jnp.uint32)
+    high2 = high + carry2
+    r = ((high2 << 1) | (low2 >> 31)).astype(jnp.int32)
+    return jnp.where(neg, -r, r)
+
+
+def _rdbp(x, exponent: int):
+    """Rounding divide by power of two: (x + 2^(e-1)) >> e, ties toward +inf.
+
+    Determined empirically against the TF 2.21 interpreter (its requant
+    pipeline is SRDHM followed by add-half-then-arithmetic-shift, not the
+    threshold-based gemmlowp RoundingDivideByPOT).
+    """
+    if exponent == 0:
+        return x
+    return (x + jnp.int32(1 << (exponent - 1))) >> exponent
+
+
+def _mbqm(x, qm: int, shift: int):
+    """MultiplyByQuantizedMultiplier: exact TFLite requant of int32 x."""
+    left = max(shift, 0)
+    right = max(-shift, 0)
+    if left:
+        x = x << left
+    return _rdbp(_srdhm(x, qm), right)
+
+
+def _requant_exact(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int):
+    """Per-channel exact requantization of an int32 accumulator [..., C]."""
+    qms = [_quantize_multiplier(float(m)) for m in np.atleast_1d(multipliers)]
+    if len(qms) == 1:
+        q = _mbqm(acc, *qms[0])
+    else:
+        # Group channels by (qm, shift) would be ideal; in practice shifts
+        # cluster into very few values, so vectorize per distinct shift with
+        # a per-channel qm vector.
+        shifts = sorted({s for _, s in qms})
+        qm_vec = jnp.asarray(np.array([q for q, _ in qms], np.int32))
+        q = jnp.zeros(acc.shape, jnp.int32)
+        ch_shift = np.array([s for _, s in qms])
+        for s in shifts:
+            mask = jnp.asarray(ch_shift == s)
+            left = max(s, 0)
+            right = max(-s, 0)
+            x = acc << left if left else acc
+            # SRDHM with per-channel qm: broadcast via take per element.
+            r = _srdhm_vec(x, qm_vec)
+            r = _rdbp(r, right)
+            q = jnp.where(mask, r, q)
+    q = q + zp
+    return jnp.clip(q, lo, hi).astype(jnp.int8)
+
+
+def _srdhm_vec(x, qm_vec):
+    """SRDHM where qm varies along the last axis (per-channel)."""
+    neg = x < 0
+    a = jnp.abs(x).astype(jnp.uint32)
+    b = qm_vec.astype(jnp.uint32)
+    b_hi, b_lo = b >> 16, b & 0xFFFF
+    a_hi, a_lo = a >> 16, a & 0xFFFF
+    hh = a_hi * b_hi
+    mid = a_hi * b_lo + a_lo * b_hi
+    ll = a_lo * b_lo
+    low = ll + ((mid & 0xFFFF) << 16)
+    carry = (low < ll).astype(jnp.uint32)
+    high = hh + (mid >> 16) + carry
+    addend = jnp.where(neg, jnp.uint32((1 << 30) - 1), jnp.uint32(1 << 30))
+    low2 = low + addend
+    carry2 = (low2 < low).astype(jnp.uint32)
+    high2 = high + carry2
+    r = ((high2 << 1) | (low2 >> 31)).astype(jnp.int32)
+    return jnp.where(neg, -r, r)
+
+
+def _act_bounds(activation: int, scale: float, zp: int):
+    """Fused-activation clamp bounds in the quantized domain."""
+    lo, hi = -128, 127
+    if activation == _ACT_RELU:
+        lo = max(lo, int(zp))
+    elif activation == _ACT_RELU6:
+        lo = max(lo, int(zp))
+        hi = min(hi, int(round(6.0 / scale) + zp))
+    elif activation == _ACT_RELU_N1_1:
+        lo = max(lo, int(round(-1.0 / scale) + zp))
+        hi = min(hi, int(round(1.0 / scale) + zp))
+    return lo, hi
+
+
+def _tf_same_pads(in_size: int, k: int, stride: int, dilation: int = 1):
+    eff_k = (k - 1) * dilation + 1
+    out = -(-in_size // stride)
+    total = max(0, (out - 1) * stride + eff_k - in_size)
+    return total // 2, total - total // 2
+
+
+def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False) -> Callable[[jax.Array], jax.Array]:
+    """Build a jittable fn mapping the float input batch to float outputs.
+
+    Args:
+        graph: Parsed model. The single subgraph input must be float32 (the
+            reference converter enforces float I/O, quantize.py:131-163).
+        batch_size: Static batch size the executor is traced for.
+
+    Returns:
+        f(x: [B, ...] float32) -> [B, ...] float32, jax.jit-compatible.
+    """
+    T = graph.tensors
+
+    def tshape(idx):
+        s = list(T[idx].shape)
+        if s and s[0] == 1:
+            s[0] = batch_size
+        return tuple(s)
+
+    def executor(x):
+        vals: dict[int, jax.Array] = {}
+        host: dict[int, np.ndarray] = {}  # partially-evaluated shape values
+
+        def get(idx):
+            if idx in vals:
+                return vals[idx]
+            info = T[idx]
+            if info.data is None:
+                raise KeyError(f"tensor {idx} ({info.dtype}) has no value")
+            vals[idx] = jnp.asarray(info.data)
+            return vals[idx]
+
+        def get_host(idx):
+            if idx in host:
+                return host[idx]
+            info = T[idx]
+            assert info.data is not None, f"host value for tensor {idx} unavailable"
+            return np.asarray(info.data)
+
+        def q_params(idx):
+            info = T[idx]
+            return info.scale, info.zero_point, info.quantized_dimension
+
+        def requant_clamp(acc_f, out_idx, activation=_ACT_NONE):
+            s, z, _ = q_params(out_idx)
+            q = _round_away(acc_f / s[0]) + int(z[0])
+            lo, hi = _act_bounds(activation, float(s[0]), int(z[0]))
+            return jnp.clip(q, lo, hi).astype(jnp.int8)
+
+        vals[graph.inputs[0]] = x
+
+        for op in graph.ops:
+            name, ins, outs = op.name, op.inputs, op.outputs
+            o = outs[0]
+
+            if name == "QUANTIZE":
+                src = get(ins[0])
+                s, z, _ = q_params(o)
+                if src.dtype == jnp.float32:
+                    q = _round_away(src / float(s[0])) + int(z[0])
+                else:
+                    si, zi, _ = q_params(ins[0])
+                    q = _round_away((src.astype(jnp.float32) - int(zi[0])) * (float(si[0]) / float(s[0]))) + int(z[0])
+                vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+            elif name == "DEQUANTIZE":
+                s, z, _ = q_params(ins[0])
+                vals[o] = (get(ins[0]).astype(jnp.float32) - int(z[0])) * float(s[0])
+
+            elif name == "TRANSPOSE":
+                perm = tuple(int(p) for p in get_host(ins[1]))
+                vals[o] = jnp.transpose(get(ins[0]), perm)
+
+            elif name == "SHAPE":
+                host[o] = np.asarray(vals[ins[0]].shape if ins[0] in vals else tshape(ins[0]), np.int32)
+
+            elif name == "PACK":
+                parts = [get_host(i) for i in ins]
+                host[o] = np.stack([np.asarray(p).reshape(()) for p in parts]).astype(np.int32)
+
+            elif name == "FILL":
+                dims = tuple(int(d) for d in get_host(ins[0]))
+                value = get_host(ins[1]).reshape(())
+                vals[o] = jnp.full(dims, value, dtype=jnp.int8 if T[o].dtype == "int8" else None)
+
+            elif name == "STRIDED_SLICE":
+                src_is_host = ins[0] in host
+                arr_shape = host[ins[0]].shape if src_is_host else (vals[ins[0]].shape if ins[0] in vals else tshape(ins[0]))
+                begin = [int(v) for v in get_host(ins[1])]
+                end = [int(v) for v in get_host(ins[2])]
+                strides = [int(v) for v in get_host(ins[3])]
+                bm, em, sm = op.options["begin_mask"], op.options["end_mask"], op.options["shrink_axis_mask"]
+                slices = []
+                for d in range(len(begin)):
+                    b = None if (bm >> d) & 1 else begin[d]
+                    e = None if (em >> d) & 1 else end[d]
+                    if (sm >> d) & 1:
+                        slices.append(begin[d])
+                    else:
+                        slices.append(slice(b, e, strides[d]))
+                slices = tuple(slices)
+                if src_is_host:
+                    host[o] = host[ins[0]][slices]
+                else:
+                    vals[o] = get(ins[0])[slices]
+
+            elif name == "CONCATENATION":
+                axis = op.options["axis"]
+                so, zo, _ = q_params(o)
+                parts = []
+                for i in ins:
+                    p = get(i)
+                    si, zi, _ = q_params(i)
+                    if float(si[0]) != float(so[0]) or int(zi[0]) != int(zo[0]):
+                        f = (p.astype(jnp.float32) - int(zi[0])) * float(si[0])
+                        p = jnp.clip(_round_away(f / float(so[0])) + int(zo[0]), -128, 127).astype(jnp.int8)
+                    parts.append(p)
+                vals[o] = jnp.concatenate(parts, axis=axis)
+
+            elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+                xin = get(ins[0])
+                w = get_host(ins[1])  # CONV: [O,kh,kw,I]; DW: [1,kh,kw,C]
+                bias = get_host(ins[2]).astype(np.int64) if len(ins) > 2 and ins[2] >= 0 else 0
+                si, zi, _ = q_params(ins[0])
+                sw, _, _ = q_params(ins[1])
+                so, zo, _ = q_params(o)
+                in_zp = int(zi[0])
+                sh, swd = op.options["strides"]
+                dil = op.options.get("dilation", (1, 1))
+
+                if name == "CONV_2D":
+                    rhs = jnp.asarray(np.transpose(w, (1, 2, 3, 0)))  # HWIO
+                    groups = 1
+                    w_sum = w.astype(np.int64).sum(axis=(1, 2, 3))  # [O]
+                else:
+                    rhs = jnp.asarray(np.transpose(w, (1, 2, 0, 3)))  # [kh,kw,1,C]
+                    groups = xin.shape[-1]
+                    w_sum = w.astype(np.int64).sum(axis=(0, 1, 2))  # [C]
+
+                kh, kw = rhs.shape[0], rhs.shape[1]
+                if op.options["padding"] == "SAME":
+                    ph = _tf_same_pads(xin.shape[1], kh, sh, dil[0])
+                    pw = _tf_same_pads(xin.shape[2], kw, swd, dil[1])
+                    xin = jnp.pad(xin, ((0, 0), ph, pw, (0, 0)), constant_values=np.int8(in_zp))
+
+                acc = lax.conv_general_dilated(
+                    xin, rhs,
+                    window_strides=(sh, swd),
+                    padding="VALID",
+                    rhs_dilation=dil,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=groups,
+                    preferred_element_type=jnp.int32,
+                )
+                correction = (bias - in_zp * w_sum).astype(np.int64)
+                acc = acc + jnp.asarray(correction, jnp.int32)
+                mult = si[0] * sw.astype(np.float64) / so[0]  # [O] or [1]
+                lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
+                vals[o] = _requant_exact(acc, mult, int(zo[0]), lo, hi)
+
+            elif name == "FULLY_CONNECTED":
+                xin = get(ins[0])
+                w = get_host(ins[1])  # [out, in]
+                bias = get_host(ins[2]).astype(np.int64) if len(ins) > 2 and ins[2] >= 0 else 0
+                si, zi, _ = q_params(ins[0])
+                sw, _, _ = q_params(ins[1])
+                so, zo, _ = q_params(o)
+                acc = lax.dot_general(
+                    xin, jnp.asarray(w.T),
+                    dimension_numbers=(((xin.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                correction = (bias - int(zi[0]) * w.astype(np.int64).sum(axis=1)).astype(np.int64)
+                acc = acc + jnp.asarray(correction, jnp.int32)
+                mult = si[0] * sw.astype(np.float64) / so[0]  # per-channel or [1]
+                lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
+                vals[o] = _requant_exact(acc, mult, int(zo[0]), lo, hi)
+
+            elif name == "ADD":
+                # Exact TFLite int8 ADD: rescale both inputs to twice the max
+                # input scale at 20 fractional bits, integer-add, requantize.
+                a, b = get(ins[0]), get(ins[1])
+                sa, za, _ = q_params(ins[0])
+                sb, zb, _ = q_params(ins[1])
+                so, zo, _ = q_params(o)
+                left_shift = 20
+                twice_max = 2.0 * max(float(sa[0]), float(sb[0]))
+                qm_a = _quantize_multiplier(float(sa[0]) / twice_max)
+                qm_b = _quantize_multiplier(float(sb[0]) / twice_max)
+                qm_o = _quantize_multiplier(twice_max / ((1 << left_shift) * float(so[0])))
+                a32 = (a.astype(jnp.int32) - int(za[0])) << left_shift
+                b32 = (b.astype(jnp.int32) - int(zb[0])) << left_shift
+                raw = _mbqm(a32, *qm_a) + _mbqm(b32, *qm_b)
+                q = _mbqm(raw, *qm_o) + int(zo[0])
+                lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
+                vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
+
+            elif name == "MEAN":
+                # TFLite integer Mean kernel (verified against TF 2.21):
+                # acc = sum(q - zp_in); MBQM(acc, qmult(si / (num*so))) + zp_out.
+                axes = tuple(int(a) for a in get_host(ins[1]))
+                keep = op.options["keepdims"]
+                si, zi, _ = q_params(ins[0])
+                so, zo, _ = q_params(o)
+                xin = get(ins[0]).astype(jnp.int32)
+                num = int(np.prod([xin.shape[a] for a in axes]))
+                acc = jnp.sum(xin - int(zi[0]), axis=axes, keepdims=keep)
+                qm, sh = _quantize_multiplier(float(si[0]) / (num * float(so[0])))
+                q = _mbqm(acc, qm, sh) + int(zo[0])
+                vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+            elif name == "LOGISTIC":
+                si, zi, _ = q_params(ins[0])
+                so, zo, _ = q_params(o)
+                v = np.arange(-128, 128, dtype=np.float64)
+                f = 1.0 / (1.0 + np.exp(-(v - int(zi[0])) * float(si[0])))
+                lut = np.clip(np.sign(f / so[0]) * np.floor(np.abs(f / so[0]) + 0.5) + int(zo[0]), -128, 127).astype(np.int8)
+                idx = get(ins[0]).astype(jnp.int32) + 128
+                vals[o] = jnp.take(jnp.asarray(lut), idx)
+
+            else:
+                raise NotImplementedError(f"TFLite op {name} not supported")
+
+        if return_all:
+            return vals
+        return vals[graph.outputs[0]]
+
+    return executor
+
+
+def load_tflite_model(path, batch_size: int = 1):
+    """Parse a .tflite file and return (graph, jitted executor)."""
+    graph = TFLiteGraph(path)
+    fn = build_executor(graph, batch_size)
+    return graph, jax.jit(fn)

@@ -1,0 +1,121 @@
+"""Fake-quant / QAT / validation-metric tests (reference invariants)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+from birdnet_stm32_tpu.parallel.steps import TrainState
+from birdnet_stm32_tpu.quant.fake_quant import fake_quantize, fake_quantize_ste, quantize_params
+from birdnet_stm32_tpu.quant.qat import make_qat_train_step
+from birdnet_stm32_tpu.quant.validate import cosine_similarity, pearson_correlation
+from birdnet_stm32_tpu.training.losses import make_loss_fn
+
+
+def test_fake_quantize_roundtrip_error_bound(rng):
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    wq = fake_quantize(w, num_bits=8, per_channel=True, channel_axis=-1)
+    # max error <= half a quantization step per channel
+    step = (w.max(axis=(0, 1, 2)) - w.min(axis=(0, 1, 2))) / 255.0
+    err = jnp.abs(wq - w).max(axis=(0, 1, 2))
+    assert bool(jnp.all(err <= step * 0.5 + 1e-7))
+
+
+def test_fake_quantize_levels(rng):
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    wq = np.asarray(fake_quantize(w, per_channel=False))
+    assert len(np.unique(wq.round(7))) <= 256
+
+
+def test_per_channel_beats_per_tensor(rng):
+    w = rng.normal(size=(3, 3, 4, 8)).astype(np.float32)
+    w[..., 0] *= 100.0  # one huge-range channel
+    wj = jnp.asarray(w)
+    e_pc = float(jnp.abs(fake_quantize(wj, per_channel=True) - wj).mean())
+    e_pt = float(jnp.abs(fake_quantize(wj, per_channel=False) - wj).mean())
+    assert e_pc < e_pt
+
+
+def test_ste_gradient_identity(rng):
+    w = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+    g = jax.grad(lambda w: jnp.sum(fake_quantize_ste(w) ** 2))(w)
+    # d/dw sum(q(w)^2) with STE = 2*q(w)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(fake_quantize(w)), atol=1e-5)
+
+
+def test_quantize_params_skips_frontend_bias_bn():
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=3,
+                      audio_frontend="hybrid", mag_scale="pwl")
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    qp = quantize_params(variables["params"], ste=False)
+    # frontend untouched
+    np.testing.assert_array_equal(
+        np.asarray(qp["audio_frontend"]["mel_mixer"]),
+        np.asarray(variables["params"]["audio_frontend"]["mel_mixer"]),
+    )
+    # BN scale untouched; conv kernel quantized
+    np.testing.assert_array_equal(
+        np.asarray(qp["stem_bn"]["scale"]), np.asarray(variables["params"]["stem_bn"]["scale"])
+    )
+    assert not np.array_equal(
+        np.asarray(qp["stem_conv"]["kernel"]), np.asarray(variables["params"]["stem_conv"]["kernel"])
+    )
+    # pred bias untouched
+    np.testing.assert_array_equal(
+        np.asarray(qp["pred"]["bias"]), np.asarray(variables["params"]["pred"]["bias"])
+    )
+
+
+def test_qat_step_trains_and_freezes_bn(rng):
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=3,
+                      audio_frontend="librosa", mag_scale="none")
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    tx = optax.adam(1e-4)
+    state = TrainState.create(variables, tx)
+    step = make_qat_train_step(model, tx, make_loss_fn(multilabel=True), donate=False)
+
+    x = jnp.asarray(rng.uniform(0, 1, (8, *cfg.input_shape())).astype(np.float32))
+    y = jnp.asarray(np.eye(3, dtype=np.float32)[rng.integers(0, 3, 8)])
+    stats_before = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    losses = []
+    for i in range(4):
+        state, m = step(state, x, y, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    # BN running stats unchanged (frozen)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(stats_before)[0],
+        jax.tree_util.tree_flatten_with_path(state.batch_stats)[0],
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # kernels did move
+    assert not np.array_equal(
+        np.asarray(variables["params"]["stem_conv"]["kernel"]),
+        np.asarray(state.params["stem_conv"]["kernel"]),
+    )
+
+
+def test_cosine_similarity_edge_cases():
+    z = np.zeros(10)
+    v = np.ones(10)
+    assert cosine_similarity(z, z) == 1.0
+    assert cosine_similarity(z, v) == 0.0
+    assert cosine_similarity(v, v) == pytest.approx(1.0)
+    assert cosine_similarity(v, -v) == pytest.approx(-1.0)
+
+
+def test_pearson_edge_cases():
+    z = np.zeros(10)
+    c = np.full(10, 3.0)  # constant, zero variance
+    x = np.arange(10.0)
+    assert pearson_correlation(z, c) == 1.0
+    assert pearson_correlation(c, x) == 0.0
+    assert pearson_correlation(x, 2 * x + 1) == pytest.approx(1.0)
