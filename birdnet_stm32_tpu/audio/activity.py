@@ -1,0 +1,138 @@
+"""Activity detection, smart cropping, and SNR-style sample ranking.
+
+Behavioral parity with reference audio/activity.py:12-271. These run on the
+host inside data-loader workers (they operate on variable-length recordings
+before batching, where static-shape device code buys nothing); the vectorized
+short-time-energy implementation replaces the reference's per-frame loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def short_time_energy(audio: np.ndarray, frame_length: int = 1024, hop_length: int = 512) -> np.ndarray:
+    """Per-frame mean-square energy (reference activity.py:12-30), vectorized."""
+    n = audio.shape[0]
+    n_frames = max(1, 1 + (n - frame_length) // hop_length)
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
+    idx = np.minimum(idx, max(n - 1, 0))
+    frames = audio[idx]
+    # Frames that run past the end are shorter in the reference (mean over
+    # fewer samples); replicate by masking the out-of-range tail.
+    valid = (np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]) < n
+    counts = valid.sum(axis=1).clip(min=1)
+    return ((frames**2) * valid).sum(axis=1).astype(np.float32) / counts
+
+
+def smart_crop(
+    audio: np.ndarray,
+    sample_rate: int,
+    chunk_duration: float,
+    max_chunks: int = 5,
+    energy_percentile: float = 75.0,
+) -> list[np.ndarray]:
+    """Extract the most salient chunks from a long recording.
+
+    STE percentile threshold -> contiguous active regions -> one chunk
+    centered on each region's energy peak -> dedup by half-chunk distance ->
+    energy-ranked top max_chunks (reference activity.py:33-129).
+    """
+    chunk_size = int(sample_rate * chunk_duration)
+    n = audio.shape[0]
+    if n <= chunk_size:
+        return [np.pad(audio, (0, max(0, chunk_size - n)))[:chunk_size].astype(np.float32)]
+
+    frame_len = min(1024, chunk_size // 4)
+    hop = frame_len // 2
+    ste = short_time_energy(audio, frame_length=frame_len, hop_length=hop)
+
+    if ste.max() < 1e-10:
+        mid = n // 2
+        start = max(0, mid - chunk_size // 2)
+        return [audio[start : start + chunk_size].astype(np.float32)]
+
+    above = ste >= np.percentile(ste, energy_percentile)
+    # Contiguous region boundaries via diff of the boolean mask.
+    padded = np.concatenate([[False], above, [False]])
+    edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
+    regions = list(zip(edges[0::2], edges[1::2]))
+    if not regions:
+        mid = n // 2
+        start = max(0, mid - chunk_size // 2)
+        return [audio[start : start + chunk_size].astype(np.float32)]
+
+    candidates = []
+    for rs, re in regions:
+        peak_frame = rs + int(np.argmax(ste[rs:re]))
+        peak_sample = peak_frame * hop
+        start = max(0, min(peak_sample - chunk_size // 2, n - chunk_size))
+        candidates.append((float(ste[peak_frame]), start))
+
+    candidates.sort(key=lambda c: c[0], reverse=True)
+    selected: list[int] = []
+    for _e, start in candidates:
+        if any(abs(start - s) < chunk_size // 2 for s in selected):
+            continue
+        selected.append(start)
+        if len(selected) >= max_chunks:
+            break
+    chunks = [audio[s : s + chunk_size].astype(np.float32) for s in selected]
+    return chunks if chunks else [audio[:chunk_size].astype(np.float32)]
+
+
+def get_s2n(x: np.ndarray) -> float:
+    """mean/std SNR proxy (reference activity.py:132-157)."""
+    return float(np.mean(x) / (np.std(x) + 1e-10))
+
+
+def sort_by_s2n(samples: list[np.ndarray], threshold: float = 0.1) -> list[np.ndarray]:
+    """Sort by normalized SNR proxy, filter below threshold, keep >= 1
+    (reference activity.py:160-185)."""
+    values = np.array([get_s2n(s) for s in samples])
+    values = values / (values.max() + 1e-10)
+    order = np.argsort(values)[::-1]
+    kept = [samples[i] for i in order if values[i] >= threshold]
+    return kept if kept else [samples[order[0]]]
+
+
+def get_activity_ratio(x: np.ndarray, k: float = 2.0, max_active: float = 0.8,
+                       subsample: int = 512) -> float:
+    """Fraction of units above median + k*MAD, zeroed when broadband
+    (reference activity.py:188-214)."""
+    x = np.abs(x)
+    flat = x.ravel()
+    if flat.size > subsample:
+        flat = flat[np.linspace(0, flat.size - 1, subsample, dtype=int)]
+    med = np.median(flat)
+    mad = np.median(np.abs(flat - med)) + 1e-10
+    ratio = float(np.count_nonzero(x > med + k * mad)) / float(x.size)
+    return 0.0 if ratio > max_active else ratio
+
+
+def sort_by_activity(samples: list[np.ndarray], threshold: float = 0.25) -> list[np.ndarray]:
+    """Sort by activity ratio, filter, keep >= 1 (reference activity.py:217-233)."""
+    activity = np.array([get_activity_ratio(s) for s in samples])
+    order = np.argsort(activity)[::-1]
+    kept = [samples[i] for i in order if activity[i] >= threshold]
+    return kept if kept else [samples[order[0]]]
+
+
+def pick_random_samples(samples: list, num_samples: int = 1, pick_first: bool = False,
+                        rng: np.random.Generator | None = None):
+    """Random selection with optional always-include-first
+    (reference activity.py:236-271)."""
+    rng = rng or np.random.default_rng()
+    if len(samples) == 0:
+        return []
+    num_samples = min(num_samples, len(samples))
+    if pick_first:
+        if num_samples == 1:
+            return samples[0]
+        rest = min(num_samples - 1, len(samples) - 1)
+        if rest > 0:
+            idx = rng.choice(len(samples) - 1, size=rest, replace=False) + 1
+            return [samples[0]] + [samples[i] for i in idx]
+        return [samples[0]]
+    idx = rng.choice(len(samples), size=num_samples, replace=False)
+    return [samples[i] for i in idx] if num_samples > 1 else samples[idx[0]]

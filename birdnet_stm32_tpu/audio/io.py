@@ -1,0 +1,224 @@
+"""Audio file loading, resampling, chunking, and saving.
+
+Behavioral parity with reference audio/io.py:14-224 (windowed reads with
+random offset, peak normalization, polyphase resampling, overlap-aware
+chunking with a zero-padded tail) — without libsndfile: this environment has
+no soundfile, so WAV decoding is a direct RIFF reader (mirroring the
+firmware's wav_reader.c:17-129 semantics: chunk walker, PCM->float32, mono
+downmix) built on numpy memmaps for cheap windowed access.
+
+Supported formats: PCM 8/16/24/32-bit and float32/float64 WAV. Any decode
+error returns an empty array (crash-tolerant loading, generator.py:49-103).
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from dataclasses import dataclass
+from math import gcd
+from pathlib import Path
+
+import numpy as np
+from scipy.signal import resample_poly
+
+
+@dataclass
+class WavInfo:
+    """Parsed RIFF header: enough to do windowed reads."""
+
+    path: str
+    sample_rate: int
+    channels: int
+    bits: int
+    audio_format: int  # 1 = PCM, 3 = IEEE float
+    data_offset: int
+    data_bytes: int
+
+    @property
+    def frames(self) -> int:
+        bytes_per_frame = self.channels * (self.bits // 8)
+        return self.data_bytes // bytes_per_frame if bytes_per_frame else 0
+
+    @property
+    def duration(self) -> float:
+        return self.frames / float(self.sample_rate) if self.sample_rate else 0.0
+
+
+def wav_info(path: str | Path) -> WavInfo:
+    """Walk RIFF chunks to locate fmt/data (firmware wav_reader.c parity)."""
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        fmt = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                body = f.read(size)
+                audio_format, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if audio_format == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                    audio_format = struct.unpack("<H", body[24:26])[0]
+                fmt = (audio_format, channels, rate, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError(f"data chunk before fmt in {path}")
+                return WavInfo(str(path), fmt[2], fmt[1], fmt[3], fmt[0], f.tell(), size)
+            else:
+                f.seek(size + (size & 1), 1)
+        raise ValueError(f"no data chunk in {path}")
+
+
+def _decode_frames(info: WavInfo, start_frame: int, n_frames: int) -> np.ndarray:
+    """Read and decode [n_frames, channels] float32 in [-1, 1]."""
+    bytes_per_sample = info.bits // 8
+    bytes_per_frame = bytes_per_sample * info.channels
+    n_frames = max(0, min(n_frames, info.frames - start_frame))
+    if n_frames <= 0:
+        return np.empty((0, info.channels), np.float32)
+    offset = info.data_offset + start_frame * bytes_per_frame
+    raw = np.memmap(info.path, dtype=np.uint8, mode="r",
+                    offset=offset, shape=(n_frames * bytes_per_frame,))
+    if info.audio_format == 3:  # IEEE float
+        dt = np.float32 if info.bits == 32 else np.float64
+        y = np.frombuffer(raw, dtype=dt).astype(np.float32)
+    elif info.bits == 16:
+        y = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif info.bits == 32:
+        y = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif info.bits == 8:
+        y = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif info.bits == 24:
+        b = raw.reshape(-1, 3).astype(np.uint32)
+        v = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int32)
+        v = (v << 8) >> 8  # sign extend
+        y = v.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported WAV bits={info.bits} format={info.audio_format}")
+    return y.reshape(n_frames, info.channels)
+
+
+def fast_resample(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resampling (reference io.py:14-30)."""
+    if sr_in == sr_out:
+        return y.astype(np.float32, copy=False)
+    g = gcd(sr_in, sr_out)
+    return resample_poly(y, sr_out // g, sr_in // g).astype(np.float32, copy=False)
+
+
+def estimate_num_chunks(num_samples: int, sample_rate: int, chunk_duration: float,
+                        chunk_overlap: float = 0.0) -> int:
+    """Chunk count that split_audio_into_chunks would emit (io.py:33-60)."""
+    chunk_size = int(sample_rate * chunk_duration)
+    if num_samples <= 0 or chunk_size <= 0:
+        return 0
+    if num_samples <= chunk_size:
+        return 1
+    max_overlap = max(0.0, min(chunk_overlap, chunk_duration - 0.1))
+    step = max(1, int(sample_rate * (chunk_duration - max_overlap)))
+    n_full = 1 + max(0, (num_samples - chunk_size) // step)
+    has_tail = (num_samples - chunk_size) % step != 0
+    return int(n_full + int(has_tail))
+
+
+def load_audio_window(
+    path: str | Path,
+    sample_rate: int = 24000,
+    max_duration: float | None = 30,
+    chunk_duration: float = 3.0,
+    random_offset: bool = False,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """One contiguous mono window: read -> downmix -> resample -> peak-norm.
+
+    Mirrors reference io.py:63-130 (including the random-offset policy and
+    returning an empty array on any error).
+    """
+    try:
+        info = wav_info(path)
+        if info.frames <= 0 or info.sample_rate <= 0:
+            return np.empty((0,), np.float32)
+        sr0 = info.sample_rate
+        total_duration = info.duration
+        read_duration = (
+            min(float(max_duration), total_duration) if max_duration and max_duration > 0 else total_duration
+        )
+        offset_sec = 0.0
+        if random_offset:
+            max_start = max(0.0, total_duration - max(chunk_duration, read_duration))
+            if max_start > 0:
+                r = rng.uniform(0.0, max_start) if rng is not None else np.random.uniform(0.0, max_start)
+                offset_sec = float(r)
+        start = min(int(offset_sec * sr0), info.frames)
+        n = int(min(info.frames - start, read_duration * sr0))
+        if n <= 0:
+            return np.empty((0,), np.float32)
+        y = _decode_frames(info, start, n)
+        if y.size == 0:
+            return np.empty((0,), np.float32)
+        y = y.mean(axis=1).astype(np.float32, copy=False)
+        if sr0 != sample_rate:
+            y = fast_resample(y, sr0, sample_rate)
+        peak = float(np.max(np.abs(y))) if y.size else 0.0
+        if peak > 0.0:
+            y = y / peak
+        return y.astype(np.float32, copy=False)
+    except Exception:
+        return np.empty((0,), np.float32)
+
+
+def split_audio_into_chunks(
+    audio: np.ndarray,
+    sample_rate: int = 24000,
+    chunk_duration: float = 3.0,
+    chunk_overlap: float = 0.0,
+) -> np.ndarray:
+    """[T] -> [num_chunks, chunk_size]; short input is zero-padded once;
+    a shifted tail chunk covers the remainder (reference io.py:133-174)."""
+    chunk_size = int(sample_rate * chunk_duration)
+    if audio.size == 0 or chunk_size <= 0:
+        return np.empty((0, max(chunk_size, 0)), np.float32)
+    y = np.asarray(audio, np.float32).reshape(-1)
+    if y.shape[0] <= chunk_size:
+        return np.pad(y, (0, chunk_size - y.shape[0]))[None, :]
+    max_overlap = max(0.0, min(chunk_overlap, chunk_duration - 0.1))
+    step = max(1, int(sample_rate * (chunk_duration - max_overlap)))
+    starts = np.arange(0, y.shape[0] - chunk_size + 1, step, dtype=np.int64)
+    if starts.size == 0 or starts[-1] + chunk_size < y.shape[0]:
+        starts = np.append(starts, y.shape[0] - chunk_size)
+    return np.stack([y[s : s + chunk_size] for s in starts])
+
+
+def load_audio_file(
+    path: str | Path,
+    sample_rate: int = 24000,
+    max_duration: float = 30,
+    chunk_duration: float = 3.0,
+    chunk_overlap: float = 0.0,
+    random_offset: bool = False,
+) -> np.ndarray:
+    """Load + resample + normalize + chunk (reference io.py:177-213)."""
+    audio = load_audio_window(
+        path, sample_rate=sample_rate, max_duration=max_duration,
+        chunk_duration=chunk_duration, random_offset=random_offset,
+    )
+    if audio.size == 0:
+        return np.empty((0, int(sample_rate * chunk_duration)), np.float32)
+    return split_audio_into_chunks(
+        audio, sample_rate=sample_rate, chunk_duration=chunk_duration, chunk_overlap=chunk_overlap
+    )
+
+
+def save_wav(audio: np.ndarray, path: str | Path, sample_rate: int = 24000) -> None:
+    """Write mono float32 [-1,1] as 16-bit PCM WAV."""
+    y = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    pcm = (y * 32767.0).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())

@@ -1,0 +1,247 @@
+"""Host-parallel input pipeline feeding device-side feature computation.
+
+Re-design of reference data/generator.py:29-421. The reference's workers do
+decode -> resample -> smart-crop -> **librosa spectrogram -> SpecAugment**
+and ship pickled features; mixup then runs per-batch in numpy behind a
+tf.py_function. On TPU the feature computation belongs on the device (one
+fused jitted STFT->mel->scale over the whole batch, see ops/), so workers
+here stop at **waveform chunks**:
+
+    worker:  decode WAV -> resample -> peak-norm -> smart-crop/split ->
+             activity-rank -> top-K waveform chunks
+    host:    shuffled reservoir with bounded in-flight dispatch
+    device:  waveform batch -> frontend features -> SpecAugment -> mixup
+             (make_train_batcher, all inside one jit)
+
+Kept reference behaviors: crash-tolerant loads (failed decode = random-noise
+chunk with all-zero label, generator.py:101-103), candidate smart-crop
+policy (generator.py:106-110), activity sort with keep-at-least-one, bounded
+in-flight windows with a live `loader_control` dict (generator.py:359-372),
+SIGINT-ignoring workers with maxtasksperchild=100, reservoir shuffling, and
+infinite epochs.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import signal
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+
+from birdnet_stm32_tpu.audio.activity import get_activity_ratio, smart_crop
+from birdnet_stm32_tpu.audio.io import estimate_num_chunks, load_audio_window, split_audio_into_chunks
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.data.augment import apply_mixup, apply_spec_augment
+from birdnet_stm32_tpu.ops.frontend import waveform_to_input
+
+
+@dataclass
+class LoaderConfig:
+    """Picklable worker configuration (generator.py:302-324 analog)."""
+
+    sample_rate: int = 24000
+    chunk_duration: float = 3.0
+    num_classes: int = 0
+    max_chunks_per_file: int = 2
+    candidate_chunks_per_file: int | None = None
+    snr_threshold: float = 0.25
+    random_offset: bool = True
+    load_duration: float | None = 30.0
+    seed: int = 0
+
+    def resolved_candidates(self) -> int:
+        if self.candidate_chunks_per_file is not None:
+            return self.candidate_chunks_per_file
+        return min(8, max(4, self.max_chunks_per_file * 2))
+
+
+def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
+    """Worker: one file -> list of (waveform chunk [T], label [C]).
+
+    Failed loads return one random-noise chunk with an all-zero label.
+    """
+    path, label, cfg, salt = task
+    rng = np.random.default_rng((cfg.seed + salt) & 0xFFFFFFFF)
+    T = int(cfg.sample_rate * cfg.chunk_duration)
+    try:
+        audio = load_audio_window(
+            path, sample_rate=cfg.sample_rate, max_duration=cfg.load_duration,
+            chunk_duration=cfg.chunk_duration, random_offset=cfg.random_offset, rng=rng,
+        )
+    except Exception:
+        return None
+
+    if audio.size == 0:
+        chunk = rng.uniform(-1.0, 1.0, T).astype(np.float32)
+        return [(chunk, np.zeros(cfg.num_classes, np.float32))]
+
+    n_candidates = cfg.resolved_candidates()
+    if estimate_num_chunks(audio.shape[0], cfg.sample_rate, cfg.chunk_duration) > n_candidates:
+        chunks = smart_crop(audio, cfg.sample_rate, cfg.chunk_duration, max_chunks=n_candidates)
+    else:
+        chunks = list(split_audio_into_chunks(audio, cfg.sample_rate, cfg.chunk_duration))
+    if not chunks:
+        return None
+
+    # Activity-rank (keep at least one), take the top max_chunks.
+    activity = np.array([get_activity_ratio(c) for c in chunks])
+    order = np.argsort(activity)[::-1]
+    kept = [chunks[i] for i in order if activity[i] >= cfg.snr_threshold] or [chunks[order[0]]]
+    selected = kept[: cfg.max_chunks_per_file]
+
+    out = []
+    for c in selected:
+        x = c[:T]
+        if x.shape[0] < T:
+            x = np.pad(x, (0, T - x.shape[0]))
+        out.append((x.astype(np.float32), label.astype(np.float32)))
+    return out
+
+
+def _worker_init():
+    signal.signal(signal.SIGINT, signal.SIG_IGN)
+
+
+@dataclass
+class AudioLoader:
+    """Shuffled-reservoir batch iterator over a process pool.
+
+    Yields (waveform [B, T] float32, labels [B, C] float32) numpy batches.
+    """
+
+    paths: list[str]
+    labels: np.ndarray  # [N, C]
+    cfg: LoaderConfig
+    batch_size: int = 32
+    num_workers: int = 4
+    shuffle: bool = True
+    infinite: bool = True
+    reservoir_size: int = 1024
+    loader_control: dict = field(default_factory=lambda: {"max_inflight_files": 64})
+
+    def __post_init__(self):
+        assert len(self.paths) == len(self.labels)
+        self._rng = np.random.default_rng(self.cfg.seed)
+
+    def estimate_samples_per_epoch(self) -> int:
+        """Files x avg chunks estimate (generator.py:188-218 analog)."""
+        return len(self.paths) * max(1, self.cfg.max_chunks_per_file // 2)
+
+    def __iter__(self):
+        T = int(self.cfg.sample_rate * self.cfg.chunk_duration)
+        C = self.labels.shape[1]
+        reservoir: list[tuple[np.ndarray, np.ndarray]] = []
+        low_mark = max(self.batch_size * 2, min(self.reservoir_size // 2, 4 * self.batch_size))
+
+        def task_stream():
+            epoch = 0
+            while True:
+                order = np.arange(len(self.paths))
+                if self.shuffle:
+                    self._rng.shuffle(order)
+                for i in order:
+                    yield (self.paths[i], self.labels[i], self.cfg, epoch * len(self.paths) + int(i))
+                epoch += 1
+                if not self.infinite:
+                    return
+
+        def drain_batch():
+            idx = self._rng.permutation(len(reservoir))[: self.batch_size]
+            idx_set = set(idx.tolist())
+            batch = [reservoir[i] for i in idx]
+            remaining = [s for i, s in enumerate(reservoir) if i not in idx_set]
+            reservoir.clear()
+            reservoir.extend(remaining)
+            x = np.stack([b[0] for b in batch])
+            y = np.stack([b[1] for b in batch])
+            return x, y
+
+        tasks = task_stream()
+        if self.num_workers <= 0:
+            # Single-process fallback (generator.py single-process path).
+            for task in tasks:
+                result = process_file(task)
+                if result:
+                    reservoir.extend(result)
+                while len(reservoir) >= max(low_mark, self.batch_size):
+                    yield drain_batch()
+            while len(reservoir) >= self.batch_size:
+                yield drain_batch()
+            return
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(self.num_workers, initializer=_worker_init, maxtasksperchild=100) as pool:
+            try:
+                pending = []
+                exhausted = False
+                while True:
+                    max_inflight = int(self.loader_control.get("max_inflight_files", 64))
+                    while not exhausted and len(pending) < max_inflight:
+                        try:
+                            pending.append(pool.apply_async(process_file, (next(tasks),)))
+                        except StopIteration:
+                            exhausted = True
+                    if not pending:
+                        break
+                    done, still = [], []
+                    for p in pending:
+                        (done if p.ready() else still).append(p)
+                    if not done:
+                        pending[0].wait(0.05)
+                        continue
+                    pending = still
+                    for p in done:
+                        result = p.get()
+                        if result:
+                            reservoir.extend(result)
+                    while len(reservoir) >= max(low_mark, self.batch_size):
+                        yield drain_batch()
+                while len(reservoir) >= self.batch_size:
+                    yield drain_batch()
+            finally:
+                pool.terminate()
+
+
+def make_train_batcher(
+    cfg: ModelConfig,
+    spec_augment: bool = True,
+    mixup_alpha: float = 0.2,
+    mixup_probability: float = 0.25,
+    label_smoothing: float = 0.0,
+    freq_mask_max: int = 8,
+    time_mask_max: int = 25,
+):
+    """Jitted device transform: waveform batch -> (model inputs, labels).
+
+    Fuses frontend feature extraction, SpecAugment, and Dirichlet mixup into
+    one XLA computation (replaces the reference's worker-side librosa +
+    tf.py_function mixup, generator.py:115-175 + 397-421).
+    """
+
+    @partial(jax.jit)
+    def batcher(key, wave, labels):
+        x = waveform_to_input(
+            wave,
+            audio_frontend=cfg.audio_frontend,
+            sample_rate=cfg.sample_rate,
+            n_fft=cfg.fft_length,
+            mel_bins=cfg.num_mels,
+            spec_width=cfg.spec_width,
+            mag_scale=cfg.mag_scale,
+            n_mfcc=cfg.n_mfcc,
+            chunk_samples=cfg.chunk_samples,
+        )
+        k1, k2 = jax.random.split(key)
+        if spec_augment and cfg.audio_frontend != "raw":
+            x = apply_spec_augment(k1, x, freq_mask_max=freq_mask_max, time_mask_max=time_mask_max)
+        x, labels = apply_mixup(
+            k2, x, labels, alpha=mixup_alpha, probability=mixup_probability,
+            label_smoothing=label_smoothing,
+        )
+        return x, labels
+
+    return batcher

@@ -47,3 +47,33 @@ def sine_wave():
 def noise_wave(rng):
     sr = 22050
     return rng.uniform(-0.8, 0.8, int(sr * 3.0)).astype(np.float32), sr
+
+
+@pytest.fixture
+def wav_dataset(tmp_path):
+    """Tiny class-structured WAV dataset: sine/chirp/noise classes
+    (reference tests/fixtures/generate_fixtures.py:17-72 analog)."""
+    from birdnet_stm32_tpu.audio.io import save_wav
+
+    sr = 16000
+    gen = np.random.default_rng(0)
+    t = np.arange(int(sr * 2.0)) / sr
+
+    def sine(f):
+        return (0.6 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    def chirp(f0, f1):
+        return (0.6 * np.sin(2 * np.pi * (f0 * t + (f1 - f0) / 2 * t**2 / t[-1]))).astype(np.float32)
+
+    classes = {
+        "bird_a": [sine(1200 + 50 * i) for i in range(4)],
+        "bird_b": [chirp(800 + 100 * i, 3000) for i in range(3)],
+        "noise": [gen.normal(0, 0.2, len(t)).astype(np.float32) for _ in range(2)],
+    }
+    root = tmp_path / "data"
+    for cls, waves in classes.items():
+        d = root / cls
+        d.mkdir(parents=True)
+        for i, w in enumerate(waves):
+            save_wav(w, d / f"{cls}_{i}.wav", sr)
+    return root, sr
