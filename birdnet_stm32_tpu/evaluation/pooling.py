@@ -1,0 +1,70 @@
+"""Chunk-to-file score pooling: average, max, log-mean-exp.
+
+Parity with reference evaluation/pooling.py:6-47, plus a batched segment
+variant so a whole evaluation's chunk scores pool on device in one shot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+POOLING_METHODS = ("avg", "mean", "average", "max", "lme", "log_mean_exp", "log_mean_exponential")
+
+
+def lme_pooling(scores: np.ndarray, beta: float = 10.0) -> np.ndarray:
+    """log(mean(exp(beta*s)))/beta with max-subtraction stability.
+
+    beta->0 approaches mean, beta->inf approaches max.
+    """
+    if scores.size == 0:
+        return scores
+    m = np.max(beta * scores, axis=0, keepdims=True)
+    lme = m + np.log(np.mean(np.exp(beta * scores - m), axis=0, keepdims=True) + 1e-12)
+    return (lme / beta).ravel()
+
+
+def pool_scores(chunk_scores: np.ndarray, method: str = "average", beta: float = 10.0) -> np.ndarray:
+    """[N_chunks, C] -> [C] file-level scores."""
+    method = method.lower()
+    if chunk_scores.ndim != 2:
+        raise ValueError("chunk_scores must be [N_chunks, C]")
+    if chunk_scores.shape[0] == 0:
+        return np.zeros((chunk_scores.shape[1],), np.float32)
+    if method in ("avg", "mean", "average"):
+        return np.mean(chunk_scores, axis=0)
+    if method == "max":
+        return np.max(chunk_scores, axis=0)
+    if method in ("lme", "log_mean_exp", "log_mean_exponential"):
+        return lme_pooling(chunk_scores, beta=beta)
+    raise ValueError(f"Unsupported pooling method: {method}")
+
+
+def segment_pool(
+    chunk_scores: jax.Array,
+    file_ids: jax.Array,
+    num_files: int,
+    method: str = "average",
+    beta: float = 10.0,
+) -> jax.Array:
+    """Pool [N, C] chunk scores into [num_files, C] by file id, on device.
+
+    TPU-first evaluation pools every file at once with segment reductions
+    instead of the reference's per-file Python loop (metrics.py:75-147).
+    """
+    method = method.lower()
+    counts = jax.ops.segment_sum(jnp.ones_like(chunk_scores[:, :1]), file_ids, num_files)
+    counts = jnp.maximum(counts, 1.0)
+    if method in ("avg", "mean", "average"):
+        sums = jax.ops.segment_sum(chunk_scores, file_ids, num_files)
+        return sums / counts
+    if method == "max":
+        return jax.ops.segment_max(chunk_scores, file_ids, num_files)
+    if method in ("lme", "log_mean_exp", "log_mean_exponential"):
+        m = jax.ops.segment_max(beta * chunk_scores, file_ids, num_files)
+        shifted = jnp.exp(beta * chunk_scores - m[file_ids])
+        mean = jax.ops.segment_sum(shifted, file_ids, num_files) / counts
+        return (m + jnp.log(mean + 1e-12)) / beta
+    raise ValueError(f"Unsupported pooling method: {method}")

@@ -1,0 +1,207 @@
+"""Training loop: cosine LR, early stopping, best-checkpointing, resume.
+
+Functional parity with reference training/trainer.py:42-257 (model.fit with
+EarlyStopping/ModelCheckpoint/_SaveTrainState/_CSVHistoryLogger callbacks),
+driven by the pjit data-parallel step from parallel/steps.py. Validation
+reports loss + macro ROC-AUC (Keras AUC(multi_label=True) analog).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+from birdnet_stm32_tpu.parallel.steps import TrainState, make_eval_step, make_train_step
+from birdnet_stm32_tpu.training import checkpoint as ckpt
+from birdnet_stm32_tpu.training.losses import make_loss_fn
+from birdnet_stm32_tpu.training.optimizer import build_optimizer, cosine_schedule
+from birdnet_stm32_tpu.utils.logging import info, ok, warn
+
+
+def macro_roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """Macro ROC-AUC over labels with both classes present (Keras
+    AUC(multi_label=True) analog; degenerate columns are skipped)."""
+    from sklearn.metrics import roc_auc_score
+
+    aucs = []
+    for c in range(y_true.shape[1]):
+        col = y_true[:, c]
+        if 0 < col.sum() < len(col):
+            aucs.append(roc_auc_score(col, y_score[:, c]))
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
+@dataclass
+class AdaptiveLoaderTuner:
+    """Hill-climbs the loader's max_inflight_files against step throughput
+    (reference cli/train.py:41-123, sans the RAM watermark — reservoirs here
+    hold waveforms, not spectrograms)."""
+
+    loader_control: dict
+    measure_every: int = 200
+    step_lo: int = 16
+    step_hi: int = 256
+    _t0: float = field(default_factory=time.perf_counter)
+    _count: int = 0
+    _last_rate: float = 0.0
+    _direction: int = 1
+
+    def on_step(self) -> None:
+        self._count += 1
+        if self._count % self.measure_every:
+            return
+        now = time.perf_counter()
+        rate = self.measure_every / (now - self._t0)
+        self._t0 = now
+        if self._last_rate and rate < self._last_rate * 0.98:
+            self._direction = -self._direction
+        cur = int(self.loader_control.get("max_inflight_files", 64))
+        new = int(np.clip(cur + self._direction * 16, self.step_lo, self.step_hi))
+        self.loader_control["max_inflight_files"] = new
+        self._last_rate = rate
+
+
+def train_model(
+    model,
+    variables: dict,
+    cfg: ModelConfig,
+    train_batches: Iterator[tuple[np.ndarray, np.ndarray]],
+    val_batches: Callable[[], Iterable[tuple[np.ndarray, np.ndarray]]],
+    run_dir: str | Path,
+    epochs: int = 50,
+    steps_per_epoch: int = 100,
+    learning_rate: float = 1e-3,
+    optimizer: str = "adam",
+    weight_decay: float = 0.0,
+    gradient_clip_norm: float = 1.0,
+    patience: int = 10,
+    multilabel: bool = False,
+    focal_gamma: float | None = None,
+    label_smoothing: float = 0.0,
+    class_weights: np.ndarray | None = None,
+    batcher=None,
+    mesh=None,
+    resume: bool = False,
+    seed: int = 0,
+    loader_tuner: AdaptiveLoaderTuner | None = None,
+    qat: bool = False,
+) -> tuple[dict, list[dict]]:
+    """Run the full training loop.
+
+    Args:
+        model: DSCNN built with class_activation='none'.
+        variables: Initial {params, batch_stats}.
+        cfg: Model config (saved as the run's sidecar).
+        train_batches: Infinite iterator of (waveform [B,T], labels [B,C]).
+        val_batches: Zero-arg callable returning a finite iterable of the same.
+        run_dir: Output directory (checkpoint + sidecars).
+        batcher: Optional jitted device transform (key, wave, labels) ->
+            (model inputs, labels); defaults to plain feature extraction.
+        qat: Use the QAT step (STE fake-quant, frozen BN).
+        Other args mirror the reference trainer's surface.
+
+    Returns:
+        (best variables, history list of per-epoch metric dicts).
+    """
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    initial_epoch = 0
+    if resume and (run_dir / "best").exists():
+        info("resume", f"loading checkpoint from {run_dir}")
+        _, variables, _ = ckpt.load_checkpoint(run_dir, class_activation="none")
+        initial_epoch = int(ckpt.load_train_state(run_dir).get("epoch", 0))
+        info("resume", f"resuming from epoch {initial_epoch}")
+
+    schedule = cosine_schedule(learning_rate, epochs, steps_per_epoch)
+    tx = build_optimizer(optimizer, schedule, weight_decay, gradient_clip_norm)
+    loss_fn = make_loss_fn(
+        multilabel=multilabel, focal_gamma=focal_gamma,
+        label_smoothing=label_smoothing, class_weights=class_weights,
+    )
+
+    if qat:
+        from birdnet_stm32_tpu.quant.qat import make_qat_train_step
+
+        step_fn = make_qat_train_step(model, tx, loss_fn, mesh=mesh)
+    else:
+        step_fn = make_train_step(
+            model, tx, loss_fn, mesh=mesh, frontend_trainable=cfg.frontend_trainable
+        )
+    eval_fn = make_eval_step(model, loss_fn, mesh=mesh,
+                             activation="sigmoid" if multilabel else "softmax")
+    state = TrainState.create(variables, tx)
+    if mesh is not None:
+        from birdnet_stm32_tpu.parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+
+    if batcher is None:
+        def batcher(key, wave, labels):  # noqa: ANN001
+            return inputs_for_config(jnp.asarray(wave), cfg), jnp.asarray(labels)
+
+    root_key = jax.random.key(seed)
+    history: list[dict] = []
+    best_val = float("inf")
+    best_variables = variables
+    bad_epochs = 0
+
+    for epoch in range(initial_epoch, epochs):
+        t0 = time.perf_counter()
+        train_losses = []
+        for _ in range(steps_per_epoch):
+            wave, labels = next(train_batches)
+            bkey = jax.random.fold_in(root_key, int(state.step))
+            x, y = batcher(bkey, jnp.asarray(wave), jnp.asarray(labels))
+            state, metrics = step_fn(state, x, y, root_key)
+            train_losses.append(metrics["loss"])
+            if loader_tuner is not None:
+                loader_tuner.on_step()
+
+        val_losses, y_true, y_score = [], [], []
+        for wave, labels in val_batches():
+            x = inputs_for_config(jnp.asarray(wave), cfg)
+            y = jnp.asarray(labels)
+            loss, scores = eval_fn(state, x, y)
+            val_losses.append(float(loss))
+            y_true.append(np.asarray(labels))
+            y_score.append(np.asarray(scores))
+
+        train_loss = float(np.mean([float(x) for x in train_losses]))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        auc = macro_roc_auc(np.concatenate(y_true), np.concatenate(y_score)) if y_true else float("nan")
+        epoch_metrics = {
+            "loss": train_loss,
+            "val_loss": val_loss,
+            "val_roc_auc": auc,
+            "seconds": time.perf_counter() - t0,
+        }
+        history.append(epoch_metrics)
+        ckpt.append_history_csv(run_dir, epoch + 1, epoch_metrics)
+        ckpt.save_train_state(run_dir, epoch + 1, multilabel=multilabel)
+        info("train", f"epoch {epoch + 1}/{epochs} loss={train_loss:.4f} "
+                      f"val_loss={val_loss:.4f} val_auc={auc:.4f}")
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_variables = jax.device_get(state.variables())
+            ckpt.save_checkpoint(run_dir, best_variables, cfg)
+            ok("train", f"new best val_loss={val_loss:.4f}, checkpoint saved")
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+            if bad_epochs >= patience:
+                warn("train", f"early stopping after {patience} stale epochs")
+                break
+
+    ckpt.save_training_curves(run_dir, history)
+    return best_variables, history

@@ -1,0 +1,130 @@
+"""Trainer loop tests: training converges on toy data, checkpoints, resume."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+from birdnet_stm32_tpu.training.checkpoint import load_checkpoint, load_train_state
+from birdnet_stm32_tpu.training.optimizer import build_optimizer, cosine_schedule
+from birdnet_stm32_tpu.training.trainer import macro_roc_auc, train_model
+
+
+def tiny_cfg(**kw):
+    base = dict(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                class_names=["a", "b"], audio_frontend="librosa", mag_scale="none",
+                alpha=0.25)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def toy_batches(cfg, batch=8, seed=0):
+    """Synthetic separable data: class 0 = low tone, class 1 = high tone."""
+    rng = np.random.default_rng(seed)
+    T = cfg.chunk_samples
+    t = np.arange(T) / cfg.sample_rate
+
+    def make_batch():
+        labels = rng.integers(0, 2, batch)
+        waves = []
+        for l in labels:
+            f = 300 if l == 0 else 1500
+            w = np.sin(2 * np.pi * f * t) + 0.05 * rng.normal(size=T)
+            waves.append((w / np.abs(w).max()).astype(np.float32))
+        y = np.eye(2, dtype=np.float32)[labels]
+        return np.stack(waves), y
+
+    return make_batch
+
+
+def test_optimizer_factory():
+    for name in ("adam", "sgd", "adamw"):
+        tx = build_optimizer(name, 1e-3, weight_decay=1e-4, gradient_clip_norm=1.0)
+        assert tx is not None
+    with pytest.raises(ValueError):
+        build_optimizer("rmsprop", 1e-3)
+
+
+def test_cosine_schedule_decays():
+    s = cosine_schedule(1.0, epochs=2, steps_per_epoch=50)
+    assert float(s(0)) == pytest.approx(1.0)
+    assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
+    assert float(s(50)) == pytest.approx(0.5, abs=1e-2)
+
+
+def test_macro_roc_auc_degenerate():
+    y = np.array([[1, 0], [1, 0]], np.float32)  # class 1 never positive
+    s = np.array([[0.9, 0.1], [0.8, 0.2]], np.float32)
+    assert np.isnan(macro_roc_auc(y, s))  # no column has both classes
+
+
+@pytest.mark.integration
+def test_train_loop_learns_and_checkpoints(tmp_path, monkeypatch):
+    # Keras-default BN momentum (0.99) needs ~100s of steps before running
+    # stats make eval mode usable; this tiny test trains for dozens, so speed
+    # up the stat EMA instead of the test.
+    import birdnet_stm32_tpu.models.blocks as blocks
+
+    monkeypatch.setattr(blocks, "BN_MOMENTUM", 0.7)
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    val_set = [make_batch() for _ in range(2)]
+    run_dir = tmp_path / "run"
+    best, history = train_model(
+        model, variables, cfg,
+        train_batches=train_iter(), val_batches=lambda: val_set,
+        run_dir=run_dir, epochs=4, steps_per_epoch=8, learning_rate=3e-3,
+        patience=10, multilabel=False, seed=0,
+    )
+    assert len(history) == 4
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert history[-1]["val_roc_auc"] > 0.9  # separable toy data
+    assert (run_dir / "best").exists()
+    assert (run_dir / "model_config.json").exists()
+    assert (run_dir / "labels.txt").read_text().splitlines() == ["a", "b"]
+    assert (run_dir / "history.csv").exists()
+    assert (run_dir / "curves.png").exists()
+    assert load_train_state(run_dir)["epoch"] >= 1
+
+    # reload via checkpoint api
+    model2, vars2, cfg2 = load_checkpoint(run_dir, class_activation="none")
+    assert cfg2.num_classes == 2
+    x, y = val_set[0]
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    import jax.numpy as jnp
+
+    logits = jax.jit(lambda v, x: model2.apply(v, x, train=False))(vars2, inputs_for_config(jnp.asarray(x), cfg2))
+    acc = (np.argmax(np.asarray(logits), 1) == np.argmax(y, 1)).mean()
+    assert acc > 0.7
+
+
+@pytest.mark.integration
+def test_resume_continues_epoch_counter(tmp_path):
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    val_set = [make_batch()]
+    run_dir = tmp_path / "run"
+    train_model(model, variables, cfg, train_iter(), lambda: val_set, run_dir,
+                epochs=2, steps_per_epoch=4, learning_rate=1e-3)
+    # resume for 2 more epochs: history grows, epoch counter continues
+    _, history = train_model(model, variables, cfg, train_iter(), lambda: val_set, run_dir,
+                             epochs=4, steps_per_epoch=4, learning_rate=1e-3, resume=True)
+    assert len(history) == 2  # epochs 3..4 only
+    assert load_train_state(run_dir)["epoch"] == 4
