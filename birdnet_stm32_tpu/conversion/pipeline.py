@@ -1,0 +1,141 @@
+"""End-to-end conversion pipeline: checkpoint -> TFLite + gates + report.
+
+Parity with reference cli/convert.py:74-233: stratified calibration
+sampling, INT8 PTQ (or dynamic-range), multi-seed validation with
+worst-case aggregation, a hard mean-cosine gate, validation-sample NPZ,
+and a JSON report with the compression ratio. Validation runs the exported
+flatbuffer through this framework's own bit-exact INT8 executor
+(quant/tflite_import) on the accelerator — no TFLite interpreter needed in
+the serving path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
+from birdnet_stm32_tpu.models.runners import FlaxRunner, TFLiteSimRunner
+from birdnet_stm32_tpu.quant.calibrate import representative_inputs, stratified_sample_paths
+from birdnet_stm32_tpu.quant.validate import validate_runners
+from birdnet_stm32_tpu.utils.logging import info, ok, warn
+
+
+def convert_model(
+    model,
+    variables: dict,
+    cfg: ModelConfig,
+    out_path: str | Path,
+    calibration_paths: list[str] | None = None,
+    calibration_labels: list[str] | None = None,
+    calibration_per_class: int = 10,
+    calibration_inputs: np.ndarray | None = None,
+    validation_inputs: np.ndarray | None = None,
+    quantize: str = "int8",
+    per_channel: bool = True,
+    min_cosine_sim: float = 0.95,
+    num_validation_seeds: int = 1,
+    num_validation_samples: int = 64,
+    save_npz: bool = True,
+    class_activation: str = "softmax",
+    seed: int = 0,
+) -> dict:
+    """Convert a trained model to TFLite with the reference's quality gates.
+
+    Args:
+        model, variables, cfg: The trained Flax model.
+        out_path: Destination .tflite path.
+        calibration_paths / calibration_labels: Audio files (+ class labels
+            for stratified sampling) used to build calibration inputs.
+        calibration_inputs: Pre-built [N, ...] calibration tensors
+            (bypasses the audio path; used by tests).
+        validation_inputs: [N, ...] tensors for the cosine gate; defaults
+            to the calibration inputs.
+        quantize: 'int8' | 'dynamic' | 'float'.
+        min_cosine_sim: Hard gate on mean cosine (reference convert.py:187-195).
+        num_validation_seeds: Repeat validation with shuffled subsets and
+            keep the worst-case aggregate (reference convert.py:154-180).
+
+    Returns:
+        Report dict (also written next to the artifact as *_report.json).
+
+    Raises:
+        RuntimeError: When the mean cosine gate fails.
+    """
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+
+    if calibration_inputs is None:
+        if not calibration_paths:
+            raise ValueError("need calibration_paths or calibration_inputs")
+        if calibration_labels is not None:
+            calibration_paths = stratified_sample_paths(
+                calibration_paths, calibration_labels, calibration_per_class, seed)
+        calibration_inputs = representative_inputs(calibration_paths, cfg, seed=seed)
+    info("convert", f"{len(calibration_inputs)} calibration samples, mode={quantize}")
+
+    tflite_bytes = convert_to_tflite(
+        variables, cfg, representative=calibration_inputs, quantize=quantize,
+        class_activation=class_activation, per_channel=per_channel)
+    out_path.write_bytes(tflite_bytes)
+    ok("convert", f"wrote {out_path} ({len(tflite_bytes):,} B)")
+
+    if validation_inputs is None:
+        validation_inputs = calibration_inputs
+    float_runner = FlaxRunner(model, variables, cfg)
+    quant_runner = TFLiteSimRunner(out_path) if quantize == "int8" else None
+
+    report: dict = {
+        "model_path": str(out_path),
+        "quantize": quantize,
+        "tflite_bytes": len(tflite_bytes),
+        "float32_bytes": 4 * sum(int(np.prod(np.shape(p)))
+                                 for p in _tree_leaves(variables["params"])),
+    }
+    report["compression_ratio"] = report["float32_bytes"] / max(1, report["tflite_bytes"])
+
+    if quant_runner is not None:
+        rng = np.random.default_rng(seed)
+        worst: dict | None = None
+        for s in range(num_validation_seeds):
+            idx = rng.permutation(len(validation_inputs))[:num_validation_samples]
+            stats = validate_runners(float_runner, quant_runner, validation_inputs[idx])
+            info("convert", f"validation seed {s}: cosine_mean={stats['cosine_mean']:.4f} "
+                            f"min={stats['cosine_min']:.4f}")
+            if worst is None or stats["cosine_mean"] < worst["cosine_mean"]:
+                worst = stats
+        report["validation"] = worst
+
+        if save_npz:
+            keep = validation_inputs[:25]
+            npz_path = out_path.with_name(out_path.stem + "_validation_data.npz")
+            np.savez_compressed(
+                npz_path, inputs=keep,
+                float_outputs=float_runner.predict(keep),
+                quant_outputs=quant_runner.predict(keep))
+            report["validation_npz"] = str(npz_path)
+
+        if worst["cosine_mean"] < min_cosine_sim:
+            raise RuntimeError(
+                f"quantization quality gate failed: mean cosine "
+                f"{worst['cosine_mean']:.4f} < {min_cosine_sim}")
+        ok("convert", f"cosine gate passed: {worst['cosine_mean']:.4f} >= {min_cosine_sim}")
+    else:
+        warn("convert", "no INT8 validation (mode != int8)")
+
+    report["seconds"] = time.perf_counter() - t0
+    report_path = out_path.with_name(out_path.stem + "_report.json")
+    report_path.write_text(json.dumps(report, indent=2))
+    report["report_path"] = str(report_path)
+    return report
+
+
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)

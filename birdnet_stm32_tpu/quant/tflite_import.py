@@ -105,9 +105,22 @@ def _options(op, name):
     if name == "CONCATENATION":
         o = init(fb.ConcatenationOptions)
         return {"axis": o.Axis(), "activation": o.FusedActivationFunction()}
-    if name == "MEAN":
+    if name in ("MEAN", "REDUCE_MAX", "SUM"):
         o = init(fb.ReducerOptions)
         return {"keepdims": bool(o.KeepDims())}
+    if name == "SUB":
+        o = init(fb.SubOptions)
+        return {"activation": o.FusedActivationFunction()}
+    if name == "MUL":
+        o = init(fb.MulOptions)
+        return {"activation": o.FusedActivationFunction()}
+    if name == "DIV":
+        o = init(fb.DivOptions)
+        return {"activation": o.FusedActivationFunction()}
+    if name == "RESHAPE":
+        o = init(fb.ReshapeOptions)
+        return {"new_shape": [int(d) for d in o.NewShapeAsNumpy()]
+                if o.NewShapeLength() else []}
     if name == "STRIDED_SLICE":
         o = init(fb.StridedSliceOptions)
         return {
@@ -522,6 +535,92 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 acc = jnp.sum(xin - int(zi[0]), axis=axes, keepdims=keep)
                 qm, sh = _quantize_multiplier(float(si[0]) / (num * float(so[0])))
                 q = _mbqm(acc, qm, sh) + int(zo[0])
+                vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+            elif name == "SUB":
+                # Same twice-max rescale scheme as ADD, with b negated.
+                a, b = get(ins[0]), get(ins[1])
+                sa, za, _ = q_params(ins[0])
+                sb, zb, _ = q_params(ins[1])
+                so, zo, _ = q_params(o)
+                left_shift = 20
+                twice_max = 2.0 * max(float(sa[0]), float(sb[0]))
+                qm_a = _quantize_multiplier(float(sa[0]) / twice_max)
+                qm_b = _quantize_multiplier(float(sb[0]) / twice_max)
+                qm_o = _quantize_multiplier(twice_max / ((1 << left_shift) * float(so[0])))
+                a32 = (a.astype(jnp.int32) - int(za[0])) << left_shift
+                b32 = (b.astype(jnp.int32) - int(zb[0])) << left_shift
+                raw = _mbqm(a32, *qm_a) - _mbqm(b32, *qm_b)
+                q = _mbqm(raw, *qm_o) + int(zo[0])
+                lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
+                vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
+
+            elif name == "MUL":
+                # TFLite int8 MUL: int32 product of offset values, one MBQM.
+                a, b = get(ins[0]), get(ins[1])
+                sa, za, _ = q_params(ins[0])
+                sb, zb, _ = q_params(ins[1])
+                so, zo, _ = q_params(o)
+                prod = (a.astype(jnp.int32) - int(za[0])) * (b.astype(jnp.int32) - int(zb[0]))
+                qm = _quantize_multiplier(float(sa[0]) * float(sb[0]) / float(so[0]))
+                q = _mbqm(prod, *qm) + int(zo[0])
+                lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
+                vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
+
+            elif name == "DIV":
+                # Float-faithful (TFLite's int8 DIV kernel is itself a
+                # dequant/div/requant reference path; ~1 LSB).
+                a, b = get(ins[0]), get(ins[1])
+                sa, za, _ = q_params(ins[0])
+                sb, zb, _ = q_params(ins[1])
+                so, zo, _ = q_params(o)
+                fa = (a.astype(jnp.float32) - int(za[0])) * float(sa[0])
+                fb = (b.astype(jnp.float32) - int(zb[0])) * float(sb[0])
+                q = _round_away(fa / fb / float(so[0])) + int(zo[0])
+                lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
+                vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
+
+            elif name == "REDUCE_MAX":
+                axes = tuple(int(a) for a in get_host(ins[1]))
+                keep = op.options.get("keepdims", True)
+                si, zi, _ = q_params(ins[0])
+                so, zo, _ = q_params(o)
+                m = jnp.max(get(ins[0]), axis=axes, keepdims=keep)
+                if float(si[0]) == float(so[0]) and int(zi[0]) == int(zo[0]):
+                    vals[o] = m
+                else:
+                    q = _round_away((m.astype(jnp.float32) - int(zi[0]))
+                                    * (float(si[0]) / float(so[0]))) + int(zo[0])
+                    vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+            elif name == "SUM":
+                # Integer sum + one MBQM(si/so) (MEAN without the 1/num).
+                axes = tuple(int(a) for a in get_host(ins[1]))
+                keep = op.options.get("keepdims", False)
+                si, zi, _ = q_params(ins[0])
+                so, zo, _ = q_params(o)
+                acc = jnp.sum(get(ins[0]).astype(jnp.int32) - int(zi[0]),
+                              axis=axes, keepdims=keep)
+                qm, sh = _quantize_multiplier(float(si[0]) / float(so[0]))
+                q = _mbqm(acc, qm, sh) + int(zo[0])
+                vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+            elif name == "RESHAPE":
+                new_shape = [int(d) for d in (get_host(ins[1]) if len(ins) > 1 and ins[1] >= 0
+                                              else op.options["new_shape"])]
+                src = get(ins[0])
+                # Respect the executor's actual batch size.
+                if new_shape and new_shape[0] not in (-1, src.shape[0]):
+                    new_shape[0] = -1
+                vals[o] = jnp.reshape(src, new_shape)
+
+            elif name == "SOFTMAX":
+                # Float-faithful softmax; int8 output scale is fixed 1/256.
+                si, zi, _ = q_params(ins[0])
+                so, zo, _ = q_params(o)
+                f = (get(ins[0]).astype(jnp.float32) - int(zi[0])) * float(si[0])
+                p = jax.nn.softmax(f, axis=-1)
+                q = _round_away(p / float(so[0])) + int(zo[0])
                 vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
             elif name == "LOGISTIC":
