@@ -1,0 +1,41 @@
+"""CLI dispatch: python -m birdnet_stm32_tpu <command> [args].
+
+Parity with reference birdnet_stm32/__main__.py:14-47. The deploy/board-test
+verbs map to this framework's serving analog: `benchmark` runs the batched
+end-to-end inference driver over a WAV directory with the firmware's
+[BENCH] / `=== DONE ===` report protocol (firmware/Src/main.c:269-374).
+"""
+
+from __future__ import annotations
+
+import sys
+
+COMMANDS = {
+    "train": ("birdnet_stm32_tpu.cli.train", "Train a DS-CNN classifier"),
+    "convert": ("birdnet_stm32_tpu.cli.convert", "Export a checkpoint to INT8 TFLite"),
+    "evaluate": ("birdnet_stm32_tpu.cli.evaluate", "Evaluate a model on a test set"),
+    "benchmark": ("birdnet_stm32_tpu.cli.benchmark", "Batched WAV-dir inference + timing report"),
+    "profile": ("birdnet_stm32_tpu.cli.profile", "Analytical model cost profile"),
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m birdnet_stm32_tpu <command> [args]\n\ncommands:")
+        for name, (_, doc) in COMMANDS.items():
+            print(f"  {name:<10} {doc}")
+        return 0 if argv else 2
+    cmd = argv[0].replace("-", "_")
+    if cmd not in COMMANDS:
+        print(f"unknown command: {argv[0]} (expected one of {', '.join(COMMANDS)})",
+              file=sys.stderr)
+        return 2
+    import importlib
+
+    module = importlib.import_module(COMMANDS[cmd][0])
+    return module.main(argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

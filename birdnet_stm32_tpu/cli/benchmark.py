@@ -1,0 +1,145 @@
+"""Benchmark CLI: the board-test analog — batched WAV-dir inference driver.
+
+Re-creation of the firmware's on-device test loop (firmware/Src/main.c:
+269-374 + deploy/board_test.py:415-507) as a TPU batch driver: scan a
+directory for WAVs, decode + chunk on the host, run the fused
+frontend+model on device, print per-file top-K predictions with [BENCH]
+read/frontend/model/total timings, and finish with the `=== DONE ===`
+summary including the real-time factor — the same line protocol the
+reference parses over UART (docs/firmware/protocol.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("birdnet_stm32_tpu benchmark")
+    p.add_argument("--model_path", required=True,
+                   help="checkpoint dir, .tflite, or reference .keras")
+    p.add_argument("--audio_dir", required=True)
+    p.add_argument("--config_path", default=None)
+    p.add_argument("--labels_path", default=None)
+    p.add_argument("--top_k", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--chunk_overlap", type=float, default=0.0)
+    p.add_argument("--csv", default=None, help="optional results CSV path")
+    return p.parse_args(argv)
+
+
+def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
+                  overlap=0.0, csv_path=None) -> dict:
+    """Drive the batched inference loop and print the [BENCH] protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+
+    frontend = jax.jit(lambda w: inputs_for_config(w, cfg))
+
+    per_file_rows = []
+    t_read = t_frontend = t_model = 0.0
+    total_chunks = 0
+    t_all0 = time.perf_counter()
+
+    for path in files:
+        t0 = time.perf_counter()
+        chunks = chunks_for_file(str(path), cfg, overlap)
+        t1 = time.perf_counter()
+        if chunks.shape[0] == 0:
+            print(f"file: {Path(path).name}  SKIP (no audio)")
+            continue
+        scores = []
+        fe_s = 0.0
+        mdl_s = 0.0
+        for i in range(0, len(chunks), batch_size):
+            wave = jnp.asarray(chunks[i : i + batch_size])
+            ta = time.perf_counter()
+            x = frontend(wave)
+            x.block_until_ready()
+            tb = time.perf_counter()
+            s = np.asarray(runner.predict(np.asarray(x)))
+            tc = time.perf_counter()
+            fe_s += tb - ta
+            mdl_s += tc - tb
+            scores.append(s)
+        scores = np.concatenate(scores)
+        total_chunks += len(chunks)
+        pooled = scores.mean(axis=0)
+        read_ms = (t1 - t0) * 1000.0
+        fe_ms, mdl_ms = fe_s * 1000.0, mdl_s * 1000.0
+        total_ms = read_ms + fe_ms + mdl_ms
+        t_read += read_ms
+        t_frontend += fe_ms
+        t_model += mdl_ms
+
+        top = np.argsort(pooled)[::-1][:top_k]
+        preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
+        print(f"file: {Path(path).name}  chunks: {len(chunks)}  top: {preds}")
+        print(f"[BENCH] read: {read_ms:.1f} ms  frontend: {fe_ms:.1f} ms  "
+              f"model: {mdl_ms:.1f} ms  total: {total_ms:.1f} ms")
+        per_file_rows.append({
+            "file": str(path), "chunks": len(chunks),
+            "top1": classes[int(top[0])], "score": float(pooled[top[0]]),
+            "read_ms": read_ms, "frontend_ms": fe_ms, "model_ms": mdl_ms,
+        })
+
+    wall_s = time.perf_counter() - t_all0
+    n = max(1, len(per_file_rows))
+    audio_s = total_chunks * cfg.chunk_duration
+    rtf = audio_s / wall_s if wall_s > 0 else float("inf")
+    print("=== DONE ===")
+    print(f"files: {len(per_file_rows)}  chunks: {total_chunks}")
+    print(f"avg per file: read {t_read / n:.1f} ms, frontend {t_frontend / n:.1f} ms, "
+          f"model {t_model / n:.1f} ms")
+    print(f"wall: {wall_s:.2f} s  audio: {audio_s:.1f} s  real-time factor: {rtf:.1f}x")
+    print(f"throughput: {total_chunks / wall_s:.1f} chunks/s (decode included)")
+
+    if csv_path:
+        import csv as _csv
+
+        with open(csv_path, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(per_file_rows[0].keys()))
+            w.writeheader()
+            w.writerows(per_file_rows)
+        print(f"results CSV -> {csv_path}")
+
+    return {"files": len(per_file_rows), "chunks": total_chunks,
+            "wall_s": wall_s, "rtf": rtf,
+            "chunks_per_sec": total_chunks / wall_s if wall_s else 0.0,
+            "per_file": per_file_rows}
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.data.species import open_species_list
+    from birdnet_stm32_tpu.models.runners import load_model_runner
+
+    runner = load_model_runner(Path(args.model_path), args.config_path)
+    cfg = getattr(runner, "cfg", None)
+    if cfg is None:
+        if args.config_path is None:
+            raise SystemExit("--config_path required for .tflite models")
+        cfg = ModelConfig.load(args.config_path)
+    classes = (open_species_list(args.labels_path) if args.labels_path
+               else cfg.class_names)
+
+    files = sorted(str(p) for p in Path(args.audio_dir).rglob("*.wav"))
+    if not files:
+        raise SystemExit(f"no WAV files under {args.audio_dir}")
+    run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
+                  batch_size=args.batch_size, overlap=args.chunk_overlap,
+                  csv_path=args.csv)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

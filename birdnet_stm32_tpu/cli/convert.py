@@ -1,0 +1,72 @@
+"""Convert CLI: checkpoint -> INT8 TFLite with quality gates.
+
+Parity with reference cli/convert.py:74-233 (stratified calibration
+sampling, PTQ/dynamic conversion, validation with worst-case aggregation,
+cosine gate, validation NPZ, JSON report with compression ratio).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("birdnet_stm32_tpu convert")
+    p.add_argument("--model_path", required=True,
+                   help="checkpoint directory (or reference .keras file)")
+    p.add_argument("--data_path", required=True, help="calibration audio directory")
+    p.add_argument("--output_path", default=None)
+    p.add_argument("--quantize", default="int8", choices=["int8", "dynamic", "float"])
+    p.add_argument("--per_tensor", action="store_true")
+    p.add_argument("--num_calibration_samples", type=int, default=100)
+    p.add_argument("--calibration_per_class", type=int, default=10)
+    p.add_argument("--min_cosine_sim", type=float, default=0.95)
+    p.add_argument("--num_validation_seeds", type=int, default=1)
+    p.add_argument("--no_npz", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+
+    from birdnet_stm32_tpu.conversion.pipeline import convert_model
+    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
+    from birdnet_stm32_tpu.utils.logging import ok
+
+    model_path = Path(args.model_path)
+    if model_path.suffix == ".keras":
+        from birdnet_stm32_tpu.models.transplant import load_reference_model
+
+        config_path = model_path.with_name(model_path.stem + "_model_config.json")
+        model, variables, cfg = load_reference_model(model_path, config_path)
+        stem = model_path.stem
+        out_default = model_path.parent
+    else:
+        from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
+
+        model, variables, cfg = load_checkpoint(model_path)
+        stem = model_path.name
+        out_default = model_path
+
+    out_path = Path(args.output_path) if args.output_path else (
+        out_default / f"{stem}_quantized.tflite")
+
+    paths, labels, _ = load_file_paths_from_directory(args.data_path,
+                                                      classes=cfg.class_names)
+    report = convert_model(
+        model, variables, cfg, out_path,
+        calibration_paths=paths, calibration_labels=labels,
+        calibration_per_class=args.calibration_per_class,
+        quantize=args.quantize, per_channel=not args.per_tensor,
+        min_cosine_sim=args.min_cosine_sim,
+        num_validation_seeds=args.num_validation_seeds,
+        save_npz=not args.no_npz, seed=args.seed)
+    ok("convert", f"{out_path} ({report['tflite_bytes']:,} B, "
+                  f"{report['compression_ratio']:.1f}x compression)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,125 @@
+"""Evaluate CLI: pooled file-level metrics + reports.
+
+Parity with reference cli/evaluate.py:81-207: metrics block with
+top/bottom-10 AP, ASCII histogram/PR/DET, species CSV, predictions CSV,
+confusion matrix, threshold optimization, bootstrap CIs, benchmark JSON,
+HTML report, latency/memory profiling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("birdnet_stm32_tpu evaluate")
+    p.add_argument("--model_path", required=True,
+                   help="checkpoint dir, .tflite, or reference .keras")
+    p.add_argument("--data_path_test", required=True)
+    p.add_argument("--config_path", default=None)
+    p.add_argument("--pooling", default="average", choices=["average", "avg", "max", "lme"])
+    p.add_argument("--lme_beta", type=float, default=10.0)
+    p.add_argument("--chunk_overlap", type=float, default=0.0)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--benchmark_latency", action="store_true")
+    p.add_argument("--profile_memory", action="store_true")
+    p.add_argument("--optimize_thresholds", action="store_true")
+    p.add_argument("--bootstrap_ci", action="store_true")
+    p.add_argument("--det_curve", action="store_true")
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--save_csv", action="store_true")
+    p.add_argument("--save_html", action="store_true")
+    p.add_argument("--save_benchmark_json", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
+    from birdnet_stm32_tpu.evaluation import metrics as M
+    from birdnet_stm32_tpu.evaluation import reporting as R
+    from birdnet_stm32_tpu.models.runners import load_model_runner
+
+    model_path = Path(args.model_path)
+    runner = load_model_runner(model_path, args.config_path)
+    cfg = getattr(runner, "cfg", None)
+    if cfg is None:
+        if args.config_path is None:
+            raise SystemExit("--config_path required for .tflite models")
+        cfg = ModelConfig.load(args.config_path)
+    classes = cfg.class_names
+
+    files, _, _ = load_file_paths_from_directory(args.data_path_test, classes=classes)
+    if not files:
+        raise SystemExit(f"no test audio under {args.data_path_test}")
+
+    results, per_file, y_true, y_scores = M.evaluate(
+        runner, files, classes, cfg,
+        pooling=args.pooling, batch_size=args.batch_size,
+        overlap=args.chunk_overlap, mep_beta=args.lme_beta,
+        measure_latency=args.benchmark_latency, profile_memory=args.profile_memory)
+
+    print("\n=== Evaluation ===")
+    for k in ("roc-auc", "cmAP", "mAP", "precision", "recall", "f1",
+              "latency_mean_ms", "latency_median_ms", "latency_p95_ms",
+              "latency_p99_ms", "total_chunks", "peak_rss_mb"):
+        if k in results:
+            v = results[k]
+            print(f"{k:>18}: {v:.4f}" if isinstance(v, float) else f"{k:>18}: {v}")
+
+    # Top/bottom-10 AP (reference evaluate.py:133-146).
+    aps = dict(zip(classes, results.get("ap_per_class", [])))
+    valid = [(c, a) for c, a in aps.items() if not np.isnan(a)]
+    if valid:
+        ranked = sorted(valid, key=lambda kv: -kv[1])
+        print("\nbest species by AP:")
+        for c, a in ranked[:10]:
+            print(f"  {c:<40} {a:.4f}")
+        if len(ranked) > 10:
+            print("worst species by AP:")
+            for c, a in ranked[-10:]:
+                print(f"  {c:<40} {a:.4f}")
+
+    R.print_ascii_histogram(y_scores.ravel())
+    R.print_ascii_pr_curve(y_true, y_scores)
+    R.print_confusion_matrix(y_true, y_scores, classes)
+
+    out_dir = Path(args.output_dir) if args.output_dir else model_path.parent
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.optimize_thresholds:
+        th = M.optimize_thresholds(y_true, y_scores, classes)
+        (out_dir / "thresholds.json").write_text(json.dumps(th, indent=2))
+        print(f"[evaluate] per-class thresholds -> {out_dir / 'thresholds.json'}")
+    species_data = None
+    if args.bootstrap_ci or args.save_csv:
+        species_data = M.bootstrap_ap_ci(
+            y_true, y_scores, classes,
+            n_bootstrap=1000 if args.bootstrap_ci else 50)
+    if args.det_curve:
+        far, frr = M.compute_det_curve(y_true, y_scores)
+        R.print_ascii_det_curve(far, frr)
+        R.save_det_curve_plot(far, frr, out_dir / "det_curve.png")
+    if args.save_csv:
+        R.save_predictions_csv(per_file, classes, out_dir / "predictions.csv")
+        R.save_species_report_csv(species_data, out_dir / "species_report.csv")
+    if args.save_benchmark_json:
+        R.save_benchmark_json(results, classes, str(model_path),
+                              out_dir / "benchmark.json",
+                              species_data=species_data, config=cfg.to_dict())
+    if args.save_html:
+        R.save_html_report(results, classes, y_true, y_scores, str(model_path),
+                           out_dir / "report.html",
+                           species_data=species_data, config=cfg.to_dict())
+        print(f"[evaluate] HTML report -> {out_dir / 'report.html'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,311 @@
+"""Train CLI: dataset discovery -> loaders -> pjit training loop.
+
+Arg-surface parity with reference cli/train.py:132-269 (the flags that have
+TPU-side meaning), with the same defaults and the same quality-features-on-
+by-default --no_* off-switches. Dispatches to QAT / linear-probe / LR-finder
+/ tuning like reference cli/train.py:303-321.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("birdnet_stm32_tpu train")
+    # Data
+    p.add_argument("--data_path_train", required=True)
+    p.add_argument("--data_path_val", default=None)
+    p.add_argument("--val_split", type=float, default=0.2)
+    p.add_argument("--top_n_classes", type=int, default=None)
+    p.add_argument("--max_samples_per_class", type=int, default=None)
+    p.add_argument("--upsample_ratio", type=float, default=0.5)
+    p.add_argument("--no_upsample", action="store_true")
+    p.add_argument("--max_chunks_per_file", type=int, default=2)
+    p.add_argument("--snr_threshold", type=float, default=0.25)
+    p.add_argument("--num_workers", type=int, default=4)
+    # Audio / frontend
+    p.add_argument("--sample_rate", type=int, default=24000)
+    p.add_argument("--chunk_duration", type=float, default=3.0)
+    p.add_argument("--fft_length", type=int, default=512)
+    p.add_argument("--num_mels", type=int, default=64)
+    p.add_argument("--spec_width", type=int, default=256)
+    p.add_argument("--audio_frontend", default="hybrid")
+    p.add_argument("--mag_scale", default="pwl")
+    p.add_argument("--no_frontend_trainable", action="store_true")
+    # Architecture
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--depth_multiplier", type=int, default=1)
+    p.add_argument("--embeddings_size", type=int, default=256)
+    p.add_argument("--dropout_rate", type=float, default=0.5)
+    p.add_argument("--no_se", action="store_true")
+    p.add_argument("--se_reduction", type=int, default=8)
+    p.add_argument("--no_inverted_residual", action="store_true")
+    p.add_argument("--expansion_factor", type=int, default=2)
+    p.add_argument("--attention_pooling", action="store_true")
+    # Optimization
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = estimate from data")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "adamw"])
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--gradient_clip_norm", type=float, default=1.0)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--multilabel", action="store_true")
+    p.add_argument("--focal_gamma", type=float, default=None)
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--no_class_weights", action="store_true")
+    # Augmentation
+    p.add_argument("--mixup_alpha", type=float, default=0.2)
+    p.add_argument("--mixup_probability", type=float, default=0.25)
+    p.add_argument("--no_mixup", action="store_true")
+    p.add_argument("--no_spec_augment", action="store_true")
+    # Run control
+    p.add_argument("--run_dir", default="runs/birdnet_tpu")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_mesh", action="store_true", help="single-device (skip data-parallel mesh)")
+    # Mode dispatch (reference cli/train.py:303-321)
+    p.add_argument("--qat", action="store_true", help="QAT fine-tune an existing run_dir checkpoint")
+    p.add_argument("--linear_probe", action="store_true", help="retrain only the head on the new data")
+    p.add_argument("--find_lr", action="store_true", help="run the LR finder and exit")
+    p.add_argument("--tune", type=int, default=0, metavar="N", help="random-search N trials")
+    return p.parse_args(argv)
+
+
+def build_loaders(args, cfg, for_qat: bool = False):
+    """Discover files, split, upsample, and build train/val iterators."""
+    from birdnet_stm32_tpu.data.dataset import (
+        get_classes_with_most_samples,
+        load_file_paths_from_directory,
+        one_hot_labels,
+        upsample_minority_classes,
+    )
+    from birdnet_stm32_tpu.data.pipeline import AudioLoader, LoaderConfig
+
+    rng = np.random.default_rng(args.seed)
+    classes = None
+    if args.top_n_classes:
+        classes = get_classes_with_most_samples(args.data_path_train, args.top_n_classes)
+    paths, labels, class_names = load_file_paths_from_directory(
+        args.data_path_train, classes=classes,
+        max_samples_per_class=args.max_samples_per_class, rng=rng)
+    if not paths:
+        raise SystemExit(f"no audio files under {args.data_path_train}")
+
+    if args.data_path_val:
+        val_paths, val_labels, _ = load_file_paths_from_directory(
+            args.data_path_val, classes=class_names, rng=rng)
+    else:
+        idx = rng.permutation(len(paths))
+        n_val = max(1, int(len(paths) * args.val_split))
+        val_paths = [paths[i] for i in idx[:n_val]]
+        val_labels = [labels[i] for i in idx[:n_val]]
+        paths = [paths[i] for i in idx[n_val:]]
+        labels = [labels[i] for i in idx[n_val:]]
+
+    if not args.no_upsample and not for_qat:
+        paths, labels = upsample_minority_classes(paths, labels, args.upsample_ratio, rng)
+
+    lcfg = LoaderConfig(
+        sample_rate=args.sample_rate, chunk_duration=args.chunk_duration,
+        num_classes=len(class_names), max_chunks_per_file=args.max_chunks_per_file,
+        snr_threshold=args.snr_threshold, seed=args.seed,
+    )
+    train_loader = AudioLoader(
+        paths, one_hot_labels(labels, class_names), lcfg,
+        batch_size=args.batch_size, num_workers=args.num_workers)
+    val_loader = AudioLoader(
+        val_paths, one_hot_labels(val_labels, class_names), lcfg,
+        batch_size=args.batch_size, num_workers=args.num_workers,
+        shuffle=False, infinite=False)
+    return train_loader, val_loader, class_names, labels
+
+
+def balanced_class_weights(labels: list[str], class_names: list[str]) -> np.ndarray:
+    """n_samples / (n_classes * count_c) (reference cli/train.py:483-497)."""
+    counts = np.array([max(1, sum(1 for l in labels if l == c)) for c in class_names], np.float64)
+    total = sum(1 for l in labels if l in set(class_names))
+    return (total / (len(class_names) * counts)).astype(np.float32)
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig, normalize_frontend_name
+    from birdnet_stm32_tpu.data.pipeline import make_train_batcher
+    from birdnet_stm32_tpu.data.species import save_species_list
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.parallel.mesh import make_mesh
+    from birdnet_stm32_tpu.training.trainer import AdaptiveLoaderTuner, train_model
+    from birdnet_stm32_tpu.utils.logging import info, ok
+    from birdnet_stm32_tpu.utils.prng import set_global_seed
+
+    set_global_seed(args.seed)
+    args.audio_frontend = normalize_frontend_name(args.audio_frontend)
+    run_dir = Path(args.run_dir)
+
+    if args.qat:
+        from birdnet_stm32_tpu.quant.qat import run_qat
+
+        cfg = ModelConfig.load(run_dir / "model_config.json")
+        for f in ("sample_rate", "chunk_duration", "num_mels", "spec_width",
+                  "fft_length", "audio_frontend", "mag_scale"):
+            setattr(args, f, getattr(cfg, f))
+        train_loader, val_loader, class_names, _ = build_loaders(args, cfg, for_qat=True)
+        mesh = None if args.no_mesh else make_mesh()
+        run_qat(run_dir, iter(train_loader), lambda: iter(val_loader),
+                epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 100,
+                learning_rate=args.learning_rate if args.learning_rate != 1e-3 else 1e-5,
+                multilabel=args.multilabel, mesh=mesh,
+                num_classes=len(class_names), seed=args.seed)
+        return 0
+
+    cfg_kwargs = dict(
+        sample_rate=args.sample_rate, chunk_duration=args.chunk_duration,
+        fft_length=args.fft_length, num_mels=args.num_mels, spec_width=args.spec_width,
+        audio_frontend=args.audio_frontend, mag_scale=args.mag_scale,
+        alpha=args.alpha, depth_multiplier=args.depth_multiplier,
+        embeddings_size=args.embeddings_size, dropout_rate=args.dropout_rate,
+        use_se=not args.no_se, se_reduction=args.se_reduction,
+        use_inverted_residual=not args.no_inverted_residual,
+        expansion_factor=args.expansion_factor,
+        use_attention_pooling=args.attention_pooling,
+        frontend_trainable=not args.no_frontend_trainable,
+    )
+    probe_cfg = ModelConfig(num_classes=1, class_names=["_"], **cfg_kwargs)
+    train_loader, val_loader, class_names, raw_labels = build_loaders(args, probe_cfg)
+    cfg = ModelConfig(num_classes=len(class_names), class_names=class_names, **cfg_kwargs)
+    info("train", f"{len(train_loader.paths)} train files, "
+                  f"{len(val_loader.paths)} val files, {len(class_names)} classes")
+
+    mesh = None if args.no_mesh else make_mesh()
+    if mesh is not None:
+        info("train", f"data-parallel mesh over {len(jax.devices())} devices")
+
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg, jax.random.key(args.seed))
+
+    if args.find_lr:
+        from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+        from birdnet_stm32_tpu.training.losses import make_loss_fn
+        from birdnet_stm32_tpu.training.lr_finder import run_lr_finder
+
+        import jax.numpy as jnp
+
+        def model_batches():
+            for wave, labels in iter(train_loader):
+                yield np.asarray(inputs_for_config(jnp.asarray(wave), cfg)), labels
+
+        out = run_lr_finder(model, variables, model_batches(),
+                            make_loss_fn(multilabel=args.multilabel))
+        ok("lr_finder", f"suggested learning rate: {out['suggested_lr']:.2e}")
+        return 0
+
+    if args.tune:
+        return _run_tuning(args, cfg_kwargs, class_names)
+
+    if args.linear_probe:
+        from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+        from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
+        from birdnet_stm32_tpu.training.linear_probe import run_linear_probe
+
+        import jax.numpy as jnp
+
+        base_model, base_vars, base_cfg = load_checkpoint(run_dir, class_activation="none")
+
+        def to_inputs(it):
+            for wave, labels in it:
+                yield np.asarray(inputs_for_config(jnp.asarray(wave), base_cfg)), labels
+
+        run_linear_probe(
+            base_model, base_vars, base_cfg, class_names,
+            to_inputs(iter(train_loader)), lambda: to_inputs(iter(val_loader)),
+            run_dir.with_name(run_dir.name + "_probe"),
+            epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 50,
+            learning_rate=args.learning_rate, multilabel=args.multilabel, seed=args.seed)
+        return 0
+
+    steps = args.steps_per_epoch or max(
+        20, train_loader.estimate_samples_per_epoch() // args.batch_size)
+    batcher = make_train_batcher(
+        cfg, spec_augment=not args.no_spec_augment,
+        mixup_alpha=args.mixup_alpha,
+        mixup_probability=0.0 if args.no_mixup else args.mixup_probability,
+        label_smoothing=args.label_smoothing)
+    class_weights = None if args.no_class_weights else balanced_class_weights(
+        raw_labels, class_names)
+
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cfg.save(run_dir / "model_config.json")
+    save_species_list(class_names, run_dir / "labels.txt")
+
+    train_model(
+        model, variables, cfg, iter(train_loader), lambda: iter(val_loader), run_dir,
+        epochs=args.epochs, steps_per_epoch=steps,
+        learning_rate=args.learning_rate, optimizer=args.optimizer,
+        weight_decay=args.weight_decay, gradient_clip_norm=args.gradient_clip_norm,
+        patience=args.patience, multilabel=args.multilabel,
+        focal_gamma=args.focal_gamma, label_smoothing=args.label_smoothing,
+        class_weights=class_weights, batcher=batcher, mesh=mesh,
+        resume=args.resume, seed=args.seed,
+        loader_tuner=AdaptiveLoaderTuner(train_loader.loader_control))
+    ok("train", f"artifacts in {run_dir}")
+    return 0
+
+
+def _run_tuning(args, cfg_kwargs: dict, class_names: list[str]) -> int:
+    """Random-search over the reference's space (training/tuner.py)."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.data.pipeline import make_train_batcher
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.trainer import train_model
+    from birdnet_stm32_tpu.training.tuner import run_tuning
+    from birdnet_stm32_tpu.utils.logging import info, ok
+
+    def objective(trial):
+        p = trial.params
+        kw = dict(cfg_kwargs)
+        kw.update(
+            alpha=p["alpha"], depth_multiplier=p["depth_multiplier"],
+            embeddings_size=p["embeddings_size"], dropout_rate=p["dropout_rate"],
+            use_se=p["use_se"], se_reduction=p.get("se_reduction", 8),
+            use_inverted_residual=p["use_inverted_residual"],
+            expansion_factor=p.get("expansion_factor", 2),
+            use_attention_pooling=p["use_attention_pooling"],
+        )
+        cfg = ModelConfig(num_classes=len(class_names), class_names=class_names, **kw)
+        args.batch_size = p["batch_size"]
+        train_loader, val_loader, _, _ = build_loaders(args, cfg)
+        model = build_dscnn(cfg, class_activation="none")
+        variables = init_model(model, cfg, jax.random.key(args.seed + trial.number))
+        batcher = make_train_batcher(cfg, mixup_probability=p["mixup_probability"],
+                                     label_smoothing=p["label_smoothing"])
+        info("tune", f"trial {trial.number}: {p}")
+        _, history = train_model(
+            model, variables, cfg, iter(train_loader), lambda: iter(val_loader),
+            Path(args.run_dir) / f"trial_{trial.number}",
+            epochs=max(2, args.epochs // 5), steps_per_epoch=args.steps_per_epoch or 50,
+            learning_rate=p["learning_rate"], optimizer=p["optimizer"],
+            weight_decay=p["weight_decay"], gradient_clip_norm=p["gradient_clip_norm"],
+            multilabel=args.multilabel, label_smoothing=p["label_smoothing"],
+            batcher=batcher, seed=args.seed)
+        return max((h["val_roc_auc"] for h in history
+                    if not np.isnan(h["val_roc_auc"])), default=0.0)
+
+    best = run_tuning(objective, args.tune, args.run_dir, seed=args.seed)
+    ok("tune", f"best trial {best.number}: auc={best.value:.4f} -> "
+               f"{Path(args.run_dir) / 'best_params.json'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

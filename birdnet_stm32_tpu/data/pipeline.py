@@ -171,6 +171,8 @@ class AudioLoader:
                     yield drain_batch()
             while len(reservoir) >= self.batch_size:
                 yield drain_batch()
+            if reservoir and not self.infinite:
+                yield drain_batch()  # final partial batch
             return
 
         ctx = mp.get_context("fork")
@@ -202,6 +204,8 @@ class AudioLoader:
                         yield drain_batch()
                 while len(reservoir) >= self.batch_size:
                     yield drain_batch()
+                if reservoir and not self.infinite:
+                    yield drain_batch()  # final partial batch
             finally:
                 pool.terminate()
 

@@ -71,3 +71,57 @@ def make_qat_train_step(
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def run_qat(
+    run_dir,
+    train_batches,
+    val_batches,
+    out_dir=None,
+    epochs: int = 5,
+    steps_per_epoch: int = 100,
+    learning_rate: float = 1e-5,
+    multilabel: bool = False,
+    mesh: Mesh | None = None,
+    num_classes: int | None = None,
+    seed: int = 0,
+):
+    """QAT fine-tuning orchestration (reference training/qat.py:171-306).
+
+    Loads the best checkpoint from `run_dir`, verifies the class count
+    against the data (reference qat.py:228-234), fine-tunes with the STE
+    fake-quant step at a low LR with augmentation-free batches, and saves
+    the result to `<run_dir>_qat` (or `out_dir`).
+
+    Args:
+        run_dir: Trained checkpoint directory.
+        train_batches: Infinite (waveform [B, T], labels [B, C]) iterator,
+            built WITHOUT mixup/SpecAugment (qat policy).
+        val_batches: Zero-arg callable of a finite iterable of the same.
+        num_classes: Expected class count from the dataset (checked).
+
+    Returns:
+        (best variables, history).
+    """
+    from pathlib import Path
+
+    from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
+    from birdnet_stm32_tpu.training.trainer import train_model
+    from birdnet_stm32_tpu.utils.logging import info
+
+    run_dir = Path(run_dir)
+    model, variables, cfg = load_checkpoint(run_dir, class_activation="none")
+    if num_classes is not None and num_classes != cfg.num_classes:
+        raise ValueError(
+            f"QAT dataset has {num_classes} classes but the checkpoint was "
+            f"trained with {cfg.num_classes}; QAT must use the same class set."
+        )
+    out_dir = Path(out_dir) if out_dir else run_dir.with_name(run_dir.name + "_qat")
+    info("qat", f"fine-tuning {run_dir} -> {out_dir} (lr={learning_rate}, "
+                f"{epochs}x{steps_per_epoch} steps, BN frozen)")
+    return train_model(
+        model, variables, cfg, train_batches, val_batches, out_dir,
+        epochs=epochs, steps_per_epoch=steps_per_epoch,
+        learning_rate=learning_rate, multilabel=multilabel,
+        mesh=mesh, seed=seed, qat=True,
+    )

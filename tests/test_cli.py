@@ -1,0 +1,97 @@
+"""CLI integration tests: dispatch + train -> convert -> evaluate -> benchmark
+on a tiny synthetic dataset (reference tests/test_train_to_eval.py:32-136).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from birdnet_stm32_tpu.__main__ import main as dispatch
+
+
+def test_dispatch_help(capsys):
+    assert dispatch([]) == 2  # no command: usage + error exit
+    assert dispatch(["--help"]) == 0
+    out = capsys.readouterr().out
+    for cmd in ("train", "convert", "evaluate", "benchmark", "profile"):
+        assert cmd in out
+
+
+def test_dispatch_unknown():
+    assert dispatch(["frobnicate"]) == 2
+
+
+def test_profile_cli(tmp_path, capsys):
+    from birdnet_stm32_tpu.config import ModelConfig
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                      class_names=["a", "b"], audio_frontend="hybrid",
+                      mag_scale="pwl", alpha=0.25)
+    cfg.save(tmp_path / "model_config.json")
+    assert dispatch(["profile", "--config_path", str(tmp_path / "model_config.json")]) == 0
+    out = capsys.readouterr().out
+    assert "Total params" in out and "stem_conv" in out
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
+    root, sr = wav_dataset
+    run_dir = tmp_path / "run"
+
+    common = [
+        "--data_path_train", str(root), "--run_dir", str(run_dir),
+        "--sample_rate", "4000", "--chunk_duration", "1.0",
+        "--fft_length", "128", "--num_mels", "16", "--spec_width", "32",
+        "--alpha", "0.25", "--embeddings_size", "32",
+        "--epochs", "2", "--steps_per_epoch", "4", "--batch_size", "8",
+        "--num_workers", "0", "--patience", "5", "--no_mesh",
+        "--max_chunks_per_file", "1", "--seed", "0",
+    ]
+    assert dispatch(["train", *common]) == 0
+    assert (run_dir / "model_config.json").exists()
+    assert (run_dir / "labels.txt").exists()
+    assert (run_dir / "best").exists()
+    assert (run_dir / "history.csv").exists()
+
+    # Convert (dynamic mode: fast, no INT8 calibration loop on CPU).
+    out_tfl = tmp_path / "model.tflite"
+    assert dispatch([
+        "convert", "--model_path", str(run_dir), "--data_path", str(root),
+        "--output_path", str(out_tfl), "--quantize", "dynamic",
+        "--num_calibration_samples", "4",
+    ]) == 0
+    assert out_tfl.exists()
+    report = json.loads((tmp_path / "model_report.json").read_text())
+    assert report["quantize"] == "dynamic"
+
+    # Evaluate the float checkpoint.
+    out_dir = tmp_path / "eval"
+    assert dispatch([
+        "evaluate", "--model_path", str(run_dir), "--data_path_test", str(root),
+        "--output_dir", str(out_dir), "--save_csv", "--save_benchmark_json",
+        "--optimize_thresholds",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "roc-auc" in out and "cmAP" in out
+    assert (out_dir / "predictions.csv").exists()
+    assert (out_dir / "species_report.csv").exists()
+    assert (out_dir / "benchmark.json").exists()
+    assert (out_dir / "thresholds.json").exists()
+
+    # Benchmark driver ([BENCH] protocol).
+    csv_path = tmp_path / "bench.csv"
+    assert dispatch([
+        "benchmark", "--model_path", str(run_dir), "--audio_dir", str(root),
+        "--csv", str(csv_path), "--top_k", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "[BENCH]" in out
+    assert "=== DONE ===" in out
+    assert "real-time factor" in out
+    assert csv_path.exists()
+    header = csv_path.read_text().splitlines()[0]
+    assert header.startswith("file,chunks,top1")
