@@ -1,0 +1,139 @@
+"""ctypes bindings for the native host-side audio library.
+
+Loads native/build/libaudio_native.so (building it with `make -C native` on
+first use if a compiler is available) and exposes the decode / resample /
+normalize hot loop as numpy-friendly functions. Every function has a pure
+numpy twin in audio/io.py; `available()` gates the fast path so the
+framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+_SO_PATH = _REPO_ROOT / "native" / "build" / "libaudio_native.so"
+_lib = None
+_load_failed = False
+
+
+def _try_load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if os.environ.get("BIRDNET_TPU_NO_NATIVE"):
+        _load_failed = True
+        return None
+    try:
+        if not _SO_PATH.exists():
+            subprocess.run(["make", "-C", str(_REPO_ROOT / "native")],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_SO_PATH))
+    except Exception:
+        _load_failed = True
+        return None
+
+    lib.wav_native_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long)]
+    lib.wav_native_info.restype = ctypes.c_int
+    lib.wav_native_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float)]
+    lib.wav_native_read.restype = ctypes.c_long
+    lib.resample_poly_native.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+    lib.resample_poly_native.restype = ctypes.c_long
+    lib.peak_normalize_native.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+    lib.peak_normalize_native.restype = ctypes.c_float
+    lib.short_time_energy_native.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float)]
+    lib.short_time_energy_native.restype = ctypes.c_long
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    """True when the native library loaded (or could be built) on this host."""
+    return _try_load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def wav_info(path: str | os.PathLike) -> tuple[int, int, int]:
+    """(sample_rate, channels, frames) of a WAV file."""
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    sr, ch, fr = ctypes.c_int(), ctypes.c_int(), ctypes.c_long()
+    rc = lib.wav_native_info(str(path).encode(), ctypes.byref(sr),
+                             ctypes.byref(ch), ctypes.byref(fr))
+    if rc != 0:
+        raise ValueError(f"cannot parse WAV {path} (rc={rc})")
+    return sr.value, ch.value, fr.value
+
+
+def wav_read(path: str | os.PathLike, start_frame: int = 0,
+             n_frames: int | None = None, downmix: bool = True) -> np.ndarray:
+    """Decode a frame window to mono float32 (C decode loop)."""
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if n_frames is None:
+        _, _, total = wav_info(path)
+        n_frames = total - start_frame
+    out = np.empty(max(0, n_frames), np.float32)
+    got = lib.wav_native_read(str(path).encode(), start_frame, n_frames,
+                              int(downmix), _fptr(out))
+    if got < 0:
+        raise ValueError(f"cannot decode WAV {path} (rc={got})")
+    return out[:got]
+
+
+def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resample matching scipy.signal.resample_poly(x, up, down)."""
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    from math import gcd
+
+    g = gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    x = np.ascontiguousarray(x, np.float32)
+    if up == down:
+        return x
+    n_out = -(-len(x) * up // down)
+    out = np.empty(n_out, np.float32)
+    got = lib.resample_poly_native(_fptr(x), len(x), up, down, _fptr(out))
+    return out[:got]
+
+
+def peak_normalize(x: np.ndarray) -> np.ndarray:
+    """In-place peak normalization; returns the (possibly same) array."""
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    lib.peak_normalize_native(_fptr(x), len(x))
+    return x
+
+
+def short_time_energy(x: np.ndarray, frame_len: int) -> np.ndarray:
+    """Mean-square energy of non-overlapping frames."""
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(len(x) // frame_len, np.float32)
+    lib.short_time_energy_native(_fptr(x), len(x), frame_len, _fptr(out))
+    return out
