@@ -94,6 +94,7 @@ def train_model(
     seed: int = 0,
     loader_tuner: AdaptiveLoaderTuner | None = None,
     qat: bool = False,
+    loss_fn_override=None,
 ) -> tuple[dict, list[dict]]:
     """Run the full training loop.
 
@@ -107,6 +108,8 @@ def train_model(
         batcher: Optional jitted device transform (key, wave, labels) ->
             (model inputs, labels); defaults to plain feature extraction.
         qat: Use the QAT step (STE fake-quant, frozen BN).
+        loss_fn_override: Replace the auto-selected loss (distillation uses
+            this with [B, 2C] concatenated hard+teacher targets).
         Other args mirror the reference trainer's surface.
 
     Returns:
@@ -124,7 +127,7 @@ def train_model(
 
     schedule = cosine_schedule(learning_rate, epochs, steps_per_epoch)
     tx = build_optimizer(optimizer, schedule, weight_decay, gradient_clip_norm)
-    loss_fn = make_loss_fn(
+    loss_fn = loss_fn_override if loss_fn_override is not None else make_loss_fn(
         multilabel=multilabel, focal_gamma=focal_gamma,
         label_smoothing=label_smoothing, class_weights=class_weights,
     )
@@ -178,7 +181,12 @@ def train_model(
 
         train_loss = float(np.mean([float(x) for x in train_losses]))
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
-        auc = macro_roc_auc(np.concatenate(y_true), np.concatenate(y_score)) if y_true else float("nan")
+        if y_true:
+            yt, ys = np.concatenate(y_true), np.concatenate(y_score)
+            # Distillation targets are [B, 2C] (hard ++ teacher); score the hard half.
+            auc = macro_roc_auc(yt[:, : ys.shape[1]], ys)
+        else:
+            auc = float("nan")
         epoch_metrics = {
             "loss": train_loss,
             "val_loss": val_loss,
