@@ -29,6 +29,8 @@ def get_args(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--chunk_overlap", type=float, default=0.0)
     p.add_argument("--csv", default=None, help="optional results CSV path")
+    p.add_argument("--trace_dir", default=None,
+                   help="write a jax.profiler trace of the run (view in TensorBoard/Perfetto)")
     return p.parse_args(argv)
 
 
@@ -135,9 +137,18 @@ def main(argv=None) -> int:
     files = sorted(str(p) for p in Path(args.audio_dir).rglob("*.wav"))
     if not files:
         raise SystemExit(f"no WAV files under {args.audio_dir}")
-    run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
-                  batch_size=args.batch_size, overlap=args.chunk_overlap,
-                  csv_path=args.csv)
+    if args.trace_dir:
+        import jax
+
+        with jax.profiler.trace(args.trace_dir):
+            run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
+                          batch_size=args.batch_size, overlap=args.chunk_overlap,
+                          csv_path=args.csv)
+        print(f"profiler trace -> {args.trace_dir}")
+    else:
+        run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
+                      batch_size=args.batch_size, overlap=args.chunk_overlap,
+                      csv_path=args.csv)
     return 0
 
 

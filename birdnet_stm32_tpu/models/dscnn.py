@@ -58,6 +58,7 @@ class DSCNN(nn.Module):
     use_inverted_residual: bool = True
     expansion_factor: int = 2
     use_attention_pooling: bool = False
+    learn_mel_scale: bool = False  # hybrid-only: learnable mel breakpoints
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_embeddings: bool = False,
@@ -89,6 +90,7 @@ class DSCNN(nn.Module):
             chunk_duration=self.chunk_duration,
             fft_length=self.fft_length,
             mag_scale=self.mag_scale if frontend_mode != "precomputed" else "none",
+            learn_mel_scale=self.learn_mel_scale,
             name="audio_frontend",
         )(x, train=train, freeze_bn=freeze_bn)
 
@@ -136,7 +138,8 @@ class DSCNN(nn.Module):
         return y
 
 
-def build_dscnn(cfg: ModelConfig, class_activation: str = "softmax") -> DSCNN:
+def build_dscnn(cfg: ModelConfig, class_activation: str = "softmax",
+                learn_mel_scale: bool = False) -> DSCNN:
     """Construct a DSCNN from a ModelConfig (raw-length guard included)."""
     if cfg.audio_frontend == "raw" and cfg.chunk_samples >= RAW_MAX_SAMPLES:
         raise ValueError(
@@ -162,6 +165,7 @@ def build_dscnn(cfg: ModelConfig, class_activation: str = "softmax") -> DSCNN:
         use_inverted_residual=cfg.use_inverted_residual,
         expansion_factor=cfg.expansion_factor,
         use_attention_pooling=cfg.use_attention_pooling,
+        learn_mel_scale=learn_mel_scale,
         class_activation=class_activation,
     )
 

@@ -1,0 +1,57 @@
+"""Firmware header generation tests (reference gen_app_config.py contract)."""
+
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.deploy.headers import (
+    generate_app_config_h,
+    generate_app_labels_h,
+    write_headers,
+)
+
+
+def cfg(**kw):
+    base = dict(sample_rate=22050, num_mels=64, spec_width=256, fft_length=512,
+                chunk_duration=3.0, hop_length=258, embeddings_size=256,
+                num_classes=3, class_names=["a", "b", "c"],
+                audio_frontend="hybrid", mag_scale="pwl")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_app_config_defines():
+    h = generate_app_config_h(cfg())
+    for needle in (
+        "#define APP_SAMPLE_RATE       22050",
+        "#define APP_CHUNK_DURATION    3",          # integer literal for whole seconds
+        "#define APP_CHUNK_SAMPLES     66150",
+        "#define APP_FFT_LENGTH        512",
+        "#define APP_HOP_LENGTH        258",
+        "#define APP_SPEC_WIDTH        256",
+        "#define APP_NUM_MELS          64",
+        "#define APP_NUM_CLASSES       3",
+        "#define APP_AUDIO_FRONTEND        APP_FRONTEND_HYBRID",
+        "#ifndef APP_CONFIG_H",
+    ):
+        assert needle in h, needle
+
+
+def test_frontend_mapping_and_float_duration():
+    h = generate_app_config_h(cfg(audio_frontend="librosa", chunk_duration=2.5,
+                                  sample_rate=24000))
+    assert "APP_FRONTEND_PRECOMPUTED" in h
+    assert "#define APP_CHUNK_DURATION    2.5" in h
+    h = generate_app_config_h(cfg(audio_frontend="raw", sample_rate=24000,
+                                  chunk_duration=2.0))
+    assert "APP_AUDIO_FRONTEND        APP_FRONTEND_RAW" in h
+
+
+def test_labels_header_escaping():
+    h = generate_app_labels_h(['Corvus "crow"', "back\\slash", "plain"])
+    assert '"Corvus \\"crow\\""' in h
+    assert '"back\\\\slash"' in h
+    assert "#define APP_NUM_CLASSES_ACTUAL 3" in h
+
+
+def test_write_headers(tmp_path):
+    p1, p2 = write_headers(cfg(), ["a", "b", "c"], tmp_path)
+    assert p1.read_text().startswith("/* Auto-generated")
+    assert "APP_LABELS[]" in p2.read_text()

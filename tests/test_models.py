@@ -114,3 +114,38 @@ def test_train_mode_runs_with_dropout_rng():
     y, updates = fwd(variables, jnp.ones((4, *cfg.input_shape())), jax.random.key(1))
     assert y.shape == (4, 3)
     assert "batch_stats" in updates
+
+
+def test_learnable_mel_scale():
+    """Hybrid with learn_mel_scale: breakpoint logits replace the mel mixer,
+    gradients flow, and zero logits give a valid column-normalized triangle
+    basis (reference frontend.py:188-255)."""
+    cfg = tiny_cfg(audio_frontend="hybrid", mag_scale="none")
+    model = build_dscnn(cfg, class_activation="none", learn_mel_scale=True)
+    variables = init_model(model, cfg)
+    fe = variables["params"]["audio_frontend"]
+    assert "mel_seg_logits" in fe and "mel_mixer" not in fe
+    assert fe["mel_seg_logits"].shape == (cfg.num_mels + 1,)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, *cfg.input_shape())).astype(np.float32))
+    y = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    assert y.shape == (2, cfg.num_classes)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+    def loss(params):
+        return model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                           x, train=False).sum()
+
+    g = jax.grad(loss)(variables["params"])
+    assert float(jnp.abs(g["audio_frontend"]["mel_seg_logits"]).sum()) > 0
+
+    # The zero-logit triangle basis itself: columns sum to 1.
+    fe_mod = model.bind(variables).audio_frontend  # noqa: F841 (bind smoke)
+    from birdnet_stm32_tpu.models.frontend_layer import AudioFrontend
+
+    af = AudioFrontend(mode="hybrid", mel_bins=cfg.num_mels, spec_width=cfg.spec_width,
+                       sample_rate=cfg.sample_rate, fft_length=cfg.fft_length,
+                       learn_mel_scale=True)
+    tri = af._tri_matrix(jnp.zeros((cfg.num_mels + 1,)))
+    assert tri.shape == (cfg.fft_bins, cfg.num_mels)
+    np.testing.assert_allclose(np.asarray(tri.sum(axis=0)), 1.0, atol=1e-3)
