@@ -23,31 +23,57 @@ import jax.numpy as jnp
 
 
 class FlaxRunner:
-    """Float32 forward over {params, batch_stats} variables."""
+    """Float32 forward over {params, batch_stats} variables.
 
-    def __init__(self, model, variables, cfg=None):
+    With a mesh, parameters are replicated and the batch sharded
+    (parallel/steps.py::make_infer_fn).
+    """
+
+    def __init__(self, model, variables, cfg=None, mesh=None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
-        self._fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        self.mesh = mesh
+        if mesh is not None:
+            from birdnet_stm32_tpu.parallel.steps import make_infer_fn
+
+            self._infer = make_infer_fn(model, variables, mesh=mesh)
+        else:
+            fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+            self._infer = lambda x: fn(self.variables, x)
 
     def predict(self, x_batch: np.ndarray) -> np.ndarray:
-        return np.asarray(self._fn(self.variables, jnp.asarray(x_batch)))
+        return np.asarray(self._infer(jnp.asarray(x_batch)))
 
 
 class TFLiteSimRunner:
-    """INT8 integer-graph executor built from a .tflite flatbuffer."""
+    """INT8 integer-graph executor built from a .tflite flatbuffer.
 
-    def __init__(self, tflite_path: str | Path):
+    With a mesh, the batch is sharded across devices (weights are jaxpr
+    constants, replicated by GSPMD) — the v5e-8 serving configuration from
+    BASELINE.json. Batches must then be divisible by the mesh size (pad via
+    parallel.mesh.pad_to_multiple).
+    """
+
+    def __init__(self, tflite_path: str | Path, mesh=None, requant: str = "exact"):
         from birdnet_stm32_tpu.quant.tflite_import import TFLiteGraph, build_executor
 
         self.graph = TFLiteGraph(str(tflite_path))
+        self.mesh = mesh
+        self._requant = requant
         self._build_executor = build_executor
         self._fns: dict[int, callable] = {}
 
     def _fn_for(self, batch: int):
         if batch not in self._fns:
-            self._fns[batch] = jax.jit(self._build_executor(self.graph, batch))
+            fn = self._build_executor(self.graph, batch, requant=self._requant)
+            if self.mesh is not None:
+                from birdnet_stm32_tpu.parallel.mesh import batch_sharding
+
+                data = batch_sharding(self.mesh)
+                self._fns[batch] = jax.jit(fn, in_shardings=(data,), out_shardings=data)
+            else:
+                self._fns[batch] = jax.jit(fn)
         return self._fns[batch]
 
     def predict(self, x_batch: np.ndarray) -> np.ndarray:

@@ -154,6 +154,6 @@ def make_infer_fn(model, variables, mesh: Mesh | None = None):
         return lambda x: infer(variables, x)
 
     rep, data = replicated(mesh), batch_sharding(mesh)
-    infer_sharded = jax.jit(infer, in_shardings=(rep, data), out_shardings=(data,))
+    infer_sharded = jax.jit(infer, in_shardings=(rep, data), out_shardings=data)
     v = jax.device_put(variables, rep)
     return lambda x: infer_sharded(v, x)

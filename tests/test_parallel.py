@@ -113,3 +113,38 @@ def test_pad_to_multiple():
     assert real == 13
     assert padded["x"].shape == (16, 3)
     assert padded["x"][13:].sum() == 0
+
+
+def test_sharded_runners_match_single_device(tmp_path):
+    """Mesh-sharded FlaxRunner and INT8 TFLiteSimRunner produce the same
+    scores as their single-device counterparts (8-device CPU mesh)."""
+    import pytest
+
+    tf = pytest.importorskip("tensorflow")  # noqa: F841 (export path needs TF)
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner, TFLiteSimRunner
+    from birdnet_stm32_tpu.parallel.mesh import make_mesh
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=3,
+                      class_names=["a", "b", "c"], audio_frontend="hybrid",
+                      mag_scale="pwl", alpha=0.25)
+    model = build_dscnn(cfg)
+    variables = init_model(model, cfg, jax.random.key(0))
+    mesh = make_mesh()
+    x = np.random.default_rng(0).uniform(0, 1, (16, *cfg.input_shape())).astype(np.float32)
+
+    plain = FlaxRunner(model, variables, cfg).predict(x)
+    sharded = FlaxRunner(model, variables, cfg, mesh=mesh).predict(x)
+    np.testing.assert_allclose(sharded, plain, atol=1e-5)
+
+    calib = np.random.default_rng(1).uniform(0, 1, (8, *cfg.input_shape())).astype(np.float32)
+    tfl = tmp_path / "m.tflite"
+    tfl.write_bytes(convert_to_tflite(variables, cfg, calib, quantize="int8"))
+    plain_q = TFLiteSimRunner(tfl).predict(x)
+    sharded_q = TFLiteSimRunner(tfl, mesh=mesh).predict(x)
+    np.testing.assert_array_equal(sharded_q, plain_q)  # integer graph: bit-equal
