@@ -33,6 +33,8 @@ def get_args(argv=None):
     p.add_argument("--output_dir", default=None)
     p.add_argument("--save_csv", action="store_true")
     p.add_argument("--save_html", action="store_true")
+    p.add_argument("--save_plots", action="store_true",
+                   help="confusion-matrix PNG (and DET PNG with --det_curve)")
     p.add_argument("--save_benchmark_json", action="store_true")
     return p.parse_args(argv)
 
@@ -106,6 +108,9 @@ def main(argv=None) -> int:
         far, frr = M.compute_det_curve(y_true, y_scores)
         R.print_ascii_det_curve(far, frr)
         R.save_det_curve_plot(far, frr, out_dir / "det_curve.png")
+    if args.save_plots:
+        R.save_confusion_matrix_plot(y_true, y_scores, classes,
+                                     out_dir / "confusion_matrix.png")
     if args.save_csv:
         R.save_predictions_csv(per_file, classes, out_dir / "predictions.csv")
         R.save_species_report_csv(species_data, out_dir / "species_report.csv")
