@@ -81,12 +81,59 @@ class TFLiteSimRunner:
         return np.asarray(self._fn_for(x.shape[0])(x))
 
 
+class TFLiteInterpreterRunner:
+    """TFLite interpreter fallback for graphs the integer executor cannot
+    run on-device (dynamic-range / float exports). Reference runners.py:48-95
+    semantics: builtin ops, no delegates, dynamic batch resize."""
+
+    def __init__(self, tflite_path: str | Path):
+        import tensorflow as tf
+
+        self._interp = tf.lite.Interpreter(model_path=str(tflite_path))
+        self._interp.allocate_tensors()
+        self._batch = self._interp.get_input_details()[0]["shape"][0]
+
+    def _invoke(self, x: np.ndarray) -> np.ndarray:
+        inp = self._interp.get_input_details()[0]
+        if inp["shape"][0] != x.shape[0]:
+            self._interp.resize_tensor_input(inp["index"], (x.shape[0], *inp["shape"][1:]))
+            self._interp.allocate_tensors()
+            inp = self._interp.get_input_details()[0]
+        self._interp.set_tensor(inp["index"], x)
+        self._interp.invoke()
+        return np.asarray(self._interp.get_tensor(self._interp.get_output_details()[0]["index"]))
+
+    def predict(self, x_batch: np.ndarray) -> np.ndarray:
+        x = np.asarray(x_batch, np.float32)
+        try:
+            return self._invoke(x)
+        except RuntimeError:
+            # Some graphs refuse dynamic batch resize under the XNNPack
+            # delegate; fall back to per-sample invocation.
+            return np.concatenate([self._invoke(x[i : i + 1]) for i in range(x.shape[0])])
+
+
+def _is_full_int8(graph) -> bool:
+    """True when every conv/FC in the graph carries int8 quantization."""
+    for op in graph.ops:
+        if op.name in ("CONV_2D", "DEPTHWISE_CONV_2D", "FULLY_CONNECTED"):
+            for idx in op.inputs[:2]:
+                t = graph.tensors[idx]
+                if t.dtype != "int8" or t.scale is None:
+                    return False
+    return True
+
+
 def load_model_runner(model_path: str | Path, config_path: str | Path | None = None):
     """Dispatch on extension: .keras -> transplant + FlaxRunner, .tflite ->
-    TFLiteSimRunner, directory -> orbax checkpoint (this framework's own)."""
+    TFLiteSimRunner (full-int8) or interpreter fallback, directory -> this
+    framework's own checkpoint."""
     p = Path(model_path)
     if p.suffix == ".tflite":
-        return TFLiteSimRunner(p)
+        sim = TFLiteSimRunner(p)
+        if _is_full_int8(sim.graph):
+            return sim
+        return TFLiteInterpreterRunner(p)
     if p.suffix == ".keras":
         from birdnet_stm32_tpu.models.transplant import load_reference_model
 

@@ -95,3 +95,46 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert csv_path.exists()
     header = csv_path.read_text().splitlines()[0]
     assert header.startswith("file,chunks,top1")
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+def test_evaluate_tflite_runners(wav_dataset, tmp_path, capsys):
+    """Evaluate both a dynamic-range tflite (interpreter fallback) and a
+    full-int8 tflite (on-device executor) through the CLI."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import (
+        TFLiteInterpreterRunner,
+        TFLiteSimRunner,
+        load_model_runner,
+    )
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                      class_names=["bird_a", "bird_b"], audio_frontend="hybrid",
+                      mag_scale="pwl", alpha=0.25)
+    model = build_dscnn(cfg)
+    v = init_model(model, cfg, jax.random.key(0))
+    calib = np.random.default_rng(0).uniform(0, 1, (8, *cfg.input_shape())).astype(np.float32)
+
+    dyn = tmp_path / "dyn.tflite"
+    dyn.write_bytes(convert_to_tflite(v, cfg, calib, quantize="dynamic"))
+    assert isinstance(load_model_runner(dyn), TFLiteInterpreterRunner)
+
+    q = tmp_path / "int8.tflite"
+    q.write_bytes(convert_to_tflite(v, cfg, calib, quantize="int8"))
+    assert isinstance(load_model_runner(q), TFLiteSimRunner)
+
+    cfg_path = tmp_path / "model_config.json"
+    cfg.save(cfg_path)
+    for m in (dyn, q):
+        assert dispatch(["evaluate", "--model_path", str(m),
+                         "--data_path_test", str(root),
+                         "--config_path", str(cfg_path),
+                         "--output_dir", str(tmp_path / f"eval_{m.stem}")]) == 0
+        assert "roc-auc" in capsys.readouterr().out
