@@ -353,6 +353,61 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
     T = graph.tensors
     _requant_op = _requant_exact if requant == "exact" else _requant_fast
 
+    # --- Transpose elision pre-pass --------------------------------------
+    # TFLite graphs converted from NHWC-with-frontend Keras models carry
+    # TRANSPOSE -> (identity STRIDED_SLICE) -> CONV chains. Materializing
+    # the transpose of a [B, H, W, 1] int8 tensor costs ~10% of the whole
+    # model on TPU (terrible lane utilization); instead the conv consumes
+    # the untransposed tensor with adjusted dimension numbers (bit-exact:
+    # only the physical layout changes).
+    _consumers: dict[int, list[int]] = {}
+    for _i, _op in enumerate(graph.ops):
+        for _t in _op.inputs:
+            _consumers.setdefault(_t, []).append(_i)
+
+    def _slice_is_identity(op) -> bool:
+        t_in, t_out = graph.tensors[op.inputs[0]], graph.tensors[op.outputs[0]]
+        if t_in.shape != t_out.shape or op.options.get("shrink_axis_mask"):
+            return False
+        begin = np.asarray(graph.tensors[op.inputs[1]].data)
+        strides = np.asarray(graph.tensors[op.inputs[3]].data)
+        end = np.asarray(graph.tensors[op.inputs[2]].data)
+        bm, em = op.options["begin_mask"], op.options["end_mask"]
+        for d, dim in enumerate(t_in.shape):
+            b = 0 if (bm >> d) & 1 else int(begin[d])
+            e = dim if (em >> d) & 1 else int(end[d])
+            if b != 0 or e != dim or int(strides[d]) != 1:
+                return False
+        return True
+
+    # op index -> "alias" (forward input unchanged); tensor -> pending perm.
+    _alias_ops: set[int] = set()
+    _pending_perm: dict[int, tuple] = {}
+    for _i, _op in enumerate(graph.ops):
+        if _op.name != "TRANSPOSE" or graph.tensors[_op.inputs[1]].data is None:
+            continue
+        perm = tuple(int(p) for p in graph.tensors[_op.inputs[1]].data)
+        if len(perm) != 4 or perm[0] != 0:
+            continue
+        chain = [_i]
+        t = _op.outputs[0]
+        ok = False
+        while True:
+            cons = _consumers.get(t, [])
+            if len(cons) != 1:
+                break
+            nxt = graph.ops[cons[0]]
+            if nxt.name == "STRIDED_SLICE" and _slice_is_identity(nxt) and nxt.inputs[0] == t:
+                chain.append(cons[0])
+                t = nxt.outputs[0]
+                continue
+            ok = nxt.name in ("CONV_2D", "DEPTHWISE_CONV_2D") and nxt.inputs[0] == t
+            break
+        if ok:
+            _alias_ops.update(chain)
+            for ci in chain:
+                _pending_perm[graph.ops[ci].outputs[0]] = perm
+
     def tshape(idx):
         s = list(T[idx].shape)
         if s and s[0] == 1:
@@ -391,9 +446,15 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
 
         vals[graph.inputs[0]] = x
 
-        for op in graph.ops:
+        for op_index, op in enumerate(graph.ops):
             name, ins, outs = op.name, op.inputs, op.outputs
             o = outs[0]
+
+            if op_index in _alias_ops:
+                # Elided TRANSPOSE / identity slice: forward the untransposed
+                # value; the consuming conv adjusts its dimension numbers.
+                vals[o] = get(ins[0])
+                continue
 
             if name == "QUANTIZE":
                 src = get(ins[0])
@@ -470,27 +531,37 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 sh, swd = op.options["strides"]
                 dil = op.options.get("dilation", (1, 1))
 
+                # Physical axis of each logical NHWC axis (transpose elision).
+                perm = _pending_perm.get(ins[0], (0, 1, 2, 3))
+
                 if name == "CONV_2D":
                     rhs = jnp.asarray(np.transpose(w, (1, 2, 3, 0)))  # HWIO
                     groups = 1
                     w_sum = w.astype(np.int64).sum(axis=(1, 2, 3))  # [O]
                 else:
                     rhs = jnp.asarray(np.transpose(w, (1, 2, 0, 3)))  # [kh,kw,1,C]
-                    groups = xin.shape[-1]
+                    groups = xin.shape[perm[3]]
                     w_sum = w.astype(np.int64).sum(axis=(0, 1, 2))  # [C]
 
                 kh, kw = rhs.shape[0], rhs.shape[1]
                 if op.options["padding"] == "SAME":
-                    ph = _tf_same_pads(xin.shape[1], kh, sh, dil[0])
-                    pw = _tf_same_pads(xin.shape[2], kw, swd, dil[1])
-                    xin = jnp.pad(xin, ((0, 0), ph, pw, (0, 0)), constant_values=np.int8(in_zp))
+                    ph = _tf_same_pads(xin.shape[perm[1]], kh, sh, dil[0])
+                    pw = _tf_same_pads(xin.shape[perm[2]], kw, swd, dil[1])
+                    padcfg = [(0, 0)] * 4
+                    padcfg[perm[1]], padcfg[perm[2]] = ph, pw
+                    xin = jnp.pad(xin, padcfg, constant_values=np.int8(in_zp))
 
+                dn = lax.ConvDimensionNumbers(
+                    lhs_spec=(perm[0], perm[3], perm[1], perm[2]),
+                    rhs_spec=(3, 2, 0, 1),   # HWIO
+                    out_spec=(0, 3, 1, 2),   # NHWC
+                )
                 acc = lax.conv_general_dilated(
                     xin, rhs,
                     window_strides=(sh, swd),
                     padding="VALID",
                     rhs_dilation=dil,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    dimension_numbers=dn,
                     feature_group_count=groups,
                     preferred_element_type=jnp.int32,
                 )
