@@ -116,9 +116,13 @@ def build_loaders(args, cfg, for_qat: bool = False):
         num_classes=len(class_names), max_chunks_per_file=args.max_chunks_per_file,
         snr_threshold=args.snr_threshold, seed=args.seed,
     )
+    from birdnet_stm32_tpu.parallel.distributed import host_shard
+
+    shard, num_shards = host_shard()
     train_loader = AudioLoader(
         paths, one_hot_labels(labels, class_names), lcfg,
-        batch_size=args.batch_size, num_workers=args.num_workers)
+        batch_size=args.batch_size, num_workers=args.num_workers,
+        shard_index=shard, num_shards=num_shards)
     val_loader = AudioLoader(
         val_paths, one_hot_labels(val_labels, class_names), lcfg,
         batch_size=args.batch_size, num_workers=args.num_workers,

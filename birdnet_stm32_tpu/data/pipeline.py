@@ -122,6 +122,10 @@ class AudioLoader:
     infinite: bool = True
     reservoir_size: int = 1024
     loader_control: dict = field(default_factory=lambda: {"max_inflight_files": 64})
+    # Multi-host sharding: each host iterates a disjoint slice of the file
+    # list (SURVEY.md section 5.8 -- input pipeline sharded per host, DCN-free).
+    shard_index: int = 0
+    num_shards: int = 1
 
     def __post_init__(self):
         assert len(self.paths) == len(self.labels)
@@ -143,6 +147,8 @@ class AudioLoader:
                 order = np.arange(len(self.paths))
                 if self.shuffle:
                     self._rng.shuffle(order)
+                if self.num_shards > 1:
+                    order = order[self.shard_index :: self.num_shards]
                 for i in order:
                     yield (self.paths[i], self.labels[i], self.cfg, epoch * len(self.paths) + int(i))
                 epoch += 1

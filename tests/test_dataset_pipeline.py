@@ -133,3 +133,25 @@ def test_train_batcher_raw_frontend(wav_dataset):
     lab = np.eye(2, dtype=np.float32)[np.arange(8) % 2]
     x, _ = batcher(jax.random.key(0), wave, lab)
     assert x.shape == (8, sr, 1)
+
+
+def test_loader_host_sharding(wav_dataset):
+    """Shards iterate disjoint file subsets covering the whole list
+    (multi-host input pipeline, SURVEY.md section 5.8)."""
+    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory, one_hot_labels
+    from birdnet_stm32_tpu.data.pipeline import AudioLoader, LoaderConfig
+
+    root, sr = wav_dataset
+    paths, labels, classes = load_file_paths_from_directory(root)
+    lcfg = LoaderConfig(sample_rate=4000, chunk_duration=1.0, num_classes=len(classes),
+                        max_chunks_per_file=1, snr_threshold=0.0, seed=7)
+    seen = []
+    for shard in range(2):
+        loader = AudioLoader(paths, one_hot_labels(labels, classes), lcfg,
+                             batch_size=1, num_workers=0, shuffle=True,
+                             infinite=False, shard_index=shard, num_shards=2)
+        # Count samples drawn per shard (one chunk per file).
+        n = sum(x.shape[0] for x, _ in loader)
+        seen.append(n)
+    assert sum(seen) == len(paths)
+    assert all(n > 0 for n in seen)
