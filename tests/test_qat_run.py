@@ -73,3 +73,30 @@ def test_run_qat_end_to_end(tmp_path):
     assert rcfg.num_classes == 2
     np.testing.assert_array_equal(np.asarray(reloaded["params"]["pred"]["kernel"]),
                                   np.asarray(best["params"]["pred"]["kernel"]))
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+def test_qat_then_convert(tmp_path):
+    """The reference deployment workflow: train -> QAT fine-tune -> INT8
+    export with the cosine gate (qat.py:171-306 + cli/convert.py)."""
+    from birdnet_stm32_tpu.conversion.pipeline import convert_model
+
+    cfg = tiny_cfg(audio_frontend="hybrid", mag_scale="pwl")
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg, jax.random.key(3))
+    run_dir = tmp_path / "run"
+    save_checkpoint(run_dir, jax.device_get(variables), cfg)
+
+    batches = toy_batches(cfg)
+    val = [next(batches) for _ in range(2)]
+    run_qat(run_dir, batches, lambda: iter(val), num_classes=2,
+            epochs=1, steps_per_epoch=4, learning_rate=1e-4)
+
+    qat_model, qat_vars, qat_cfg = load_checkpoint(tmp_path / "run_qat")
+    calib = np.random.default_rng(0).uniform(0, 1, (12, *qat_cfg.input_shape())).astype(np.float32)
+    report = convert_model(qat_model, qat_vars, qat_cfg,
+                           tmp_path / "qat_quantized.tflite",
+                           calibration_inputs=calib, min_cosine_sim=0.90,
+                           num_validation_samples=8)
+    assert report["validation"]["cosine_mean"] >= 0.90
