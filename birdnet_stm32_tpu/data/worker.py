@@ -1,0 +1,88 @@
+"""JAX-free worker half of the input pipeline.
+
+Lives in its own module so pool workers can be started with the `spawn`
+context (safe with a multithreaded JAX parent — fork after JAX init risks
+deadlock) without re-importing JAX: this module's import graph is
+numpy/scipy/audio only.
+"""
+
+from __future__ import annotations
+
+import signal
+from dataclasses import dataclass
+
+import numpy as np
+
+from birdnet_stm32_tpu.audio.activity import get_activity_ratio, smart_crop
+from birdnet_stm32_tpu.audio.io import (
+    estimate_num_chunks,
+    load_audio_window,
+    split_audio_into_chunks,
+)
+
+
+@dataclass
+class LoaderConfig:
+    """Picklable worker configuration (generator.py:302-324 analog)."""
+
+    sample_rate: int = 24000
+    chunk_duration: float = 3.0
+    num_classes: int = 0
+    max_chunks_per_file: int = 2
+    candidate_chunks_per_file: int | None = None
+    snr_threshold: float = 0.25
+    random_offset: bool = True
+    load_duration: float | None = 30.0
+    seed: int = 0
+
+    def resolved_candidates(self) -> int:
+        if self.candidate_chunks_per_file is not None:
+            return self.candidate_chunks_per_file
+        return min(8, max(4, self.max_chunks_per_file * 2))
+
+
+def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
+    """Worker: one file -> list of (waveform chunk [T], label [C]).
+
+    Failed loads return one random-noise chunk with an all-zero label.
+    """
+    path, label, cfg, salt = task
+    rng = np.random.default_rng((cfg.seed + salt) & 0xFFFFFFFF)
+    T = int(cfg.sample_rate * cfg.chunk_duration)
+    try:
+        audio = load_audio_window(
+            path, sample_rate=cfg.sample_rate, max_duration=cfg.load_duration,
+            chunk_duration=cfg.chunk_duration, random_offset=cfg.random_offset, rng=rng,
+        )
+    except Exception:
+        return None
+
+    if audio.size == 0:
+        chunk = rng.uniform(-1.0, 1.0, T).astype(np.float32)
+        return [(chunk, np.zeros(cfg.num_classes, np.float32))]
+
+    n_candidates = cfg.resolved_candidates()
+    if estimate_num_chunks(audio.shape[0], cfg.sample_rate, cfg.chunk_duration) > n_candidates:
+        chunks = smart_crop(audio, cfg.sample_rate, cfg.chunk_duration, max_chunks=n_candidates)
+    else:
+        chunks = list(split_audio_into_chunks(audio, cfg.sample_rate, cfg.chunk_duration))
+    if not chunks:
+        return None
+
+    # Activity-rank (keep at least one), take the top max_chunks.
+    activity = np.array([get_activity_ratio(c) for c in chunks])
+    order = np.argsort(activity)[::-1]
+    kept = [chunks[i] for i in order if activity[i] >= cfg.snr_threshold] or [chunks[order[0]]]
+    selected = kept[: cfg.max_chunks_per_file]
+
+    out = []
+    for c in selected:
+        x = c[:T]
+        if x.shape[0] < T:
+            x = np.pad(x, (0, T - x.shape[0]))
+        out.append((x.astype(np.float32), label.astype(np.float32)))
+    return out
+
+
+def worker_init():
+    signal.signal(signal.SIGINT, signal.SIG_IGN)
