@@ -34,55 +34,11 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def make_fused_classifier(runner, cfg):
-    """waveform batch -> scores in ONE device dispatch when possible.
-
-    The frontend and the model fuse into a single jit for FlaxRunner and the
-    INT8 executor (one XLA program: STFT matmuls -> integer graph), avoiding
-    a host round-trip between the stages — on tunneled backends each
-    blocking transfer costs ~28 ms. Falls back to two stages for runners
-    that are not jittable (TFLite interpreter).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
-
-    if hasattr(runner, "graph"):  # TFLiteSimRunner: fuse executor + frontend
-        from birdnet_stm32_tpu.quant.tflite_import import build_executor
-
-        fns = {}
-
-        def classify(wave: np.ndarray) -> np.ndarray:
-            b = wave.shape[0]
-            if b not in fns:
-                fwd = build_executor(runner.graph, batch_size=b)
-                fns[b] = jax.jit(lambda w: fwd(inputs_for_config(w, cfg)))
-            return np.asarray(fns[b](jnp.asarray(wave)))
-
-        return classify
-
-    if hasattr(runner, "model"):  # FlaxRunner
-        fused = jax.jit(lambda v, w: runner.model.apply(
-            v, inputs_for_config(w, cfg), train=False))
-
-        def classify(wave: np.ndarray) -> np.ndarray:
-            return np.asarray(fused(runner.variables, jnp.asarray(wave)))
-
-        return classify
-
-    frontend = jax.jit(lambda w: inputs_for_config(w, cfg))
-
-    def classify(wave: np.ndarray) -> np.ndarray:
-        return np.asarray(runner.predict(np.asarray(frontend(jnp.asarray(wave)))))
-
-    return classify
-
-
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
                   overlap=0.0, csv_path=None) -> dict:
     """Drive the batched inference loop and print the [BENCH] protocol."""
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
 
     classify = make_fused_classifier(runner, cfg)
     print("[info] frontend+model fused into one device dispatch; "

@@ -84,6 +84,10 @@ def evaluate(
     file_records: list[tuple[str, str, np.ndarray]] = []  # (path, label, target)
     chunk_scores_per_file: dict[int, list[np.ndarray]] = {}
 
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+
+    classify = make_fused_classifier(runner, cfg)
+
     def flush(force=False):
         nonlocal total_chunks
         while pending_chunks and (force or len(pending_chunks) >= batch_size):
@@ -91,9 +95,11 @@ def evaluate(
             meta = pending_meta[:batch_size]
             del pending_chunks[:batch_size], pending_meta[:batch_size]
             wave = np.stack(take)
-            x = np.asarray(inputs_for_config(jnp.asarray(wave), cfg))
+            # Pad to the fixed batch size: one compiled shape for all files.
+            if wave.shape[0] < batch_size:
+                wave = np.pad(wave, ((0, batch_size - wave.shape[0]), (0, 0)))
             t0 = time.perf_counter()
-            scores = np.asarray(runner.predict(x))
+            scores = classify(wave)[: len(take)]
             if measure_latency:
                 per_chunk_ms = (time.perf_counter() - t0) * 1000.0 / len(take)
                 latencies.extend([per_chunk_ms] * len(take))
