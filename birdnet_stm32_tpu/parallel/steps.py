@@ -104,6 +104,10 @@ def make_train_step(
             keep = frontend_freeze_mask(state.params, frontend_trainable)
             grads = jax.tree_util.tree_map(lambda g, k: g * k, grads, keep)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if not frontend_trainable:
+            # Also mask the updates: decoupled weight decay (adamw) would
+            # otherwise still move the frozen frontend parameters.
+            updates = jax.tree_util.tree_map(lambda u, k: u * k, updates, keep)
         params = optax.apply_updates(state.params, updates)
         params = _project_nonneg_mel_mixer(params)
         new_state = state.replace(

@@ -148,3 +148,41 @@ def test_sharded_runners_match_single_device(tmp_path):
     plain_q = TFLiteSimRunner(tfl).predict(x)
     sharded_q = TFLiteSimRunner(tfl, mesh=mesh).predict(x)
     np.testing.assert_array_equal(sharded_q, plain_q)  # integer graph: bit-equal
+
+
+def test_frontend_freeze_survives_adamw_decay():
+    """frontend_trainable=False keeps frontend params bit-identical even
+    under adamw's decoupled weight decay."""
+    import jax
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.parallel.steps import TrainState, make_train_step
+    from birdnet_stm32_tpu.training.losses import make_loss_fn
+    from birdnet_stm32_tpu.training.optimizer import build_optimizer
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                      class_names=["a", "b"], audio_frontend="hybrid",
+                      mag_scale="pwl", alpha=0.25, frontend_trainable=False)
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg, jax.random.key(0))
+    tx = build_optimizer("adamw", 1e-2, weight_decay=1e-2)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, make_loss_fn(), mesh=None,
+                           frontend_trainable=False, donate=False)
+    x = jnp.ones((4, *cfg.input_shape()))
+    y = jnp.asarray(np.eye(2, dtype=np.float32)[[0, 1, 0, 1]])
+    before = jax.device_get(state.params["audio_frontend"])
+    for _ in range(3):
+        state, _ = step(state, x, y, jax.random.key(1))
+    after = jax.device_get(state.params["audio_frontend"])
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(before)[0],
+        jax.tree_util.tree_flatten_with_path(after)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+    # Backbone did train.
+    assert not np.array_equal(np.asarray(state.params["pred"]["kernel"]),
+                              np.asarray(variables["params"]["pred"]["kernel"]))
