@@ -47,6 +47,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     per_file_rows = []
     t_read = t_frontend = t_model = 0.0
     total_chunks = 0
+    audio_s = 0.0
     t_all0 = time.perf_counter()
 
     for path in files:
@@ -73,6 +74,13 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
             scores.append(s)
         scores = np.concatenate(scores)
         total_chunks += len(chunks)
+        # True audio seconds (with overlap, chunks double-count time).
+        try:
+            from birdnet_stm32_tpu.audio.io import wav_info
+
+            audio_s += wav_info(path).duration
+        except Exception:
+            audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
         pooled = scores.mean(axis=0)
         read_ms = (t1 - t0) * 1000.0
         fe_ms, mdl_ms = fe_s * 1000.0, mdl_s * 1000.0
@@ -94,7 +102,6 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
 
     wall_s = time.perf_counter() - t_all0
     n = max(1, len(per_file_rows))
-    audio_s = total_chunks * cfg.chunk_duration
     rtf = audio_s / wall_s if wall_s > 0 else float("inf")
     print("=== DONE ===")
     print(f"files: {len(per_file_rows)}  chunks: {total_chunks}")
@@ -103,7 +110,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     print(f"wall: {wall_s:.2f} s  audio: {audio_s:.1f} s  real-time factor: {rtf:.1f}x")
     print(f"throughput: {total_chunks / wall_s:.1f} chunks/s (decode included)")
 
-    if csv_path:
+    if csv_path and per_file_rows:
         import csv as _csv
 
         with open(csv_path, "w", newline="") as f:

@@ -55,13 +55,18 @@ def main(argv=None) -> int:
 
     paths, labels, _ = load_file_paths_from_directory(args.data_path,
                                                       classes=cfg.class_names)
+    # Export with the activation the checkpoint was trained for (multilabel
+    # checkpoints serve sigmoid; the float validation runner matches).
+    class_activation = getattr(model, "class_activation", "softmax")
     report = convert_model(
         model, variables, cfg, out_path,
         calibration_paths=paths, calibration_labels=labels,
         calibration_per_class=args.calibration_per_class,
+        num_calibration_samples=args.num_calibration_samples,
         quantize=args.quantize, per_channel=not args.per_tensor,
         min_cosine_sim=args.min_cosine_sim,
         num_validation_seeds=args.num_validation_seeds,
+        class_activation=class_activation,
         save_npz=not args.no_npz, seed=args.seed)
     ok("convert", f"{out_path} ({report['tflite_bytes']:,} B, "
                   f"{report['compression_ratio']:.1f}x compression)")

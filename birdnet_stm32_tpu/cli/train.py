@@ -71,6 +71,7 @@ def get_args(argv=None):
     p.add_argument("--no_mesh", action="store_true", help="single-device (skip data-parallel mesh)")
     # Mode dispatch (reference cli/train.py:303-321)
     p.add_argument("--qat", action="store_true", help="QAT fine-tune an existing run_dir checkpoint")
+    p.add_argument("--qat_learning_rate", type=float, default=1e-5)
     p.add_argument("--linear_probe", action="store_true", help="retrain only the head on the new data")
     p.add_argument("--find_lr", action="store_true", help="run the LR finder and exit")
     p.add_argument("--tune", type=int, default=0, metavar="N", help="random-search N trials")
@@ -166,7 +167,7 @@ def main(argv=None) -> int:
         mesh = None if args.no_mesh else make_mesh()
         run_qat(run_dir, iter(train_loader), lambda: iter(val_loader),
                 epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 100,
-                learning_rate=args.learning_rate if args.learning_rate != 1e-3 else 1e-5,
+                learning_rate=args.qat_learning_rate,
                 multilabel=args.multilabel, mesh=mesh,
                 num_classes=len(class_names), seed=args.seed)
         return 0

@@ -122,7 +122,17 @@ def build_tf_forward(variables: dict, cfg: ModelConfig,
             return x[:, :, : cfg.spec_width, :]
         if frontend_mode == "hybrid":
             y = tf.transpose(x[:, :, : cfg.spec_width, 0], (0, 2, 1))  # [B, W, F]
-            y = tf.linalg.matmul(y, const(P["audio_frontend"]["mel_mixer"]))
+            fe = P["audio_frontend"]
+            if "mel_mixer" in fe:
+                mixer = fe["mel_mixer"]
+            else:
+                # learn_mel_scale models: materialize the triangular basis
+                # from the trained segment logits as the export-time mixer.
+                from birdnet_stm32_tpu.models.frontend_layer import tri_mel_matrix
+
+                mixer = tri_mel_matrix(_np(fe["mel_seg_logits"]), cfg.sample_rate,
+                                       cfg.fft_length, cfg.num_mels)
+            y = tf.linalg.matmul(y, const(mixer))
             y = tf.nn.relu(y)
             y = y / (tf.reduce_max(y, axis=(1, 2), keepdims=True) + 1e-6)
             y = mag_scale(y, cfg.mag_scale)

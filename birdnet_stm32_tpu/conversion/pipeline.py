@@ -33,12 +33,13 @@ def convert_model(
     calibration_paths: list[str] | None = None,
     calibration_labels: list[str] | None = None,
     calibration_per_class: int = 10,
+    num_calibration_samples: int = 100,
     calibration_inputs: np.ndarray | None = None,
     validation_inputs: np.ndarray | None = None,
     quantize: str = "int8",
     per_channel: bool = True,
     min_cosine_sim: float = 0.95,
-    num_validation_seeds: int = 1,
+    num_validation_seeds: int = 1,  # clamped to >= 1
     num_validation_samples: int = 64,
     save_npz: bool = True,
     class_activation: str = "softmax",
@@ -70,14 +71,18 @@ def convert_model(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
 
-    if calibration_inputs is None:
+    if calibration_inputs is None and quantize == "int8":
+        # Calibration is only consumed by full-INT8 PTQ; 'dynamic'/'float'
+        # modes skip the decode + device-frontend cost entirely.
         if not calibration_paths:
             raise ValueError("need calibration_paths or calibration_inputs")
         if calibration_labels is not None:
             calibration_paths = stratified_sample_paths(
                 calibration_paths, calibration_labels, calibration_per_class, seed)
-        calibration_inputs = representative_inputs(calibration_paths, cfg, seed=seed)
-    info("convert", f"{len(calibration_inputs)} calibration samples, mode={quantize}")
+        calibration_inputs = representative_inputs(
+            calibration_paths, cfg, num_samples=num_calibration_samples, seed=seed)
+    if calibration_inputs is not None:
+        info("convert", f"{len(calibration_inputs)} calibration samples, mode={quantize}")
 
     tflite_bytes = convert_to_tflite(
         variables, cfg, representative=calibration_inputs, quantize=quantize,
@@ -86,7 +91,7 @@ def convert_model(
     ok("convert", f"wrote {out_path} ({len(tflite_bytes):,} B)")
 
     if validation_inputs is None:
-        validation_inputs = calibration_inputs
+        validation_inputs = calibration_inputs  # None in dynamic/float modes (no gate)
     float_runner = FlaxRunner(model, variables, cfg)
     quant_runner = TFLiteSimRunner(out_path) if quantize == "int8" else None
 
@@ -102,7 +107,7 @@ def convert_model(
     if quant_runner is not None:
         rng = np.random.default_rng(seed)
         worst: dict | None = None
-        for s in range(num_validation_seeds):
+        for s in range(max(1, num_validation_seeds)):
             idx = rng.permutation(len(validation_inputs))[:num_validation_samples]
             stats = validate_runners(float_runner, quant_runner, validation_inputs[idx])
             info("convert", f"validation seed {s}: cosine_mean={stats['cosine_mean']:.4f} "

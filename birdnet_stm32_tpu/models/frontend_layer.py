@@ -84,6 +84,38 @@ class MagnitudeScaling(nn.Module):
         raise ValueError(f"Invalid mag_scale: {self.method!r}")
 
 
+def tri_mel_matrix(seg_logits: jax.Array, sample_rate: int, fft_length: int,
+                   mel_bins: int) -> jax.Array:
+    """[F, M] triangular mel weights from learnable segment logits.
+
+    Reference _compute_tri_matrix (frontend.py:216-245): softplus segment
+    widths normalized over the [fmin, sr/2] Slaney-mel range, cumsum to
+    M+2 breakpoints, triangles evaluated at the FFT bins' mel positions,
+    column-normalized. Zero logits give near-uniform mel spacing. Shared by
+    the in-graph frontend and the TFLite export path (which materializes it
+    as the mel-mixer constant).
+    """
+    from birdnet_stm32_tpu.ops.mel import hz_to_mel
+
+    eps = 1e-6
+    fft_bins = fft_length // 2 + 1
+    freqs = np.linspace(0.0, sample_rate / 2.0, fft_bins)
+    bins_mel = jnp.asarray(hz_to_mel(freqs), jnp.float32)  # [F]
+    mel_fmin = float(hz_to_mel(150.0))
+    mel_fmax = float(hz_to_mel(sample_rate / 2.0))
+
+    seg = jax.nn.softplus(seg_logits) + 1e-3                  # [M+1]
+    seg = seg / (jnp.sum(seg) + eps) * (mel_fmax - mel_fmin)
+    p_full = mel_fmin + jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(seg)])  # [M+2]
+
+    M = mel_bins
+    left, center, right = p_full[:M], p_full[1 : M + 1], p_full[2 : M + 2]
+    up = (bins_mel[:, None] - left[None, :]) / jnp.maximum(center - left, eps)
+    down = (right[None, :] - bins_mel[:, None]) / jnp.maximum(right - center, eps)
+    tri = jnp.maximum(jnp.minimum(up, down), 0.0)             # [F, M]
+    return tri / (jnp.sum(tri, axis=0, keepdims=True) + eps)
+
+
 def _mel_mixer_init(sample_rate: int, fft_length: int, mel_bins: int):
     """Slaney mel basis seed for the hybrid mixer (frontend.py:257-276)."""
     def init(key):
@@ -106,32 +138,8 @@ class AudioFrontend(nn.Module):
     learn_mel_scale: bool = False  # learnable mel breakpoints (frontend.py:188-255)
 
     def _tri_matrix(self, seg_logits: jax.Array) -> jax.Array:
-        """[F, M] triangular mel weights from learnable segment logits.
-
-        Reference _compute_tri_matrix (frontend.py:216-245): softplus segment
-        widths normalized over the [fmin, sr/2] Slaney-mel range, cumsum to
-        M+2 breakpoints, triangles evaluated at the FFT bins' mel positions,
-        column-normalized. Zero logits give near-uniform mel spacing.
-        """
-        from birdnet_stm32_tpu.ops.mel import hz_to_mel
-
-        eps = 1e-6
-        fft_bins = self.fft_length // 2 + 1
-        freqs = np.linspace(0.0, self.sample_rate / 2.0, fft_bins)
-        bins_mel = jnp.asarray(hz_to_mel(freqs), jnp.float32)  # [F]
-        mel_fmin = float(hz_to_mel(150.0))
-        mel_fmax = float(hz_to_mel(self.sample_rate / 2.0))
-
-        seg = jax.nn.softplus(seg_logits) + 1e-3                  # [M+1]
-        seg = seg / (jnp.sum(seg) + eps) * (mel_fmax - mel_fmin)
-        p_full = mel_fmin + jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(seg)])  # [M+2]
-
-        M = self.mel_bins
-        left, center, right = p_full[:M], p_full[1 : M + 1], p_full[2 : M + 2]
-        up = (bins_mel[:, None] - left[None, :]) / jnp.maximum(center - left, eps)
-        down = (right[None, :] - bins_mel[:, None]) / jnp.maximum(right - center, eps)
-        tri = jnp.maximum(jnp.minimum(up, down), 0.0)             # [F, M]
-        return tri / (jnp.sum(tri, axis=0, keepdims=True) + eps)
+        return tri_mel_matrix(seg_logits, self.sample_rate, self.fft_length,
+                              self.mel_bins)
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_bn: bool = False):

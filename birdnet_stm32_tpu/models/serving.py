@@ -31,7 +31,8 @@ def make_fused_classifier(runner, cfg):
         def classify(wave: np.ndarray) -> np.ndarray:
             b = wave.shape[0]
             if b not in fns:
-                fwd = build_executor(runner.graph, batch_size=b)
+                fwd = build_executor(runner.graph, batch_size=b,
+                                     requant=getattr(runner, "_requant", "exact"))
                 fns[b] = jax.jit(lambda w: fwd(inputs_for_config(w, cfg)))
             return np.asarray(fns[b](jnp.asarray(wave)))
 

@@ -329,7 +329,9 @@ def _requant_fast(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int):
 
     Deviates from TFLite's fixed-point pipeline by at most 1 LSB on ~1e-4
     of elements (the SRDHM tie cases); ~3x fewer VPU ops than the exact
-    path. Used by the serving executor; parity tests use 'exact'.
+    path. Opt-in (build_executor(..., requant="fast") / TFLiteSimRunner
+    requant="fast") for serving that only needs the cosine gate; the
+    default everywhere is the bit-exact pipeline.
     """
     m = jnp.asarray(np.atleast_1d(multipliers).astype(np.float32))
     q = _round_away(acc.astype(jnp.float32) * m).astype(jnp.int32) + zp
@@ -437,12 +439,6 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
         def q_params(idx):
             info = T[idx]
             return info.scale, info.zero_point, info.quantized_dimension
-
-        def requant_clamp(acc_f, out_idx, activation=_ACT_NONE):
-            s, z, _ = q_params(out_idx)
-            q = _round_away(acc_f / s[0]) + int(z[0])
-            lo, hi = _act_bounds(activation, float(s[0]), int(z[0]))
-            return jnp.clip(q, lo, hi).astype(jnp.int8)
 
         vals[graph.inputs[0]] = x
 

@@ -103,3 +103,20 @@ def test_convert_float_mode_no_gate(tmp_path):
                            calibration_inputs=calib, quantize="float")
     assert "validation" not in report
     assert (tmp_path / "m.tflite").exists()
+
+
+def test_tf_forward_parity_learn_mel_scale():
+    """learn_mel_scale models export by materializing the trained triangular
+    basis as the mel-mixer constant."""
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="softmax", learn_mel_scale=True)
+    v = init_model(model, cfg, jax.random.key(9))
+    # Perturb the logits so the basis is non-trivial.
+    v = jax.tree_util.tree_map(lambda x: x, v)
+    v["params"]["audio_frontend"]["mel_seg_logits"] = (
+        v["params"]["audio_frontend"]["mel_seg_logits"]
+        + jnp.linspace(-0.5, 0.5, cfg.num_mels + 1))
+    x = np.random.default_rng(0).uniform(0, 1, (2, *cfg.input_shape())).astype(np.float32)
+    ref = _flax_fwd(model, v, x)
+    got = build_tf_forward(v, cfg)(tf.constant(x)).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
