@@ -25,7 +25,10 @@ def get_args(argv=None):
     p.add_argument("--upsample_ratio", type=float, default=0.5)
     p.add_argument("--no_upsample", action="store_true")
     p.add_argument("--max_chunks_per_file", type=int, default=2)
-    p.add_argument("--snr_threshold", type=float, default=0.25)
+    p.add_argument("--snr_threshold", type=float, default=0.1,
+                   help="activity-ratio threshold on WAVEFORM chunks (the "
+                        "reference's 0.25 applies to spectrogram features, "
+                        "where ratios run systematically higher)")
     p.add_argument("--num_workers", type=int, default=4)
     # Audio / frontend
     p.add_argument("--sample_rate", type=int, default=24000)
@@ -124,8 +127,13 @@ def build_loaders(args, cfg, for_qat: bool = False):
         paths, one_hot_labels(labels, class_names), lcfg,
         batch_size=args.batch_size, num_workers=args.num_workers,
         shard_index=shard, num_shards=num_shards)
+    import dataclasses
+
+    # Deterministic validation reads (reference cli/train.py:406 uses
+    # random_offset=False for val): stable val_loss for early stopping.
+    val_lcfg = dataclasses.replace(lcfg, random_offset=False)
     val_loader = AudioLoader(
-        val_paths, one_hot_labels(val_labels, class_names), lcfg,
+        val_paths, one_hot_labels(val_labels, class_names), val_lcfg,
         batch_size=args.batch_size, num_workers=args.num_workers,
         shuffle=False, infinite=False)
     return train_loader, val_loader, class_names, labels

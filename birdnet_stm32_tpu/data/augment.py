@@ -57,7 +57,15 @@ def apply_mixup(
     k_rows, k_src, k_n, k_gain = jax.random.split(key, 4)
     # Exact-count row selection: first num_mix of a random permutation.
     mix_rows = jax.random.permutation(k_rows, B)[:num_mix]  # [M]
-    partners = jax.random.randint(k_src, (num_mix, max_sources - 1), 0, B)  # [M, S-1]
+    # Partners distinct from the target row and from each other (reference
+    # np.random.choice(..., replace=False)): offset o1 in [1, B), o2 != o1
+    # in [1, B) via a shifted draw over the remaining B-2 offsets.
+    k_o1, k_o2 = jax.random.split(k_src)
+    o1 = jax.random.randint(k_o1, (num_mix,), 1, B)
+    # (max() guards B<=2 where two distinct partners cannot exist.)
+    o2 = 1 + (o1 - 1 + jax.random.randint(k_o2, (num_mix,), 1, max(B - 1, 2))) % max(B - 1, 1)
+    partners = jnp.stack([(mix_rows + o1) % B, (mix_rows + o2) % B], axis=1)
+    partners = partners[:, : max_sources - 1]  # [M, S-1]
     sources = jnp.concatenate([mix_rows[:, None], partners], axis=1)  # [M, S]
 
     # 2 or 3 active sources per row (uniform), as a mask over gain slots.

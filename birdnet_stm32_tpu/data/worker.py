@@ -30,7 +30,10 @@ class LoaderConfig:
     num_classes: int = 0
     max_chunks_per_file: int = 2
     candidate_chunks_per_file: int | None = None
-    snr_threshold: float = 0.25
+    # Activity-ratio threshold applied to WAVEFORM chunks. The reference's
+    # 0.25 (generator.py) is measured on spectrogram features, where ratios
+    # run systematically higher; 0.1 keeps comparable selectivity here.
+    snr_threshold: float = 0.1
     random_offset: bool = True
     load_duration: float | None = 30.0
     seed: int = 0

@@ -75,11 +75,14 @@ class DSCNN(nn.Module):
             [B, num_classes] scores (activation per `class_activation`),
             optionally a tuple (scores, [B, emb] embeddings).
         """
-        frontend_mode = (
-            "precomputed"
-            if self.audio_frontend in ("librosa", "mfcc", "log_mel")
-            else self.audio_frontend
-        )
+        # Mode dispatch through the frontend registry so registered custom
+        # frontends resolve like built-ins (reference registry.py:35-92).
+        from birdnet_stm32_tpu.models.registry import get_frontend_info
+
+        try:
+            frontend_mode = get_frontend_info(self.audio_frontend).mode
+        except KeyError:
+            raise ValueError(f"Invalid audio frontend: {self.audio_frontend!r}") from None
         input_bins = self.n_mfcc if self.audio_frontend == "mfcc" else self.num_mels
 
         x = AudioFrontend(

@@ -61,8 +61,6 @@ def profile_model(cfg: ModelConfig) -> list[LayerCost]:
                               10 * M if cfg.mag_scale == "pwl" else 5 * M if cfg.mag_scale == "pcen" else 0,
                               4 * M * W, M * W * 4, cfg.mag_scale != "db"))
     elif cfg.audio_frontend == "raw":
-        T = cfg.chunk_samples
-        stride = math.ceil(T / W)
         rows.append(_conv_cost("audio_frontend.raw_fb", 1, W, 1, M, 1, 16))
         rows.append(_bn_cost("audio_frontend.raw_fb_bn", 1, W, M))
 
@@ -83,12 +81,13 @@ def profile_model(cfg: ModelConfig) -> list[LayerCost]:
         reps = max(1, int(math.ceil(br * cfg.depth_multiplier)))
         for bi in range(1, reps + 1):
             s = 2 if bi == 1 else 1
+            h_in, w_in = h, w  # pre-stride dims (h*s would overcount odd sizes)
             h, w = ceil_div(h, s), ceil_div(w, s)
             n = f"stage{si}_{'ir' if cfg.use_inverted_residual else 'ds'}{bi}"
             if cfg.use_inverted_residual:
                 hidden = make_divisible(cin * cfg.expansion_factor, 8)
-                rows.append(_conv_cost(f"{n}_expand", h * s, w * s, cin, hidden, 1, 1))
-                rows.append(_bn_cost(f"{n}_expand_bn", h * s, w * s, hidden))
+                rows.append(_conv_cost(f"{n}_expand", h_in, w_in, cin, hidden, 1, 1))
+                rows.append(_bn_cost(f"{n}_expand_bn", h_in, w_in, hidden))
                 rows.append(_conv_cost(f"{n}_dw", h, w, hidden, hidden, 3, 3, groups=hidden))
                 rows.append(_bn_cost(f"{n}_dw_bn", h, w, hidden))
                 if cfg.use_se:

@@ -23,6 +23,13 @@ def make_fused_classifier(runner, cfg):
     Falls back to frontend-then-predict for non-jittable runners (the
     TFLite interpreter).
     """
+    mesh = getattr(runner, "mesh", None)
+    shardings = {}
+    if mesh is not None:
+        from birdnet_stm32_tpu.parallel.mesh import batch_sharding, replicated
+
+        shardings = {"data": batch_sharding(mesh), "rep": replicated(mesh)}
+
     if hasattr(runner, "graph"):  # TFLiteSimRunner: fuse executor + frontend
         from birdnet_stm32_tpu.quant.tflite_import import build_executor
 
@@ -33,17 +40,31 @@ def make_fused_classifier(runner, cfg):
             if b not in fns:
                 fwd = build_executor(runner.graph, batch_size=b,
                                      requant=getattr(runner, "_requant", "exact"))
-                fns[b] = jax.jit(lambda w: fwd(inputs_for_config(w, cfg)))
+                fn = lambda w: fwd(inputs_for_config(w, cfg))  # noqa: E731
+                if mesh is not None:
+                    fns[b] = jax.jit(fn, in_shardings=shardings["data"],
+                                     out_shardings=shardings["data"])
+                else:
+                    fns[b] = jax.jit(fn)
             return np.asarray(fns[b](jnp.asarray(wave)))
 
         return classify
 
     if hasattr(runner, "model"):  # FlaxRunner
-        fused = jax.jit(lambda v, w: runner.model.apply(
-            v, inputs_for_config(w, cfg), train=False))
+        fn = lambda v, w: runner.model.apply(  # noqa: E731
+            v, inputs_for_config(w, cfg), train=False)
+        if mesh is not None:
+            fused = jax.jit(fn, in_shardings=(shardings["rep"], shardings["data"]),
+                            out_shardings=shardings["data"])
+            v_rep = jax.device_put(runner.variables, shardings["rep"])
 
-        def classify(wave: np.ndarray) -> np.ndarray:
-            return np.asarray(fused(runner.variables, jnp.asarray(wave)))
+            def classify(wave: np.ndarray) -> np.ndarray:
+                return np.asarray(fused(v_rep, jnp.asarray(wave)))
+        else:
+            fused = jax.jit(fn)
+
+            def classify(wave: np.ndarray) -> np.ndarray:
+                return np.asarray(fused(runner.variables, jnp.asarray(wave)))
 
         return classify
 

@@ -57,6 +57,20 @@ def _project_nonneg_mel_mixer(params):
     return params
 
 
+def conv_kernel_l2(params, coeff: float):
+    """Keras-parity L2 kernel regularization: coeff * sum ||K||^2 over every
+    conv/dense kernel in the backbone (reference blocks.py:83-121 and
+    dscnn.py:51 attach l2(1e-4) to DW/PW/expand/project/stem/emb kernels;
+    the frontend and the classifier head carry no regularizer)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if last == "kernel" and top not in ("pred", "audio_frontend"):
+            total = total + jnp.sum(jnp.square(leaf))
+    return coeff * total
+
+
 def frontend_freeze_mask(params, trainable: bool):
     """Zero-gradient mask for frontend params when frontend_trainable=False
     (reference builds those sublayers with trainable=False)."""
@@ -74,6 +88,7 @@ def make_train_step(
     mesh: Mesh | None = None,
     frontend_trainable: bool = True,
     donate: bool = True,
+    kernel_l2: float = 1e-4,
 ):
     """Build the jitted data-parallel training step.
 
@@ -84,6 +99,8 @@ def make_train_step(
         mesh: Data-parallel mesh; None = single device.
         frontend_trainable: If False, audio_frontend gradients are zeroed.
         donate: Donate the state buffers (halves HBM traffic per step).
+        kernel_l2: L2 coefficient on backbone conv kernels (reference
+            default 1e-4; 0 disables).
 
     Returns:
         step(state, x, y, rng) -> (state, metrics dict).
@@ -97,7 +114,10 @@ def make_train_step(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
             )
-            return loss_fn(out, y), (updates["batch_stats"], out)
+            loss = loss_fn(out, y)
+            if kernel_l2 > 0:
+                loss = loss + conv_kernel_l2(params, kernel_l2)
+            return loss, (updates["batch_stats"], out)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
         if not frontend_trainable:

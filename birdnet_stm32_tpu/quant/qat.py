@@ -22,7 +22,7 @@ import optax
 from jax.sharding import Mesh
 
 from birdnet_stm32_tpu.parallel.mesh import batch_sharding, replicated
-from birdnet_stm32_tpu.parallel.steps import TrainState, _project_nonneg_mel_mixer
+from birdnet_stm32_tpu.parallel.steps import TrainState, _project_nonneg_mel_mixer, conv_kernel_l2
 from birdnet_stm32_tpu.quant.fake_quant import quantize_params
 
 
@@ -34,6 +34,7 @@ def make_qat_train_step(
     num_bits: int = 8,
     per_channel: bool = True,
     donate: bool = True,
+    kernel_l2: float = 1e-4,
 ):
     """Build the jitted QAT fine-tuning step.
 
@@ -53,7 +54,10 @@ def make_qat_train_step(
                 {"params": q_params, "batch_stats": state.batch_stats},
                 x, train=True, freeze_bn=True, rngs={"dropout": rng},
             )
-            return loss_fn(logits, y)
+            loss = loss_fn(logits, y)
+            if kernel_l2 > 0:
+                loss = loss + conv_kernel_l2(params, kernel_l2)
+            return loss
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -36,7 +36,11 @@ def make_probe(variables: dict, cfg: ModelConfig, new_classes: list[str],
         [emb, len(new_classes)].
     """
     key = key if key is not None else jax.random.key(0)
-    new_cfg = dataclasses.replace(cfg, num_classes=len(new_classes), class_names=sorted(new_classes))
+    # Keep the CALLER's label order: head column i corresponds to
+    # new_classes[i]; sorting here would silently permute predictions
+    # against the training labels.
+    new_cfg = dataclasses.replace(cfg, num_classes=len(new_classes),
+                                  class_names=list(new_classes))
     model = build_dscnn(new_cfg, class_activation="none")
 
     emb = variables["params"]["pred"]["kernel"].shape[0]
@@ -127,6 +131,7 @@ def run_linear_probe(
         return loss_fn(logits, y)
 
     key = jax.random.key(seed)
+    host_step = 0  # no blocking device read per step
     history = []
     best_val, best_vars = float("inf"), probe_vars
     run_dir = Path(run_dir)
@@ -135,7 +140,8 @@ def run_linear_probe(
         for _ in range(steps_per_epoch):
             x, y = next(train_batches)
             state, loss = step(state, jnp.asarray(x), jnp.asarray(y),
-                               jax.random.fold_in(key, int(state.step)))
+                               jax.random.fold_in(key, host_step))
+            host_step += 1
             losses.append(float(loss))
         vals = [float(eval_loss(state, jnp.asarray(x), jnp.asarray(y))) for x, y in val_batches()]
         val_loss = float(np.mean(vals)) if vals else float("nan")

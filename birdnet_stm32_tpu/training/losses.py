@@ -56,8 +56,10 @@ def binary_crossentropy(
     labels = smooth_labels(labels, label_smoothing)
     per_class = optax.sigmoid_binary_cross_entropy(logits, labels)  # [B, C]
     if class_weights is not None:
+        # Weighted mean over [B, C]: uniform weights reduce exactly to
+        # jnp.mean(per_class).
         per_class = per_class * class_weights[None, :]
-        return jnp.sum(per_class) / (labels.shape[0] * jnp.sum(class_weights) / class_weights.shape[0] + 1e-8)
+        return jnp.sum(per_class) / (labels.shape[0] * jnp.sum(class_weights) + 1e-8)
     return jnp.mean(per_class)
 
 

@@ -95,6 +95,7 @@ def train_model(
     loader_tuner: AdaptiveLoaderTuner | None = None,
     qat: bool = False,
     loss_fn_override=None,
+    kernel_l2: float = 1e-4,
 ) -> tuple[dict, list[dict]]:
     """Run the full training loop.
 
@@ -135,10 +136,11 @@ def train_model(
     if qat:
         from birdnet_stm32_tpu.quant.qat import make_qat_train_step
 
-        step_fn = make_qat_train_step(model, tx, loss_fn, mesh=mesh)
+        step_fn = make_qat_train_step(model, tx, loss_fn, mesh=mesh, kernel_l2=kernel_l2)
     else:
         step_fn = make_train_step(
-            model, tx, loss_fn, mesh=mesh, frontend_trainable=cfg.frontend_trainable
+            model, tx, loss_fn, mesh=mesh, frontend_trainable=cfg.frontend_trainable,
+            kernel_l2=kernel_l2,
         )
     eval_fn = make_eval_step(model, loss_fn, mesh=mesh,
                              activation="sigmoid" if multilabel else "softmax")
@@ -153,6 +155,7 @@ def train_model(
             return inputs_for_config(jnp.asarray(wave), cfg), jnp.asarray(labels)
 
     root_key = jax.random.key(seed)
+    host_step = 0  # host-side twin of state.step: no device read in the hot loop
     history: list[dict] = []
     best_val = float("inf")
     best_variables = variables
@@ -163,9 +166,10 @@ def train_model(
         train_losses = []
         for _ in range(steps_per_epoch):
             wave, labels = next(train_batches)
-            bkey = jax.random.fold_in(root_key, int(state.step))
+            bkey = jax.random.fold_in(root_key, host_step)
             x, y = batcher(bkey, jnp.asarray(wave), jnp.asarray(labels))
             state, metrics = step_fn(state, x, y, root_key)
+            host_step += 1
             train_losses.append(metrics["loss"])
             if loader_tuner is not None:
                 loader_tuner.on_step()
