@@ -105,7 +105,7 @@ def main(argv=None) -> int:
             y_true, y_scores, classes,
             n_bootstrap=1000 if args.bootstrap_ci else 50)
     if args.det_curve:
-        far, frr = M.compute_det_curve(y_true, y_scores)
+        far, frr, _ = M.compute_det_curve(y_true, y_scores)
         R.print_ascii_det_curve(far, frr)
         R.save_det_curve_plot(far, frr, out_dir / "det_curve.png")
     if args.save_plots:
@@ -117,7 +117,8 @@ def main(argv=None) -> int:
     if args.save_benchmark_json:
         R.save_benchmark_json(results, classes, str(model_path),
                               out_dir / "benchmark.json",
-                              species_data=species_data, config=cfg.to_dict())
+                              species_data=species_data, config=cfg.to_dict(),
+                              num_files=len(per_file))
     if args.save_html:
         R.save_html_report(results, classes, y_true, y_scores, str(model_path),
                            out_dir / "report.html",

@@ -6,8 +6,10 @@ ROC-AUC, precision/recall/F1 at 0.5 (micro counts), per-class AP, cmAP
 the PR curve, bootstrap AP confidence intervals, and the DET curve.
 
 The inference loop is TPU-first: every file's chunks join one flat batch
-stream (uniform batch size, padded tail), and chunk->file pooling runs as a
-device segment reduction — instead of the reference's file-at-a-time loop.
+stream (uniform padded batches, one fused device dispatch per batch —
+models/serving.py) instead of the reference's file-at-a-time loop;
+chunk->file pooling runs on host over the small per-file score arrays
+(pooling.segment_pool offers the device-side variant).
 """
 
 from __future__ import annotations
@@ -87,8 +89,10 @@ def evaluate(
     from birdnet_stm32_tpu.models.serving import make_fused_classifier
 
     classify = make_fused_classifier(runner, cfg)
+    warmed = False
 
     def flush(force=False):
+        nonlocal warmed
         nonlocal total_chunks
         while pending_chunks and (force or len(pending_chunks) >= batch_size):
             take = pending_chunks[:batch_size]
@@ -98,6 +102,9 @@ def evaluate(
             # Pad to the fixed batch size: one compiled shape for all files.
             if wave.shape[0] < batch_size:
                 wave = np.pad(wave, ((0, batch_size - wave.shape[0]), (0, 0)))
+            if measure_latency and not warmed:
+                classify(wave)  # exclude XLA compile time from latency stats
+            warmed = True
             t0 = time.perf_counter()
             scores = classify(wave)[: len(take)]
             if measure_latency:
@@ -167,13 +174,13 @@ def evaluate(
     except Exception:
         metrics["mAP"] = float("nan")
 
+    metrics["total_chunks"] = total_chunks
     if measure_latency and latencies:
         lat = np.asarray(latencies)
         metrics["latency_mean_ms"] = float(lat.mean())
         metrics["latency_median_ms"] = float(np.median(lat))
         metrics["latency_p95_ms"] = float(np.percentile(lat, 95))
         metrics["latency_p99_ms"] = float(np.percentile(lat, 99))
-        metrics["total_chunks"] = total_chunks
     if profile_memory:
         rss_after_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         metrics["peak_rss_mb"] = round(rss_after_kb / 1024, 1)

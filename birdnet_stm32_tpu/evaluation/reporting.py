@@ -54,7 +54,9 @@ def _top1_confusion(y_true, y_scores, num_classes, threshold):
     true_idx = np.argmax(y_true, axis=1)
     pred_idx = np.argmax(y_scores, axis=1).copy()
     pred_idx[np.max(y_scores, axis=1) < threshold] = -1
-    return confusion_matrix(true_idx, pred_idx, labels=list(range(num_classes)))
+    # Last column = the sub-threshold 'none' bucket (label -1); without it
+    # sklearn silently drops those samples and inflates the accuracy.
+    return confusion_matrix(true_idx, pred_idx, labels=list(range(num_classes)) + [-1])
 
 
 def print_confusion_matrix(y_true, y_scores, classes, threshold: float = 0.5) -> None:
@@ -62,26 +64,28 @@ def print_confusion_matrix(y_true, y_scores, classes, threshold: float = 0.5) ->
     cm = _top1_confusion(y_true, y_scores, len(classes), threshold)
     w = min(12, max(len(c) for c in classes)) if classes else 6
     short = [c[:w] for c in classes]
-    print("\nConfusion Matrix (rows=true, cols=predicted):")
-    print(" " * (w + 1) + " ".join(f"{n:>{w}}" for n in short))
-    for i, row in enumerate(cm):
+    print("\nConfusion Matrix (rows=true, cols=predicted; last col = below threshold):")
+    print(" " * (w + 1) + " ".join(f"{n:>{w}}" for n in short + ["none"]))
+    for i, row in enumerate(cm[: len(classes)]):
         print(f"{short[i]:>{w}} " + " ".join(f"{v:>{w}}" for v in row))
-    correct, total = np.trace(cm), cm.sum()
+    correct, total = np.trace(cm[: len(classes), : len(classes)]), cm.sum()
     print(f"\nAccuracy: {correct}/{total} ({100 * correct / max(total, 1):.1f}%)")
 
 
 def save_predictions_csv(per_file: list[dict], classes: list[str], out_path: str | Path) -> None:
     """CSV: file, label, top1_label, top1_score, <per-class scores>."""
+    import csv
+
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(out_path, "w") as f:
-        f.write(",".join(["file", "label", "top1_label", "top1_score"] + list(classes)) + "\n")
+    with open(out_path, "w", newline="") as f:
+        writer = csv.writer(f)  # quotes paths/labels containing commas
+        writer.writerow(["file", "label", "top1_label", "top1_score"] + list(classes))
         for row in per_file:
             scores = np.asarray(row["scores"])
             top1 = int(np.argmax(scores))
-            vals = [row["file"], row["label"], classes[top1], f"{scores[top1]:.3f}"]
-            vals += [f"{s:.3f}" for s in scores]
-            f.write(",".join(vals) + "\n")
+            writer.writerow([row["file"], row["label"], classes[top1],
+                             f"{scores[top1]:.3f}"] + [f"{s:.3f}" for s in scores])
 
 
 def save_species_report_csv(species_data: list[dict], out_path: str | Path) -> None:
@@ -96,12 +100,14 @@ def save_species_report_csv(species_data: list[dict], out_path: str | Path) -> N
 
 
 def save_benchmark_json(metrics: dict, classes: list[str], model_path: str,
-                        out_path: str | Path, species_data=None, config=None) -> None:
+                        out_path: str | Path, species_data=None, config=None,
+                        num_files: int | None = None) -> None:
     """Structured JSON benchmark report (schema parity, reporting.py:192-236)."""
     report: dict = {
         "model_path": str(model_path),
         "num_classes": len(classes),
-        "num_files": metrics.get("total_chunks", 0),
+        "num_files": int(num_files) if num_files is not None else 0,
+        "num_chunks": metrics.get("total_chunks", 0),
     }
     core = {}
     for k, v in metrics.items():

@@ -43,8 +43,11 @@ class KeyStream:
     """
 
     def __init__(self, seed_or_key: int | jax.Array):
-        if isinstance(seed_or_key, int):
-            self._key = jax.random.key(seed_or_key)
+        import numbers
+
+        # numbers.Integral admits numpy integer scalars too.
+        if isinstance(seed_or_key, numbers.Integral):
+            self._key = jax.random.key(int(seed_or_key))
         else:
             self._key = seed_or_key
         self._count = 0

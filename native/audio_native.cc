@@ -42,13 +42,19 @@ bool parse_header(FILE* f, WavHeader* h) {
     uint32_t size;
     memcpy(&size, hdr + 4, 4);
     if (memcmp(hdr, "fmt ", 4) == 0) {
-      unsigned char fmt[16];
-      if (size < 16 || fread(fmt, 1, 16, f) != 16) return false;
+      unsigned char fmt[40];
+      const uint32_t want = size < 40 ? size : 40;
+      if (size < 16 || fread(fmt, 1, want, f) != want) return false;
       memcpy(&h->format, fmt + 0, 2);
       memcpy(&h->channels, fmt + 2, 2);
       memcpy(&h->sample_rate, fmt + 4, 4);
       memcpy(&h->bits, fmt + 14, 2);
-      if (size > 16) fseek(f, size - 16, SEEK_CUR);
+      if (h->format == 0xFFFE && want >= 26) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format tag is the first two
+        // bytes of the SubFormat GUID at offset 24.
+        memcpy(&h->format, fmt + 24, 2);
+      }
+      if (size > want) fseek(f, size - want, SEEK_CUR);
       have_fmt = true;
     } else if (memcmp(hdr, "data", 4) == 0) {
       h->data_offset = ftell(f);

@@ -103,3 +103,28 @@ def test_load_audio_window_uses_native(wav16):
         nat._lib, nat._load_failed = saved_lib, saved_failed
     assert fast.shape == slow.shape
     np.testing.assert_allclose(fast, slow, atol=1e-4)
+
+
+def test_extensible_float_wav(tmp_path, rng):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) float32 files resolve the SubFormat."""
+    import struct
+
+    x = rng.uniform(-0.5, 0.5, 1000).astype(np.float32)
+    data = x.tobytes()
+    # fmt chunk: cbSize=22, valid bits, channel mask, SubFormat GUID
+    # (first two bytes = 3 -> IEEE float).
+    sub = struct.pack("<H", 3) + b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0x4) + sub
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    p = tmp_path / "ext.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+    got = native.wav_read(p)
+    np.testing.assert_allclose(got, x, atol=1e-7)
+    # The pure-python reader agrees.
+    info = aio.wav_info(p)
+    assert info.audio_format == 3
+    ref = aio._decode_frames(info, 0, info.frames)[:, 0]
+    np.testing.assert_allclose(got, ref, atol=1e-7)
