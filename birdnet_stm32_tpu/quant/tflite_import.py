@@ -338,8 +338,28 @@ def _requant_fast(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int):
     return jnp.clip(q, lo, hi).astype(jnp.int8)
 
 
+def entry_transpose_perm(graph: TFLiteGraph) -> tuple | None:
+    """Perm of the graph's leading QUANTIZE -> TRANSPOSE pattern, else None.
+
+    Converted frontends carry input [B, F, W, 1] -> quantize -> transpose to
+    [B, 1, W, F]. Since quantize is elementwise, a caller whose features are
+    naturally produced in the transposed orientation can feed them directly
+    (build_executor(pretransposed_input=True)), skipping two full-tensor
+    transposes (the producer's swapaxes and the graph's) bit-exactly.
+    """
+    if len(graph.ops) < 2:
+        return None
+    q, t = graph.ops[0], graph.ops[1]
+    if (q.name == "QUANTIZE" and q.inputs[0] == graph.inputs[0]
+            and t.name == "TRANSPOSE" and t.inputs[0] == q.outputs[0]
+            and graph.tensors[t.inputs[1]].data is not None):
+        return tuple(int(p) for p in graph.tensors[t.inputs[1]].data)
+    return None
+
+
 def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False,
-                   requant: str = "exact") -> Callable[[jax.Array], jax.Array]:
+                   requant: str = "exact",
+                   pretransposed_input: bool = False) -> Callable[[jax.Array], jax.Array]:
     """Build a jittable fn mapping the float input batch to float outputs.
 
     Args:
@@ -348,12 +368,23 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
         batch_size: Static batch size the executor is traced for.
         requant: 'exact' (bit-exact TFLite fixed-point requant) or 'fast'
             (float-multiply requant, <=1 LSB deviation, ~3x fewer VPU ops).
+        pretransposed_input: Feed the float input already in the entry
+            TRANSPOSE's output orientation (entry_transpose_perm); the
+            quantize runs on it directly and the transpose is skipped.
 
     Returns:
         f(x: [B, ...] float32) -> [B, ...] float32, jax.jit-compatible.
     """
     T = graph.tensors
     _requant_op = _requant_exact if requant == "exact" else _requant_fast
+
+    _entry_skip: set[int] = set()
+    _entry_target = None
+    if pretransposed_input:
+        if entry_transpose_perm(graph) is None:
+            raise ValueError("graph does not start with QUANTIZE -> TRANSPOSE")
+        _entry_skip = {0, 1}
+        _entry_target = graph.ops[1].outputs[0]
 
     # --- Transpose elision pre-pass --------------------------------------
     # TFLite graphs converted from NHWC-with-frontend Keras models carry
@@ -440,11 +471,21 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             info = T[idx]
             return info.scale, info.zero_point, info.quantized_dimension
 
-        vals[graph.inputs[0]] = x
+        if _entry_target is not None:
+            # x arrives in the transpose-output orientation; quantize is
+            # elementwise, so quantizing here == transpose(quantize(x')).
+            s0, z0, _ = q_params(graph.ops[0].outputs[0])
+            q = _round_away(x / float(s0[0])) + int(z0[0])
+            vals[_entry_target] = jnp.clip(q, -128, 127).astype(jnp.int8)
+        else:
+            vals[graph.inputs[0]] = x
 
         for op_index, op in enumerate(graph.ops):
             name, ins, outs = op.name, op.inputs, op.outputs
             o = outs[0]
+
+            if op_index in _entry_skip:
+                continue
 
             if op_index in _alias_ops:
                 # Elided TRANSPOSE / identity slice: forward the untransposed

@@ -78,3 +78,39 @@ def test_runner_dispatch():
     assert isinstance(r, TFLiteSimRunner)
     with pytest.raises(ValueError):
         load_model_runner("/tmp/nonexistent.xyz")
+
+
+def test_pretransposed_input_bit_equal(tmp_path):
+    """build_executor(pretransposed_input=True) folds the entry
+    QUANTIZE->TRANSPOSE: feeding the transposed orientation gives bit-equal
+    outputs (quantize is elementwise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.quant.tflite_import import (
+        TFLiteGraph,
+        build_executor,
+        entry_transpose_perm,
+    )
+
+    g = TFLiteGraph("/root/reference/checkpoints/birdnet_stm32n6_100.tflite")
+    perm = entry_transpose_perm(g)
+    assert perm == (0, 3, 2, 1)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (4, 257, 256, 1)).astype(np.float32)
+    std = np.asarray(jax.jit(build_executor(g, batch_size=4))(jnp.asarray(x)))
+    x_t = np.transpose(x, perm)
+    pt = np.asarray(jax.jit(build_executor(g, batch_size=4, pretransposed_input=True))(
+        jnp.asarray(x_t)))
+    np.testing.assert_array_equal(std, pt)
+
+    with pytest.raises(ValueError, match="QUANTIZE"):
+        # A graph without the entry pattern must be rejected: build a tiny
+        # graph-free check via a second call on a graph whose first op is not
+        # QUANTIZE (reuse g but monkeypatch the op list).
+        import copy
+
+        g2 = copy.copy(g)
+        g2.ops = g.ops[2:]
+        build_executor(g2, batch_size=1, pretransposed_input=True)
