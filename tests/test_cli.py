@@ -138,3 +138,45 @@ def test_evaluate_tflite_runners(wav_dataset, tmp_path, capsys):
                          "--config_path", str(cfg_path),
                          "--output_dir", str(tmp_path / f"eval_{m.stem}")]) == 0
         assert "roc-auc" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+def test_cli_mode_dispatch_paths(wav_dataset, tmp_path, capsys):
+    """find_lr / resume / linear_probe / tune dispatch end-to-end."""
+    root, sr = wav_dataset
+    run_dir = tmp_path / "base"
+    common = [
+        "--data_path_train", str(root), "--run_dir", str(run_dir),
+        "--sample_rate", "4000", "--chunk_duration", "1.0",
+        "--fft_length", "128", "--num_mels", "16", "--spec_width", "32",
+        "--alpha", "0.25", "--embeddings_size", "32",
+        "--epochs", "1", "--steps_per_epoch", "3", "--batch_size", "8",
+        "--num_workers", "0", "--no_mesh", "--max_chunks_per_file", "1",
+        "--seed", "0",
+    ]
+    assert dispatch(["train", *common]) == 0
+    capsys.readouterr()
+
+    # Resume: second epoch continues from the saved state.
+    assert dispatch(["train", *common, "--epochs", "2", "--resume"]) == 0
+    out = capsys.readouterr().out
+    assert "resuming from epoch 1" in out
+
+    # LR finder prints a suggestion and exits without touching the run dir.
+    assert dispatch(["train", *common, "--find_lr"]) == 0
+    out = capsys.readouterr().out
+    assert "suggested learning rate" in out
+
+    # Linear probe on the same classes (fresh head).
+    assert dispatch(["train", *common, "--linear_probe"]) == 0
+    probe_dir = tmp_path / "base_probe"
+    assert (probe_dir / "best").exists()
+    probe_labels = (probe_dir / "labels.txt").read_text().split()
+    assert probe_labels == ["bird_a", "bird_b"]
+
+    # Tiny random search writes best_params.json.
+    tune_dir = tmp_path / "tune"
+    assert dispatch(["train", *common, "--run_dir", str(tune_dir),
+                     "--tune", "2"]) == 0
+    assert (tune_dir / "best_params.json").exists()
