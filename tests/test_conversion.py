@@ -120,3 +120,27 @@ def test_tf_forward_parity_learn_mel_scale():
     ref = _flax_fwd(model, v, x)
     got = build_tf_forward(v, cfg)(tf.constant(x)).numpy()
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_stablehlo_export_roundtrip():
+    """Serialize the serving fn to StableHLO and run the deserialized module."""
+    from birdnet_stm32_tpu.conversion.export_stablehlo import (
+        export_serving_fn,
+        load_serving_fn,
+    )
+
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg)
+    v = init_model(model, cfg, jax.random.key(2))
+    data = export_serving_fn(model, v, cfg, batch_size=4)
+    assert isinstance(data, (bytes, bytearray)) and len(data) > 1000
+
+    fn = load_serving_fn(bytes(data))
+    wave = np.random.default_rng(0).normal(size=(4, cfg.chunk_samples)).astype(np.float32)
+    got = np.asarray(fn(jnp.asarray(wave)))
+
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+
+    ref = np.asarray(jax.jit(lambda v, w: model.apply(
+        v, inputs_for_config(w, cfg), train=False))(v, jnp.asarray(wave)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
