@@ -89,9 +89,19 @@ class TFLiteInterpreterRunner:
     def __init__(self, tflite_path: str | Path):
         import tensorflow as tf
 
-        self._interp = tf.lite.Interpreter(model_path=str(tflite_path))
+        self._path = str(tflite_path)
+        self._tf = tf
+        self._interp = self._make_interp()
         self._interp.allocate_tensors()
         self._batch = self._interp.get_input_details()[0]["shape"][0]
+
+    def _make_interp(self):
+        # No delegates (reference runners.py:48-95): XNNPack refuses to
+        # prepare some quantized graphs (REDUCE_MAX/DIV chains) entirely.
+        return self._tf.lite.Interpreter(
+            model_path=self._path,
+            experimental_op_resolver_type=self._tf.lite.experimental.OpResolverType
+            .BUILTIN_WITHOUT_DEFAULT_DELEGATES)
 
     def _invoke(self, x: np.ndarray) -> np.ndarray:
         inp = self._interp.get_input_details()[0]
@@ -109,7 +119,10 @@ class TFLiteInterpreterRunner:
             return self._invoke(x)
         except RuntimeError:
             # Some graphs refuse dynamic batch resize under the XNNPack
-            # delegate; fall back to per-sample invocation.
+            # delegate, and a failed AllocateTensors leaves the interpreter
+            # unusable — rebuild it, then invoke per sample.
+            self._interp = self._make_interp()
+            self._interp.allocate_tensors()
             return np.concatenate([self._invoke(x[i : i + 1]) for i in range(x.shape[0])])
 
 

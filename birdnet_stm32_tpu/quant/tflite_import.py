@@ -648,7 +648,7 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             elif name == "MEAN":
                 # TFLite integer Mean kernel (verified against TF 2.21):
                 # acc = sum(q - zp_in); MBQM(acc, qmult(si / (num*so))) + zp_out.
-                axes = tuple(int(a) for a in get_host(ins[1]))
+                axes = tuple(int(a) for a in np.atleast_1d(get_host(ins[1])))
                 keep = op.options["keepdims"]
                 si, zi, _ = q_params(ins[0])
                 so, zo, _ = q_params(o)
@@ -703,7 +703,7 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
 
             elif name == "REDUCE_MAX":
-                axes = tuple(int(a) for a in get_host(ins[1]))
+                axes = tuple(int(a) for a in np.atleast_1d(get_host(ins[1])))
                 keep = op.options.get("keepdims", True)
                 si, zi, _ = q_params(ins[0])
                 so, zo, _ = q_params(o)
@@ -717,7 +717,7 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
 
             elif name == "SUM":
                 # Integer sum + one MBQM(si/so) (MEAN without the 1/num).
-                axes = tuple(int(a) for a in get_host(ins[1]))
+                axes = tuple(int(a) for a in np.atleast_1d(get_host(ins[1])))
                 keep = op.options.get("keepdims", False)
                 si, zi, _ = q_params(ins[0])
                 so, zo, _ = q_params(o)

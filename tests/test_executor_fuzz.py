@@ -1,0 +1,69 @@
+"""Executor fidelity fuzz: random model configs -> INT8 export -> compare
+the JAX integer-graph executor against the TFLite interpreter.
+
+Conv/FC/ADD/MEAN/LOGISTIC paths are bit-exact; DIV/SOFTMAX/REDUCE_MAX use
+float-faithful kernels (<= 1 LSB), so comparisons allow one output quantum.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from birdnet_stm32_tpu.config import ModelConfig
+from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+
+tf = pytest.importorskip("tensorflow")
+
+
+CONFIGS = [
+    dict(audio_frontend="hybrid", mag_scale="pwl", use_inverted_residual=True,
+         use_se=True, class_activation="softmax"),
+    dict(audio_frontend="hybrid", mag_scale="pcen", use_inverted_residual=False,
+         use_se=True, class_activation="sigmoid"),
+    dict(audio_frontend="raw", mag_scale="none", use_inverted_residual=True,
+         use_se=False, use_attention_pooling=True, class_activation="softmax"),
+    dict(audio_frontend="librosa", mag_scale="none", use_inverted_residual=False,
+         use_se=False, class_activation="sigmoid"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+@pytest.mark.parametrize("i,spec", list(enumerate(CONFIGS)))
+def test_executor_matches_interpreter(i, spec, tmp_path):
+    from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
+    from birdnet_stm32_tpu.quant.tflite_import import TFLiteGraph, build_executor
+
+    spec = dict(spec)
+    activation = spec.pop("class_activation")
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=4,
+                      class_names=list("abcd"), alpha=0.25, **spec)
+    model = build_dscnn(cfg, class_activation=activation)
+    v = init_model(model, cfg, jax.random.key(100 + i))
+
+    rng = np.random.default_rng(i)
+    lo, hi = (-1, 1) if cfg.audio_frontend == "raw" else (0, 1)
+    calib = rng.uniform(lo, hi, (12, *cfg.input_shape())).astype(np.float32)
+    tfl = convert_to_tflite(v, cfg, calib, quantize="int8",
+                            class_activation=activation)
+
+    graph = TFLiteGraph(tfl)
+    fwd = jax.jit(build_executor(graph, batch_size=6))
+    x = rng.uniform(lo, hi, (6, *cfg.input_shape())).astype(np.float32)
+    ours = np.asarray(fwd(x))
+
+    tfl_path = tmp_path / "m.tflite"
+    tfl_path.write_bytes(tfl)
+    from birdnet_stm32_tpu.models.runners import TFLiteInterpreterRunner
+
+    theirs = TFLiteInterpreterRunner(tfl_path).predict(x)
+
+    # Output is float32 (dequantized int8): one quantum = output scale.
+    out_scale = 1.0 / 256.0  # int8 softmax/sigmoid output scale upper bound
+    diff = np.abs(ours - theirs)
+    assert diff.max() <= 1.5 * out_scale, (
+        f"config {i}: max diff {diff.max():.5f} exceeds 1 output quantum")
+    # And the vast majority of entries agree exactly.
+    assert (diff == 0).mean() > 0.95, f"config {i}: only {(diff == 0).mean():.2%} exact"
