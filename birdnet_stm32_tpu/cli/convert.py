@@ -24,6 +24,10 @@ def get_args(argv=None):
     p.add_argument("--min_cosine_sim", type=float, default=0.95)
     p.add_argument("--num_validation_seeds", type=int, default=1)
     p.add_argument("--no_npz", action="store_true")
+    p.add_argument("--stablehlo", action="store_true",
+                   help="also export the float serving fn (frontend+model) "
+                        "as a portable StableHLO module (the reference's "
+                        "optional ONNX-export analog)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -70,6 +74,12 @@ def main(argv=None) -> int:
         save_npz=not args.no_npz, seed=args.seed)
     ok("convert", f"{out_path} ({report['tflite_bytes']:,} B, "
                   f"{report['compression_ratio']:.1f}x compression)")
+    if args.stablehlo:
+        from birdnet_stm32_tpu.conversion.export_stablehlo import export_serving_fn
+
+        shlo_path = out_path.with_suffix(".stablehlo")
+        shlo_path.write_bytes(export_serving_fn(model, variables, cfg))
+        ok("convert", f"StableHLO serving module -> {shlo_path}")
     return 0
 
 
