@@ -52,7 +52,9 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
 
     for path in files:
         t0 = time.perf_counter()
-        chunks = chunks_for_file(str(path), cfg, overlap)
+        # Whole file (the evaluate path's default truncates at 60 s; the
+        # board-test loop processes every chunk).
+        chunks = chunks_for_file(str(path), cfg, overlap, max_duration=None)
         t1 = time.perf_counter()
         if chunks.shape[0] == 0:
             print(f"file: {Path(path).name}  SKIP (no audio)")
@@ -141,7 +143,8 @@ def main(argv=None) -> int:
     classes = (open_species_list(args.labels_path) if args.labels_path
                else cfg.class_names)
 
-    files = sorted(str(p) for p in Path(args.audio_dir).rglob("*.wav"))
+    files = sorted(str(p) for p in Path(args.audio_dir).rglob("*")
+                   if p.suffix.lower() == ".wav")
     if not files:
         raise SystemExit(f"no WAV files under {args.audio_dir}")
     if args.trace_dir:

@@ -65,8 +65,10 @@ class AudioLoader:
         self._rng = np.random.default_rng(self.cfg.seed)
 
     def estimate_samples_per_epoch(self) -> int:
-        """Files x avg chunks estimate (generator.py:188-218 analog)."""
-        return len(self.paths) * max(1, self.cfg.max_chunks_per_file // 2)
+        """Files x avg chunks estimate (generator.py:188-218 analog),
+        per shard in multi-host runs."""
+        n = -(-len(self.paths) // self.num_shards)  # ceil per-shard files
+        return n * max(1, self.cfg.max_chunks_per_file // 2)
 
     def __iter__(self):
         T = int(self.cfg.sample_rate * self.cfg.chunk_duration)
@@ -79,7 +81,11 @@ class AudioLoader:
             while True:
                 order = np.arange(len(self.paths))
                 if self.shuffle:
-                    self._rng.shuffle(order)
+                    # Epoch-keyed RNG, independent of the reservoir RNG: all
+                    # hosts derive the SAME permutation each epoch (the
+                    # reservoir rng advances a data-dependent number of times
+                    # per host, so sharing it would de-synchronize shards).
+                    np.random.default_rng((self.cfg.seed, epoch)).shuffle(order)
                 if self.num_shards > 1:
                     order = order[self.shard_index :: self.num_shards]
                 for i in order:

@@ -21,12 +21,9 @@ from pathlib import Path
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from birdnet_stm32_tpu.audio.io import load_audio_file
 from birdnet_stm32_tpu.config import ModelConfig
 from birdnet_stm32_tpu.evaluation.pooling import pool_scores
-from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 
 def chunks_for_file(path: str, cfg: ModelConfig, overlap: float = 0.0,

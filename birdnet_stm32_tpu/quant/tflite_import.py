@@ -441,6 +441,14 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             for ci in chain:
                 _pending_perm[graph.ops[ci].outputs[0]] = perm
 
+    if _entry_target is not None:
+        # The entry transpose is handled by the pretransposed-input path,
+        # never by the elision pre-pass: its input arrives ALREADY
+        # transposed, so pending-perm dimension remapping on the consuming
+        # conv would double-apply.
+        _alias_ops.discard(1)
+        _pending_perm.pop(_entry_target, None)
+
     def tshape(idx):
         s = list(T[idx].shape)
         if s and s[0] == 1:
@@ -525,10 +533,12 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
 
             elif name == "STRIDED_SLICE":
                 src_is_host = ins[0] in host
-                arr_shape = host[ins[0]].shape if src_is_host else (vals[ins[0]].shape if ins[0] in vals else tshape(ins[0]))
                 begin = [int(v) for v in get_host(ins[1])]
                 end = [int(v) for v in get_host(ins[2])]
                 strides = [int(v) for v in get_host(ins[3])]
+                if op.options.get("new_axis_mask") or op.options.get("ellipsis_mask"):
+                    raise NotImplementedError(
+                        "STRIDED_SLICE with new_axis/ellipsis masks is not supported")
                 bm, em, sm = op.options["begin_mask"], op.options["end_mask"], op.options["shrink_axis_mask"]
                 slices = []
                 for d in range(len(begin)):
@@ -731,8 +741,10 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 new_shape = [int(d) for d in (get_host(ins[1]) if len(ins) > 1 and ins[1] >= 0
                                               else op.options["new_shape"])]
                 src = get(ins[0])
-                # Respect the executor's actual batch size.
-                if new_shape and new_shape[0] not in (-1, src.shape[0]):
+                # Respect the executor's actual batch size (only one -1
+                # allowed in a reshape spec).
+                if (new_shape and new_shape[0] not in (-1, src.shape[0])
+                        and -1 not in new_shape):
                     new_shape[0] = -1
                 vals[o] = jnp.reshape(src, new_shape)
 
