@@ -87,5 +87,15 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
     return out
 
 
+def process_files(tasks: list) -> list:
+    """Batch worker entry: amortizes IPC/dispatch over several files."""
+    out = []
+    for task in tasks:
+        result = process_file(task)
+        if result:
+            out.extend(result)
+    return out
+
+
 def worker_init():
     signal.signal(signal.SIGINT, signal.SIG_IGN)
