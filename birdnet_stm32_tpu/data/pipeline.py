@@ -40,9 +40,9 @@ from birdnet_stm32_tpu.ops.frontend import waveform_to_input
 __all__ = ["AudioLoader", "LoaderConfig", "process_file", "make_train_batcher"]
 
 
-@dataclass
+@dataclass(eq=False)  # ndarray field: synthesized __eq__ would raise
 class AudioLoader:
-    """Shuffled-reservoir batch iterator over a process pool.
+    """Shuffled-reservoir batch iterator over a thread/process worker pool.
 
     Yields (waveform [B, T] float32, labels [B, C] float32) numpy batches.
     """
@@ -70,6 +70,12 @@ class AudioLoader:
 
     def __post_init__(self):
         assert len(self.paths) == len(self.labels)
+        if self.labels.ndim != 2 or (self.cfg.num_classes
+                                     and self.labels.shape[1] != self.cfg.num_classes):
+            raise ValueError(
+                f"labels shape {self.labels.shape} does not match "
+                f"LoaderConfig.num_classes={self.cfg.num_classes} — the noise "
+                "fallback would emit mismatched label widths")
         self._rng = np.random.default_rng(self.cfg.seed)
 
     def estimate_samples_per_epoch(self) -> int:
@@ -78,10 +84,11 @@ class AudioLoader:
         n = -(-len(self.paths) // self.num_shards)  # ceil per-shard files
         return n * max(1, self.cfg.max_chunks_per_file // 2)
 
-    def _iter_threads(self, tasks, reservoir, low_mark, drain_batch):
+    def _iter_threads(self, tasks, reservoir, low_mark, drain_ready, drain_tail):
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-        with ThreadPoolExecutor(self.num_workers) as ex:
+        ex = ThreadPoolExecutor(self.num_workers)
+        try:
             pending = set()
             exhausted = False
             while True:
@@ -92,7 +99,10 @@ class AudioLoader:
                     except StopIteration:
                         exhausted = True
                 if not pending:
-                    break
+                    if exhausted:
+                        break
+                    time.sleep(0.05)  # paused via loader_control inflight=0
+                    continue
                 done, pending = wait(pending, timeout=self.worker_timeout,
                                      return_when=FIRST_COMPLETED)
                 if not done:
@@ -102,18 +112,21 @@ class AudioLoader:
                     result = f.result()
                     if result:
                         reservoir.extend(result)
-                while len(reservoir) >= max(low_mark, self.batch_size):
-                    yield drain_batch()
-            while len(reservoir) >= self.batch_size:
-                yield drain_batch()
-            if reservoir and not self.infinite:
-                yield drain_batch()  # final partial batch
+                yield from drain_ready(low_mark)
+            yield from drain_tail()
+        finally:
+            # Abandoned mid-iteration (GeneratorExit): drop queued decodes
+            # instead of running them all to completion.
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self):
         T = int(self.cfg.sample_rate * self.cfg.chunk_duration)
         C = self.labels.shape[1]
         reservoir: list[tuple[np.ndarray, np.ndarray]] = []
-        low_mark = max(self.batch_size * 2, min(self.reservoir_size // 2, 4 * self.batch_size))
+        # Drain down to half the reservoir: the shuffle window really is
+        # ~reservoir_size/2 items (the previous 4*batch cap made the knob a
+        # no-op beyond 8 batches).
+        low_mark = max(self.batch_size * 2, self.reservoir_size // 2)
 
         def task_stream():
             epoch = 0
@@ -134,19 +147,36 @@ class AudioLoader:
                     return
 
         def drain_batch():
-            idx = self._rng.permutation(len(reservoir))[: self.batch_size]
-            idx_set = set(idx.tolist())
-            batch = [reservoir[i] for i in idx]
-            remaining = [s for i, s in enumerate(reservoir) if i not in idx_set]
-            reservoir.clear()
-            reservoir.extend(remaining)
+            if self.shuffle:
+                idx = self._rng.permutation(len(reservoir))[: self.batch_size]
+                idx_set = set(idx.tolist())
+                batch = [reservoir[i] for i in idx]
+                remaining = [s for i, s in enumerate(reservoir) if i not in idx_set]
+                reservoir.clear()
+                reservoir.extend(remaining)
+            else:
+                # Deterministic FIFO for validation loaders: batch
+                # composition must not depend on RNG state or worker
+                # completion order.
+                batch = reservoir[: self.batch_size]
+                del reservoir[: self.batch_size]
             x = np.stack([b[0] for b in batch])
             y = np.stack([b[1] for b in batch])
             return x, y
 
+        def drain_ready(min_size):
+            while len(reservoir) >= max(min_size, self.batch_size):
+                yield drain_batch()
+
+        def drain_tail():
+            yield from drain_ready(self.batch_size)
+            if reservoir and not self.infinite:
+                yield drain_batch()  # final partial batch
+
         tasks = task_stream()
         if self.executor == "thread" and self.num_workers > 0:
-            yield from self._iter_threads(tasks, reservoir, low_mark, drain_batch)
+            yield from self._iter_threads(tasks, reservoir, low_mark,
+                                          drain_ready, drain_tail)
             return
         if self.num_workers <= 0:
             # Single-process fallback (generator.py single-process path).
@@ -154,12 +184,8 @@ class AudioLoader:
                 result = process_file(task)
                 if result:
                     reservoir.extend(result)
-                while len(reservoir) >= max(low_mark, self.batch_size):
-                    yield drain_batch()
-            while len(reservoir) >= self.batch_size:
-                yield drain_batch()
-            if reservoir and not self.infinite:
-                yield drain_batch()  # final partial batch
+                yield from drain_ready(low_mark)
+            yield from drain_tail()
             return
 
         # Spawn, not fork: the parent runs a multithreaded JAX runtime and
@@ -197,7 +223,10 @@ class AudioLoader:
                         except StopIteration:
                             exhausted = True
                     if not pending:
-                        break
+                        if exhausted:
+                            break
+                        time.sleep(0.05)  # paused via loader_control inflight=0
+                        continue
                     done, still = [], []
                     for p in pending:
                         (done if p.ready() else still).append(p)
@@ -213,18 +242,17 @@ class AudioLoader:
                                 "worker processes appear dead (spawn requires an "
                                 "importable __main__; run from a file/module, not stdin)")
                         continue
-                    last_progress = time.monotonic()
                     pending = still
                     for p in done:
                         result = p.get()
                         if result:
                             reservoir.extend(result)
-                    while len(reservoir) >= max(low_mark, self.batch_size):
-                        yield drain_batch()
-                while len(reservoir) >= self.batch_size:
-                    yield drain_batch()
-                if reservoir and not self.infinite:
-                    yield drain_batch()  # final partial batch
+                    yield from drain_ready(low_mark)
+                    # Reset AFTER yielding: time parked at a yield (e.g. the
+                    # epoch-end validation sweep) must not count toward the
+                    # worker-dead watchdog.
+                    last_progress = time.monotonic()
+                yield from drain_tail()
             finally:
                 pool.terminate()
 

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from birdnet_stm32_tpu.audio.activity import get_activity_ratio, smart_crop
+from birdnet_stm32_tpu.audio.activity import smart_crop, sort_by_activity
 from birdnet_stm32_tpu.audio.io import (
     estimate_num_chunks,
     load_audio_window,
@@ -58,7 +58,7 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
             chunk_duration=cfg.chunk_duration, random_offset=cfg.random_offset, rng=rng,
         )
     except Exception:
-        return None
+        audio = np.empty((0,), np.float32)  # same noise fallback as empty loads
 
     if audio.size == 0:
         chunk = rng.uniform(-1.0, 1.0, T).astype(np.float32)
@@ -72,11 +72,9 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
     if not chunks:
         return None
 
-    # Activity-rank (keep at least one), take the top max_chunks.
-    activity = np.array([get_activity_ratio(c) for c in chunks])
-    order = np.argsort(activity)[::-1]
-    kept = [chunks[i] for i in order if activity[i] >= cfg.snr_threshold] or [chunks[order[0]]]
-    selected = kept[: cfg.max_chunks_per_file]
+    # Activity-rank (keep at least one), take the top max_chunks
+    # (audio/activity.py sort_by_activity, reference activity.py:217-233).
+    selected = sort_by_activity(chunks, threshold=cfg.snr_threshold)[: cfg.max_chunks_per_file]
 
     out = []
     for c in selected:
