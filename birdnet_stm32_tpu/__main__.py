@@ -1,9 +1,11 @@
 """CLI dispatch: python -m birdnet_stm32_tpu <command> [args].
 
-Parity with reference birdnet_stm32/__main__.py:14-47. The deploy/board-test
-verbs map to this framework's serving analog: `benchmark` runs the batched
-end-to-end inference driver over a WAV directory with the firmware's
-[BENCH] / `=== DONE ===` report protocol (firmware/Src/main.c:269-374).
+Parity with reference birdnet_stm32/__main__.py:14-47, including the
+deploy and board-test verbs: `deploy` packages a checkpoint into a
+self-contained serving bundle (the stedgeai generate/load/validate analog),
+`board-test` runs the standalone WAV-dir inference test with the firmware's
+[BENCH] / `=== DONE ===` report protocol (firmware/Src/main.c:269-374), and
+`benchmark` is the lower-level batched driver both build on.
 """
 
 from __future__ import annotations
@@ -16,6 +18,8 @@ COMMANDS = {
     "evaluate": ("birdnet_stm32_tpu.cli.evaluate", "Evaluate a model on a test set"),
     "benchmark": ("birdnet_stm32_tpu.cli.benchmark", "Batched WAV-dir inference + timing report"),
     "profile": ("birdnet_stm32_tpu.cli.profile", "Analytical model cost profile"),
+    "deploy": ("birdnet_stm32_tpu.cli.deploy", "Package a checkpoint into a deployment bundle"),
+    "board-test": ("birdnet_stm32_tpu.cli.board_test", "Standalone WAV-dir inference test ([BENCH] protocol)"),
 }
 
 
@@ -26,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
         for name, (_, doc) in COMMANDS.items():
             print(f"  {name:<10} {doc}")
         return 0 if argv else 2
-    cmd = argv[0].replace("-", "_")
+    cmd = argv[0].replace("_", "-")
     if cmd not in COMMANDS:
         print(f"unknown command: {argv[0]} (expected one of {', '.join(COMMANDS)})",
               file=sys.stderr)

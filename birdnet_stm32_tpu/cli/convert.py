@@ -28,6 +28,10 @@ def get_args(argv=None):
                    help="also export the float serving fn (frontend+model) "
                         "as a portable StableHLO module (the reference's "
                         "optional ONNX-export analog)")
+    p.add_argument("--onnx", action="store_true",
+                   help="also export ONNX via tf2onnx when installed "
+                        "(reference cli/convert.py:209-221); prints a warning "
+                        "and continues when tf2onnx is unavailable")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -80,6 +84,30 @@ def main(argv=None) -> int:
         shlo_path = out_path.with_suffix(".stablehlo")
         shlo_path.write_bytes(export_serving_fn(model, variables, cfg))
         ok("convert", f"StableHLO serving module -> {shlo_path}")
+    if args.onnx:
+        # Optional, like the reference's (cli/convert.py:209-221 there):
+        # failure to export ONNX never fails the conversion.
+        try:
+            import tf2onnx  # noqa: F401
+
+            from birdnet_stm32_tpu.conversion.export_tflite import build_tf_forward
+
+            import tensorflow as tf
+
+            forward = build_tf_forward(variables, cfg,
+                                       class_activation=class_activation)
+            spec = (tf.TensorSpec((None, *cfg.input_shape()), tf.float32),)
+            onnx_path = out_path.with_suffix(".onnx")
+            tf2onnx.convert.from_function(
+                tf.function(forward), input_signature=spec,
+                output_path=str(onnx_path))
+            ok("convert", f"ONNX -> {onnx_path}")
+        except ImportError:
+            print("[WARN] --onnx requested but tf2onnx is not installed; "
+                  "skipping (use --stablehlo for a portable module)")
+        except Exception as e:  # parity: ONNX export failure is non-fatal
+            print(f"[WARN] ONNX export failed ({type(e).__name__}: {e}); "
+                  "continuing")
     return 0
 
 

@@ -23,6 +23,44 @@ def test_dispatch_unknown():
     assert dispatch(["frobnicate"]) == 2
 
 
+def test_deploy_sidecar_derivation(tmp_path):
+    from birdnet_stm32_tpu.cli.deploy import derive_sidecar_paths
+
+    # `_quantized` strip parity (reference cli/board_test.py:72-90).
+    cfg, labels = derive_sidecar_paths("/ckpt/bird_quantized.tflite")
+    assert cfg == "/ckpt/bird_model_config.json"
+    assert labels == "/ckpt/bird_labels.txt"
+
+    # Directory checkpoints keep sidecars inside the run dir.
+    d = tmp_path / "run"
+    d.mkdir()
+    cfg, labels = derive_sidecar_paths(str(d))
+    assert cfg == str(d / "model_config.json")
+    assert labels == str(d / "labels.txt")
+
+
+def test_deploy_dry_run_and_preflight(tmp_path, capsys):
+    from birdnet_stm32_tpu.config import ModelConfig
+
+    # Missing model: pre-flight error, no bundle written.
+    assert dispatch(["deploy", "--model_path", str(tmp_path / "nope.tflite")]) == 1
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=2, class_names=["a", "b"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    model = tmp_path / "bird_quantized.tflite"
+    model.write_bytes(b"\x00" * 16)
+    cfg.save(tmp_path / "bird_model_config.json")
+    capsys.readouterr()
+    out_dir = tmp_path / "bundle"
+    assert dispatch(["deploy", "--model_path", str(model),
+                     "--output_dir", str(out_dir), "--dry_run"]) == 0
+    out = capsys.readouterr().out
+    assert "dry run" in out and "app_config.h" in out
+    assert not out_dir.exists()  # dry run writes nothing
+
+
 def test_profile_cli(tmp_path, capsys):
     from birdnet_stm32_tpu.config import ModelConfig
 
@@ -62,11 +100,14 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert dispatch([
         "convert", "--model_path", str(run_dir), "--data_path", str(root),
         "--output_path", str(out_tfl), "--quantize", "dynamic",
-        "--num_calibration_samples", "4",
+        "--num_calibration_samples", "4", "--onnx",
     ]) == 0
     assert out_tfl.exists()
     report = json.loads((tmp_path / "model_report.json").read_text())
     assert report["quantize"] == "dynamic"
+    # --onnx is optional parity: warns-and-continues when tf2onnx is absent.
+    out = capsys.readouterr().out
+    assert ("ONNX" in out) or ("tf2onnx" in out)
 
     # Evaluate the float checkpoint.
     out_dir = tmp_path / "eval"
@@ -95,6 +136,34 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert csv_path.exists()
     header = csv_path.read_text().splitlines()[0]
     assert header.startswith("file,chunks,top1")
+
+    # Deploy: package the run dir into a bundle (headers + manifest) and
+    # validate it on the local device.
+    bundle = tmp_path / "bundle"
+    assert dispatch([
+        "deploy", "--model_path", str(run_dir), "--output_dir", str(bundle),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "validate OK" in out
+    manifest = json.loads((bundle / "manifest.json").read_text())
+    assert manifest["num_classes"] == 2
+    assert (bundle / "firmware" / "app_config.h").exists()
+    assert (bundle / "firmware" / "app_labels.h").exists()
+    assert (bundle / "model_config.json").exists()
+
+    # Board test: the standalone WAV-dir inference test over the bundle.
+    results_csv = tmp_path / "board_results.csv"
+    assert dispatch([
+        "board-test", "--model_path", str(bundle / run_dir.name),
+        "--model_config", str(bundle / "model_config.json"),
+        "--labels", str(bundle / "labels.txt"),
+        "--audio_dir", str(root), "--save_results", str(results_csv),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "[BENCH]" in out and "=== DONE ===" in out
+    rows = results_csv.read_text().splitlines()
+    assert rows[0] == "file,top_label,top_score"
+    assert len(rows) > 1
 
 
 @pytest.mark.slow
