@@ -31,16 +31,35 @@ def get_args(argv=None):
     p.add_argument("--csv", default=None, help="optional results CSV path")
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the run (view in TensorBoard/Perfetto)")
+    p.add_argument("--device_resample", action="store_true",
+                   help="decode at each file's native rate and resample on "
+                        "device inside the fused dispatch (skips host "
+                        "resampling, ~30-40%% of host decode cost)")
     return p.parse_args(argv)
 
 
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
-                  overlap=0.0, csv_path=None) -> dict:
-    """Drive the batched inference loop and print the [BENCH] protocol."""
+                  overlap=0.0, csv_path=None, score_threshold=0.0,
+                  timeout=None, device_resample=False) -> dict:
+    """Drive the batched inference loop and print the [BENCH] protocol.
+
+    With device_resample=True, files are decoded at their native sample
+    rate and polyphase-resampled on device inside the fused dispatch
+    (ops/resample.py) — one classifier is compiled per distinct source
+    rate encountered.
+    """
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
     from birdnet_stm32_tpu.models.serving import make_fused_classifier
 
-    classify = make_fused_classifier(runner, cfg)
+    classifiers = {cfg.sample_rate: make_fused_classifier(runner, cfg)}
+
+    def classifier_for(rate: int):
+        if rate not in classifiers:
+            print(f"[info] compiling device-resample classifier for {rate} Hz input")
+            classifiers[rate] = make_fused_classifier(runner, cfg,
+                                                      input_sample_rate=rate)
+        return classifiers[rate]
+
     print("[info] frontend+model fused into one device dispatch; "
           "[BENCH] 'model' covers both, 'frontend' reads 0.0")
 
@@ -50,11 +69,29 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     audio_s = 0.0
     t_all0 = time.perf_counter()
 
+    timed_out = False
     for path in files:
+        if timeout is not None and time.perf_counter() - t_all0 > timeout:
+            # Parity with the reference board test's capture timeout
+            # (deploy/board_test.py:355-404): stop and report what finished.
+            print(f"[WARN] timeout after {timeout:.0f} s; "
+                  f"{len(per_file_rows)} of {len(files)} files processed")
+            timed_out = True
+            break
         t0 = time.perf_counter()
+        src_rate = cfg.sample_rate
+        if device_resample:
+            try:
+                from birdnet_stm32_tpu.audio.io import wav_info
+
+                src_rate = wav_info(path).sample_rate
+            except Exception:
+                src_rate = cfg.sample_rate
+        classify = classifier_for(src_rate)
         # Whole file (the evaluate path's default truncates at 60 s; the
         # board-test loop processes every chunk).
-        chunks = chunks_for_file(str(path), cfg, overlap, max_duration=None)
+        chunks = chunks_for_file(str(path), cfg, overlap, max_duration=None,
+                                 sample_rate=src_rate)
         t1 = time.perf_counter()
         if chunks.shape[0] == 0:
             print(f"file: {Path(path).name}  SKIP (no audio)")
@@ -92,6 +129,10 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         t_model += mdl_ms
 
         top = np.argsort(pooled)[::-1][:top_k]
+        # Score-threshold display filter (firmware APP_SCORE_THRESHOLD,
+        # main.c:109-134): always keep the top-1 prediction.
+        top = [i for rank, i in enumerate(top)
+               if rank == 0 or pooled[i] >= score_threshold]
         preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
         print(f"file: {Path(path).name}  chunks: {len(chunks)}  top: {preds}")
         print(f"[BENCH] read: {read_ms:.1f} ms  frontend: {fe_ms:.1f} ms  "
@@ -124,7 +165,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     return {"files": len(per_file_rows), "chunks": total_chunks,
             "wall_s": wall_s, "rtf": rtf,
             "chunks_per_sec": total_chunks / wall_s if wall_s else 0.0,
-            "per_file": per_file_rows}
+            "per_file": per_file_rows, "timed_out": timed_out}
 
 
 def main(argv=None) -> int:
@@ -153,12 +194,12 @@ def main(argv=None) -> int:
         with jax.profiler.trace(args.trace_dir):
             run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
                           batch_size=args.batch_size, overlap=args.chunk_overlap,
-                          csv_path=args.csv)
+                          csv_path=args.csv, device_resample=args.device_resample)
         print(f"profiler trace -> {args.trace_dir}")
     else:
         run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
                       batch_size=args.batch_size, overlap=args.chunk_overlap,
-                      csv_path=args.csv)
+                      csv_path=args.csv, device_resample=args.device_resample)
     return 0
 
 

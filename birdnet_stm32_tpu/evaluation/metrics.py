@@ -27,11 +27,18 @@ from birdnet_stm32_tpu.evaluation.pooling import pool_scores
 
 
 def chunks_for_file(path: str, cfg: ModelConfig, overlap: float = 0.0,
-                    max_duration: float = 60.0) -> np.ndarray:
+                    max_duration: float = 60.0,
+                    sample_rate: int | None = None) -> np.ndarray:
     """[n_chunks, T] waveform chunks for one file (metrics.py:18-72 analog;
-    feature extraction happens later, batched on device)."""
+    feature extraction happens later, batched on device).
+
+    `sample_rate` overrides cfg.sample_rate for device-resample serving:
+    chunks come back at the file's native rate (T = chunk_duration * rate)
+    and the classifier resamples on device (ops/resample.py).
+    """
     return load_audio_file(
-        path, sample_rate=cfg.sample_rate, max_duration=max_duration,
+        path, sample_rate=sample_rate or cfg.sample_rate,
+        max_duration=max_duration,
         chunk_duration=cfg.chunk_duration, chunk_overlap=overlap, random_offset=False,
     )
 

@@ -17,12 +17,30 @@ import jax.numpy as jnp
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 
-def make_fused_classifier(runner, cfg):
+def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None):
     """waveform batch [B, T] -> scores [B, C], fused when possible.
 
     Falls back to frontend-then-predict for non-jittable runners (the
     TFLite interpreter).
+
+    Args:
+        runner: FlaxRunner / TFLiteSimRunner / interpreter runner.
+        cfg: ModelConfig (audio + model geometry).
+        input_sample_rate: When set and != cfg.sample_rate, batches arrive
+            at this rate ([B, chunk_duration * input_sample_rate]) and are
+            polyphase-resampled ON DEVICE inside the same dispatch
+            (ops/resample.py) — hosts then feed native-rate PCM and skip
+            the ~30-40% resampling share of their decode cost.
     """
+    if input_sample_rate is not None and input_sample_rate != cfg.sample_rate:
+        from birdnet_stm32_tpu.ops.resample import resample_chunk_batch
+
+        base = inputs_for_config
+
+        def _inputs(wave, cfg=cfg):
+            return base(resample_chunk_batch(wave, input_sample_rate, cfg), cfg)
+    else:
+        _inputs = inputs_for_config
     mesh = getattr(runner, "mesh", None)
     shardings = {}
     if mesh is not None:
@@ -40,7 +58,7 @@ def make_fused_classifier(runner, cfg):
             if b not in fns:
                 fwd = build_executor(runner.graph, batch_size=b,
                                      requant=getattr(runner, "_requant", "exact"))
-                fn = lambda w: fwd(inputs_for_config(w, cfg))  # noqa: E731
+                fn = lambda w: fwd(_inputs(w, cfg))  # noqa: E731
                 if mesh is not None:
                     fns[b] = jax.jit(fn, in_shardings=shardings["data"],
                                      out_shardings=shardings["data"])
@@ -52,7 +70,7 @@ def make_fused_classifier(runner, cfg):
 
     if hasattr(runner, "model"):  # FlaxRunner
         fn = lambda v, w: runner.model.apply(  # noqa: E731
-            v, inputs_for_config(w, cfg), train=False)
+            v, _inputs(w, cfg), train=False)
         if mesh is not None:
             fused = jax.jit(fn, in_shardings=(shardings["rep"], shardings["data"]),
                             out_shardings=shardings["data"])
@@ -68,7 +86,7 @@ def make_fused_classifier(runner, cfg):
 
         return classify
 
-    frontend = jax.jit(lambda w: inputs_for_config(w, cfg))
+    frontend = jax.jit(lambda w: _inputs(w, cfg))
 
     def classify(wave: np.ndarray) -> np.ndarray:
         return np.asarray(runner.predict(np.asarray(frontend(jnp.asarray(wave)))))
