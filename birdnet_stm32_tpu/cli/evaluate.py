@@ -29,6 +29,10 @@ def get_args(argv=None):
     p.add_argument("--profile_memory", action="store_true")
     p.add_argument("--optimize_thresholds", action="store_true")
     p.add_argument("--bootstrap_ci", action="store_true")
+    p.add_argument("--n_bootstrap", type=int, default=1000,
+                   help="bootstrap resamples for AP CIs (reference --n_bootstrap)")
+    p.add_argument("--max_files", type=int, default=None,
+                   help="evaluate at most N test files (reference --max_files)")
     p.add_argument("--det_curve", action="store_true")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--save_csv", action="store_true")
@@ -60,6 +64,8 @@ def main(argv=None) -> int:
     files, _, _ = load_file_paths_from_directory(args.data_path_test, classes=classes)
     if not files:
         raise SystemExit(f"no test audio under {args.data_path_test}")
+    if args.max_files is not None:
+        files = files[:args.max_files]
 
     results, per_file, y_true, y_scores = M.evaluate(
         runner, files, classes, cfg,
@@ -103,7 +109,7 @@ def main(argv=None) -> int:
     if args.bootstrap_ci or args.save_csv:
         species_data = M.bootstrap_ap_ci(
             y_true, y_scores, classes,
-            n_bootstrap=1000 if args.bootstrap_ci else 50)
+            n_bootstrap=args.n_bootstrap if args.bootstrap_ci else 50)
     if args.det_curve:
         far, frr, _ = M.compute_det_curve(y_true, y_scores)
         R.print_ascii_det_curve(far, frr)

@@ -67,6 +67,20 @@ def get_args(argv=None):
     p.add_argument("--mixup_probability", type=float, default=0.25)
     p.add_argument("--no_mixup", action="store_true")
     p.add_argument("--no_spec_augment", action="store_true")
+    p.add_argument("--freq_mask_max", type=int, default=8,
+                   help="SpecAugment max frequency-mask width (bins)")
+    p.add_argument("--time_mask_max", type=int, default=25,
+                   help="SpecAugment max time-mask width (frames)")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 forward/backward on the MXU; master params, "
+                        "loss, and optimizer stay float32")
+    p.add_argument("--loss", default="auto",
+                   choices=["auto", "bce", "cce", "focal"],
+                   help="override the auto-selected loss (reference --loss)")
+    p.add_argument("--max_duration", type=float, default=30.0,
+                   help="max seconds decoded per file during loading")
+    p.add_argument("--n_mfcc", type=int, default=20,
+                   help="MFCC coefficient count (mfcc frontend)")
     # Run control
     p.add_argument("--run_dir", default="runs/birdnet_tpu")
     p.add_argument("--resume", action="store_true")
@@ -119,6 +133,7 @@ def build_loaders(args, cfg, for_qat: bool = False):
         sample_rate=args.sample_rate, chunk_duration=args.chunk_duration,
         num_classes=len(class_names), max_chunks_per_file=args.max_chunks_per_file,
         snr_threshold=args.snr_threshold, seed=args.seed,
+        load_duration=getattr(args, "max_duration", 30.0),
     )
     from birdnet_stm32_tpu.parallel.distributed import host_shard
 
@@ -191,6 +206,7 @@ def main(argv=None) -> int:
         expansion_factor=args.expansion_factor,
         use_attention_pooling=args.attention_pooling,
         frontend_trainable=not args.no_frontend_trainable,
+        n_mfcc=args.n_mfcc,
     )
     probe_cfg = ModelConfig(num_classes=1, class_names=["_"], **cfg_kwargs)
     train_loader, val_loader, class_names, raw_labels = build_loaders(args, probe_cfg)
@@ -251,9 +267,20 @@ def main(argv=None) -> int:
         cfg, spec_augment=not args.no_spec_augment,
         mixup_alpha=args.mixup_alpha,
         mixup_probability=0.0 if args.no_mixup else args.mixup_probability,
-        label_smoothing=args.label_smoothing)
+        label_smoothing=args.label_smoothing,
+        freq_mask_max=args.freq_mask_max, time_mask_max=args.time_mask_max)
     class_weights = None if args.no_class_weights else balanced_class_weights(
         raw_labels, class_names)
+
+    loss_fn_override = None
+    if args.loss != "auto":
+        from birdnet_stm32_tpu.training.losses import make_loss_fn
+
+        loss_fn_override = make_loss_fn(
+            multilabel=args.loss == "bce",
+            focal_gamma=(args.focal_gamma or 2.0) if args.loss == "focal" else None,
+            label_smoothing=args.label_smoothing,
+            class_weights=class_weights)
 
     run_dir.mkdir(parents=True, exist_ok=True)
     cfg.save(run_dir / "model_config.json")
@@ -268,7 +295,9 @@ def main(argv=None) -> int:
         focal_gamma=args.focal_gamma, label_smoothing=args.label_smoothing,
         class_weights=class_weights, batcher=batcher, mesh=mesh,
         resume=args.resume, seed=args.seed,
-        loader_tuner=AdaptiveLoaderTuner(train_loader.loader_control))
+        loader_tuner=AdaptiveLoaderTuner(train_loader.loader_control),
+        loss_fn_override=loss_fn_override,
+        mixed_precision=args.mixed_precision)
     ok("train", f"artifacts in {run_dir}")
     return 0
 

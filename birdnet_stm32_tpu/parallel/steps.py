@@ -89,6 +89,7 @@ def make_train_step(
     frontend_trainable: bool = True,
     donate: bool = True,
     kernel_l2: float = 1e-4,
+    compute_dtype: Any = None,
 ):
     """Build the jitted data-parallel training step.
 
@@ -101,23 +102,41 @@ def make_train_step(
         donate: Donate the state buffers (halves HBM traffic per step).
         kernel_l2: L2 coefficient on backbone conv kernels (reference
             default 1e-4; 0 disables).
+        compute_dtype: Mixed precision (reference cli/train.py:299-301):
+            e.g. jnp.bfloat16 runs the forward/backward in bf16 on the MXU
+            while master params, the loss, the L2 term, and the optimizer
+            stay float32 (the cast is in-graph, so gradients flow back to
+            the f32 masters). None = full float32.
 
     Returns:
         step(state, x, y, rng) -> (state, metrics dict).
     """
 
+    def _cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree)
+
     def step(state: TrainState, x, y, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def compute_loss(params):
+            p, bs, xx = params, state.batch_stats, x
+            if compute_dtype is not None:
+                p, bs, xx = (_cast(t, compute_dtype) for t in (p, bs, xx))
             out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+                {"params": p, "batch_stats": bs},
+                xx, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
             )
+            new_stats = updates["batch_stats"]
+            if compute_dtype is not None:
+                out = out.astype(jnp.float32)
+                new_stats = _cast(new_stats, jnp.float32)
             loss = loss_fn(out, y)
             if kernel_l2 > 0:
                 loss = loss + conv_kernel_l2(params, kernel_l2)
-            return loss, (updates["batch_stats"], out)
+            return loss, (new_stats, out)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
         if not frontend_trainable:

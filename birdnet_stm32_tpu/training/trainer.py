@@ -96,6 +96,7 @@ def train_model(
     qat: bool = False,
     loss_fn_override=None,
     kernel_l2: float = 1e-4,
+    mixed_precision: bool = False,
 ) -> tuple[dict, list[dict]]:
     """Run the full training loop.
 
@@ -141,6 +142,7 @@ def train_model(
         step_fn = make_train_step(
             model, tx, loss_fn, mesh=mesh, frontend_trainable=cfg.frontend_trainable,
             kernel_l2=kernel_l2,
+            compute_dtype=jnp.bfloat16 if mixed_precision else None,
         )
     eval_fn = make_eval_step(model, loss_fn, mesh=mesh,
                              activation="sigmoid" if multilabel else "softmax")

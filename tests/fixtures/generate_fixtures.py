@@ -50,5 +50,7 @@ def generate_fixtures(out_dir: str | Path, sample_rate: int = 22050,
 
 
 if __name__ == "__main__":
+    # Script mode puts tests/fixtures/ on sys.path, not the repo root.
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     dest = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).parent / "data")
     print(f"fixtures written to {generate_fixtures(dest)}")

@@ -88,6 +88,12 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
         "--epochs", "2", "--steps_per_epoch", "4", "--batch_size", "8",
         "--num_workers", "0", "--patience", "5", "--no_mesh",
         "--max_chunks_per_file", "1", "--seed", "0",
+        # Flag-parity surface: bf16 step, loss override, SpecAugment widths,
+        # bounded decode (reference --mixed_precision/--loss/--*_mask_max/
+        # --max_duration).
+        "--mixed_precision", "--loss", "bce",
+        "--freq_mask_max", "4", "--time_mask_max", "10",
+        "--max_duration", "10",
     ]
     assert dispatch(["train", *common]) == 0
     assert (run_dir / "model_config.json").exists()
@@ -114,7 +120,8 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert dispatch([
         "evaluate", "--model_path", str(run_dir), "--data_path_test", str(root),
         "--output_dir", str(out_dir), "--save_csv", "--save_benchmark_json",
-        "--optimize_thresholds",
+        "--optimize_thresholds", "--max_files", "8", "--n_bootstrap", "20",
+        "--bootstrap_ci",
     ]) == 0
     out = capsys.readouterr().out
     assert "roc-auc" in out and "cmAP" in out

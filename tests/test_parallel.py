@@ -94,6 +94,40 @@ def test_frontend_freeze(setup):
     )
 
 
+def test_mixed_precision_step(setup):
+    """bf16 compute: loss tracks the f32 step, masters stay float32."""
+    cfg, model, variables, tx, loss_fn, x, y = setup
+
+    s32 = TrainState.create(variables, tx)
+    s16 = TrainState.create(variables, tx)
+    step32 = make_train_step(model, tx, loss_fn, mesh=None, donate=False)
+    step16 = make_train_step(model, tx, loss_fn, mesh=None, donate=False,
+                             compute_dtype=jnp.bfloat16)
+
+    for _ in range(3):
+        s32, m32 = step32(s32, jnp.asarray(x), jnp.asarray(y), jax.random.key(3))
+        s16, m16 = step16(s16, jnp.asarray(x), jnp.asarray(y), jax.random.key(3))
+
+    # bf16 has ~3 decimal digits; losses should track to that precision.
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=0.05, atol=0.02)
+    # Master params, BN stats, and optimizer state remain float32.
+    for leaf in jax.tree_util.tree_leaves((s16.params, s16.batch_stats,
+                                           s16.opt_state)):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    assert np.isfinite(float(m16["loss"]))
+
+    # Sharded variant compiles and runs too.
+    mesh = make_mesh()
+    s8 = jax.device_put(TrainState.create(variables, tx), replicated(mesh))
+    step8 = make_train_step(model, tx, loss_fn, mesh=mesh, donate=False,
+                            compute_dtype=jnp.bfloat16)
+    batch = shard_batch({"x": x, "y": y}, mesh)
+    s8, m8 = step8(s8, batch["x"], batch["y"], jax.random.key(3))
+    assert np.isfinite(float(m8["loss"]))
+
+
 def test_eval_step_sharded(setup):
     cfg, model, variables, tx, loss_fn, x, y = setup
     mesh = make_mesh()
