@@ -78,6 +78,32 @@ def test_registry_extension():
     assert not is_n6_compatible("test_custom_fe")
 
 
+def test_model_registry():
+    """Architecture registry (reference models/__init__.py semantics)."""
+    from birdnet_stm32_tpu.models import (
+        DSCNN,
+        build_model,
+        list_models,
+        register_model,
+    )
+
+    assert "dscnn" in list_models()
+    model = build_model("dscnn", tiny_cfg(), class_activation="none")
+    assert isinstance(model, DSCNN)
+
+    with pytest.raises(KeyError):
+        build_model("transformer_9000", tiny_cfg())
+
+    @register_model("test_custom_arch")
+    def build_custom(cfg, **kw):
+        return build_model("dscnn", cfg, **kw)
+
+    assert "test_custom_arch" in list_models()
+    assert isinstance(build_model("test_custom_arch", tiny_cfg()), DSCNN)
+    with pytest.raises(ValueError):
+        register_model("dscnn")(build_custom)
+
+
 # ---------------------------------------------------------------- profiler
 
 def test_profiler_matches_real_param_count():
