@@ -150,6 +150,47 @@ def test_sample_params_in_space():
         assert set(SPACE) <= set(p)
 
 
+def test_tpe_proposals_respect_space():
+    """TPE-proposed params stay in the search space with the conditional
+    structure intact."""
+    from birdnet_stm32_tpu.training.tuner import Trial, tpe_propose
+
+    rng = np.random.default_rng(0)
+    completed = []
+    for i in range(10):
+        p = sample_params(rng)
+        completed.append(Trial(number=i, params=p, value=float(rng.uniform())))
+    for _ in range(10):
+        p = tpe_propose(rng, completed)
+        assert 0.25 <= p["alpha"] <= 1.5
+        assert 1e-4 <= p["learning_rate"] <= 1e-2
+        assert p["depth_multiplier"] in (1, 2, 3)
+        assert p["embeddings_size"] in (64, 128, 256)
+        assert ("se_reduction" in p) == p["use_se"]
+        assert ("expansion_factor" in p) == p["use_inverted_residual"]
+        assert set(SPACE) <= set(p)
+
+
+def test_tpe_concentrates_on_optimum():
+    """On a smooth objective peaked at alpha=1.0 the TPE sampler's later
+    proposals sit closer to the optimum than random search's."""
+    def objective(trial):
+        return -(trial.params["alpha"] - 1.0) ** 2
+
+    def late_alpha_err(sampler, seed):
+        study = Study(seed=seed, sampler=sampler, n_startup_trials=5)
+        study.optimize(objective, 40)
+        late = study.trials[20:]
+        return float(np.mean([abs(t.params["alpha"] - 1.0) for t in late]))
+
+    tpe = np.mean([late_alpha_err("tpe", s) for s in range(3)])
+    rnd = np.mean([late_alpha_err("random", s) for s in range(3)])
+    assert tpe < rnd, f"TPE {tpe:.3f} not better than random {rnd:.3f}"
+    # Uniform-random expectation is ~0.33 over alpha in [0.25, 1.5]; TPE
+    # must concentrate meaningfully below that despite 15 nuisance dims.
+    assert tpe < 0.3, f"TPE late-stage alpha error {tpe:.3f} too large"
+
+
 def test_study_prunes_bad_trials(tmp_path):
     """Objective = alpha; bad trials report low intermediates and get pruned."""
     calls = []
