@@ -23,8 +23,30 @@ COMMANDS = {
 }
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compile cache for every CLI verb.
+
+    Cold compiles of the fused INT8 executor take minutes; without this,
+    every CLI invocation paid that cost again (only bench.py set it). The
+    env var / an explicit jax.config setting take precedence.
+    """
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/jax_cache_birdnet_tpu")
+    except Exception:
+        pass  # jax unavailable or config locked: non-fatal
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    _enable_compilation_cache()
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m birdnet_stm32_tpu <command> [args]\n\ncommands:")
         for name, (_, doc) in COMMANDS.items():

@@ -31,6 +31,10 @@ def get_args(argv=None):
     p.add_argument("--csv", default=None, help="optional results CSV path")
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the run (view in TensorBoard/Perfetto)")
+    p.add_argument("--pipeline", type=int, default=0, metavar="N",
+                   help="pipelined serving with N decode threads: decode "
+                        "overlaps async device dispatch (0 = serial driver "
+                        "with per-file [BENCH] stage timings)")
     p.add_argument("--device_resample", action="store_true",
                    help="decode at each file's native rate and resample on "
                         "device inside the fused dispatch (skips host "
@@ -168,6 +172,133 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
             "per_file": per_file_rows, "timed_out": timed_out}
 
 
+def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
+                            batch_size=64, overlap=0.0, csv_path=None,
+                            score_threshold=0.0, decode_workers=4,
+                            max_outstanding=16, device_resample=False) -> dict:
+    """Pipelined serving driver: threaded decode overlapped with async
+    device dispatch.
+
+    The serial driver alternates host decode and device compute, leaving
+    each idle half the time. Here `decode_workers` threads decode ahead
+    while the main thread enqueues classify batches WITHOUT blocking (JAX
+    async dispatch, `make_fused_classifier(as_numpy=False)`); at most
+    `max_outstanding` device batches stay in flight before the oldest is
+    drained. On tunneled backends this also amortizes the ~28 ms blocking
+    host read over many batches — the same enqueue-many/read-once shape as
+    bench.py, but with real files.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+
+    classifiers: dict[int, object] = {}
+
+    def classifier_for(rate: int):
+        if rate not in classifiers:
+            classifiers[rate] = make_fused_classifier(
+                runner, cfg, as_numpy=False,
+                input_sample_rate=rate if rate != cfg.sample_rate else None)
+        return classifiers[rate]
+
+    def decode(path):
+        t0 = time.perf_counter()
+        src_rate = cfg.sample_rate
+        if device_resample:
+            try:
+                from birdnet_stm32_tpu.audio.io import wav_info
+
+                src_rate = wav_info(path).sample_rate
+            except Exception:
+                pass
+        chunks = chunks_for_file(str(path), cfg, overlap, max_duration=None,
+                                 sample_rate=src_rate)
+        return chunks, src_rate, (time.perf_counter() - t0) * 1000.0
+
+    print(f"[info] pipelined serving: {decode_workers} decode threads, "
+          f"<= {max_outstanding} device batches in flight")
+
+    per_file_rows = []
+    total_chunks = 0
+    audio_s = 0.0
+    # (file record, [(dev_scores, n_valid), ...]) awaiting drain, in order.
+    outstanding: deque = deque()
+    inflight_batches = 0
+
+    def finalize(entry):
+        nonlocal inflight_batches
+        rec, parts = entry
+        scores = np.concatenate([np.asarray(d)[:n] for d, n in parts])
+        inflight_batches -= len(parts)
+        pooled = scores.mean(axis=0)
+        top = np.argsort(pooled)[::-1][:top_k]
+        top = [i for rank, i in enumerate(top)
+               if rank == 0 or pooled[i] >= score_threshold]
+        preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
+        print(f"file: {Path(rec['file']).name}  chunks: {rec['chunks']}  top: {preds}")
+        print(f"[BENCH] read: {rec['read_ms']:.1f} ms  frontend: 0.0 ms  "
+              f"model: 0.0 ms  total: {rec['read_ms']:.1f} ms")
+        rec.update(top1=classes[int(top[0])], score=float(pooled[top[0]]))
+        per_file_rows.append(rec)
+
+    t_all0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=decode_workers) as ex:
+        futures = [(path, ex.submit(decode, path)) for path in files]
+        for path, fut in futures:
+            chunks, src_rate, read_ms = fut.result()
+            if chunks.shape[0] == 0:
+                print(f"file: {Path(path).name}  SKIP (no audio)")
+                continue
+            classify = classifier_for(src_rate)
+            parts = []
+            for i in range(0, len(chunks), batch_size):
+                wave = chunks[i : i + batch_size]
+                n_valid = wave.shape[0]
+                if n_valid < batch_size:
+                    wave = np.pad(wave, ((0, batch_size - n_valid), (0, 0)))
+                parts.append((classify(wave), n_valid))  # enqueue, no block
+                inflight_batches += 1
+            total_chunks += len(chunks)
+            try:
+                from birdnet_stm32_tpu.audio.io import wav_info
+
+                audio_s += wav_info(path).duration
+            except Exception:
+                audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
+            outstanding.append(({"file": str(path), "chunks": len(chunks),
+                                 "read_ms": read_ms, "frontend_ms": 0.0,
+                                 "model_ms": 0.0}, parts))
+            while inflight_batches > max_outstanding:
+                finalize(outstanding.popleft())
+        while outstanding:
+            finalize(outstanding.popleft())
+
+    wall_s = time.perf_counter() - t_all0
+    rtf = audio_s / wall_s if wall_s > 0 else float("inf")
+    print("=== DONE ===")
+    print(f"files: {len(per_file_rows)}  chunks: {total_chunks}")
+    print("avg per file: read 0.0 ms, frontend 0.0 ms, model 0.0 ms "
+          "(stages overlap in pipelined mode)")
+    print(f"wall: {wall_s:.2f} s  audio: {audio_s:.1f} s  real-time factor: {rtf:.1f}x")
+    print(f"throughput: {total_chunks / wall_s:.1f} chunks/s (decode included, pipelined)")
+
+    if csv_path and per_file_rows:
+        import csv as _csv
+
+        with open(csv_path, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(per_file_rows[0].keys()))
+            w.writeheader()
+            w.writerows(per_file_rows)
+        print(f"results CSV -> {csv_path}")
+
+    return {"files": len(per_file_rows), "chunks": total_chunks,
+            "wall_s": wall_s, "rtf": rtf,
+            "chunks_per_sec": total_chunks / wall_s if wall_s else 0.0,
+            "per_file": per_file_rows, "timed_out": False}
+
+
 def main(argv=None) -> int:
     args = get_args(argv)
 
@@ -188,18 +319,27 @@ def main(argv=None) -> int:
                    if p.suffix.lower() == ".wav")
     if not files:
         raise SystemExit(f"no WAV files under {args.audio_dir}")
+    if args.pipeline > 0:
+        def drive():
+            run_benchmark_pipelined(
+                runner, cfg, classes, files, top_k=args.top_k,
+                batch_size=args.batch_size, overlap=args.chunk_overlap,
+                csv_path=args.csv, decode_workers=args.pipeline,
+                device_resample=args.device_resample)
+    else:
+        def drive():
+            run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
+                          batch_size=args.batch_size, overlap=args.chunk_overlap,
+                          csv_path=args.csv, device_resample=args.device_resample)
+
     if args.trace_dir:
         import jax
 
         with jax.profiler.trace(args.trace_dir):
-            run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
-                          batch_size=args.batch_size, overlap=args.chunk_overlap,
-                          csv_path=args.csv, device_resample=args.device_resample)
+            drive()
         print(f"profiler trace -> {args.trace_dir}")
     else:
-        run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
-                      batch_size=args.batch_size, overlap=args.chunk_overlap,
-                      csv_path=args.csv, device_resample=args.device_resample)
+        drive()
     return 0
 
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 
-def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None):
+def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
+                          as_numpy: bool = True):
     """waveform batch [B, T] -> scores [B, C], fused when possible.
 
     Falls back to frontend-then-predict for non-jittable runners (the
@@ -31,6 +32,10 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None):
             polyphase-resampled ON DEVICE inside the same dispatch
             (ops/resample.py) — hosts then feed native-rate PCM and skip
             the ~30-40% resampling share of their decode cost.
+        as_numpy: True (default) blocks and returns np.ndarray. False
+            returns the jax.Array future immediately (JAX async dispatch) —
+            the pipelined serving driver enqueues many batches and drains
+            later, overlapping host decode with device compute.
     """
     if input_sample_rate is not None and input_sample_rate != cfg.sample_rate:
         from birdnet_stm32_tpu.ops.resample import resample_chunk_batch
@@ -41,6 +46,7 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None):
             return base(resample_chunk_batch(wave, input_sample_rate, cfg), cfg)
     else:
         _inputs = inputs_for_config
+    _out = np.asarray if as_numpy else (lambda a: a)
     mesh = getattr(runner, "mesh", None)
     shardings = {}
     if mesh is not None:
@@ -64,7 +70,7 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None):
                                      out_shardings=shardings["data"])
                 else:
                     fns[b] = jax.jit(fn)
-            return np.asarray(fns[b](jnp.asarray(wave)))
+            return _out(fns[b](jnp.asarray(wave)))
 
         return classify
 
@@ -77,12 +83,12 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None):
             v_rep = jax.device_put(runner.variables, shardings["rep"])
 
             def classify(wave: np.ndarray) -> np.ndarray:
-                return np.asarray(fused(v_rep, jnp.asarray(wave)))
+                return _out(fused(v_rep, jnp.asarray(wave)))
         else:
             fused = jax.jit(fn)
 
             def classify(wave: np.ndarray) -> np.ndarray:
-                return np.asarray(fused(runner.variables, jnp.asarray(wave)))
+                return _out(fused(runner.variables, jnp.asarray(wave)))
 
         return classify
 

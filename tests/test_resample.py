@@ -138,6 +138,43 @@ def test_benchmark_driver_device_resample(wav_dataset, capsys):
         np.testing.assert_allclose(d["score"], h["score"], atol=1e-3)
 
 
+def test_pipelined_driver_matches_serial(wav_dataset, capsys):
+    """Pipelined serving (threaded decode + async dispatch) produces the
+    same per-file predictions as the serial driver and keeps the protocol."""
+    import jax
+    from pathlib import Path
+
+    from birdnet_stm32_tpu.cli.benchmark import (
+        run_benchmark,
+        run_benchmark_pipelined,
+    )
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    model = build_dscnn(cfg)
+    runner = FlaxRunner(model, init_model(model, cfg, jax.random.key(0)), cfg)
+    files = sorted(str(p) for p in Path(root).rglob("*.wav"))
+
+    piped = run_benchmark_pipelined(runner, cfg, cfg.class_names, files,
+                                    batch_size=4, decode_workers=3,
+                                    max_outstanding=2, device_resample=True)
+    out = capsys.readouterr().out
+    assert "=== DONE ===" in out and "pipelined" in out
+    serial = run_benchmark(runner, cfg, cfg.class_names, files, batch_size=4,
+                           device_resample=True)
+    assert piped["chunks"] == serial["chunks"]
+    assert len(piped["per_file"]) == len(serial["per_file"])
+    for p, s in zip(piped["per_file"], serial["per_file"]):
+        assert p["file"] == s["file"] and p["top1"] == s["top1"]
+        np.testing.assert_allclose(p["score"], s["score"], atol=1e-5)
+
+
 def test_chunk_batch_pads_to_model_geometry():
     from birdnet_stm32_tpu.config import ModelConfig
     from birdnet_stm32_tpu.ops.resample import resample_chunk_batch
