@@ -223,15 +223,79 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
     per_file_rows = []
     total_chunks = 0
     audio_s = 0.0
-    # (file record, [(dev_scores, n_valid), ...]) awaiting drain, in order.
-    outstanding: deque = deque()
-    inflight_batches = 0
+    # Cross-file chunk packing: chunks from consecutive files share device
+    # batches (separately per source rate — shapes differ), so no batch is
+    # padded except the last one per rate. Without packing, a 20-chunk file
+    # wastes 2/3 of every B=64 batch on zero padding.
+    bufs: dict[int, list] = {}      # rate -> pending chunk arrays
+    buf_n: dict[int, int] = {}      # rate -> pending chunk count
+    drained: dict[int, list] = {}   # rate -> drained np [B, C] arrays
+    recs: list = []                 # (rec, rate, start, count) in file order
+    pos: dict[int, int] = {}        # rate -> packed-chunk cursor
+    outstanding: deque = deque()    # (rate, dev_scores) FIFO
 
-    def finalize(entry):
-        nonlocal inflight_batches
-        rec, parts = entry
-        scores = np.concatenate([np.asarray(d)[:n] for d, n in parts])
-        inflight_batches -= len(parts)
+    def drain_oldest():
+        r, dev = outstanding.popleft()
+        drained.setdefault(r, []).append(np.asarray(dev))
+
+    def flush_rate(rate, pad=False):
+        """Enqueue full batches from bufs[rate]; pad the tail when pad."""
+        buf = bufs[rate]
+        while buf_n[rate] >= batch_size or (pad and buf_n[rate] > 0):
+            take, got = [], 0
+            while got < batch_size and buf:
+                piece = buf[0]
+                need = batch_size - got
+                if len(piece) <= need:
+                    take.append(buf.pop(0))
+                else:
+                    take.append(piece[:need])
+                    buf[0] = piece[need:]
+                got += len(take[-1])
+            wave = np.concatenate(take) if len(take) > 1 else take[0]
+            buf_n[rate] -= len(wave)
+            if len(wave) < batch_size:
+                wave = np.pad(wave, ((0, batch_size - len(wave)), (0, 0)))
+            outstanding.append((rate, classifier_for(rate)(wave)))  # no block
+            while len(outstanding) > max_outstanding:
+                drain_oldest()
+
+    t_all0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=decode_workers) as ex:
+        futures = [(path, ex.submit(decode, path)) for path in files]
+        for path, fut in futures:
+            chunks, src_rate, read_ms = fut.result()
+            if chunks.shape[0] == 0:
+                print(f"file: {Path(path).name}  SKIP (no audio)")
+                continue
+            bufs.setdefault(src_rate, [])
+            buf_n.setdefault(src_rate, 0)
+            pos.setdefault(src_rate, 0)
+            recs.append(({"file": str(path), "chunks": len(chunks),
+                          "read_ms": read_ms, "frontend_ms": 0.0,
+                          "model_ms": 0.0},
+                         src_rate, pos[src_rate], len(chunks)))
+            pos[src_rate] += len(chunks)
+            bufs[src_rate].append(chunks)
+            buf_n[src_rate] += len(chunks)
+            total_chunks += len(chunks)
+            try:
+                from birdnet_stm32_tpu.audio.io import wav_info
+
+                audio_s += wav_info(path).duration
+            except Exception:
+                audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
+            flush_rate(src_rate)
+        for rate in list(bufs):
+            flush_rate(rate, pad=True)
+        while outstanding:
+            drain_oldest()
+
+    wall_s = time.perf_counter() - t_all0
+
+    flat = {r: np.concatenate(v) for r, v in drained.items()}
+    for rec, rate, start, count in recs:
+        scores = flat[rate][start : start + count]
         pooled = scores.mean(axis=0)
         top = np.argsort(pooled)[::-1][:top_k]
         top = [i for rank, i in enumerate(top)
@@ -242,40 +306,6 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
               f"model: 0.0 ms  total: {rec['read_ms']:.1f} ms")
         rec.update(top1=classes[int(top[0])], score=float(pooled[top[0]]))
         per_file_rows.append(rec)
-
-    t_all0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=decode_workers) as ex:
-        futures = [(path, ex.submit(decode, path)) for path in files]
-        for path, fut in futures:
-            chunks, src_rate, read_ms = fut.result()
-            if chunks.shape[0] == 0:
-                print(f"file: {Path(path).name}  SKIP (no audio)")
-                continue
-            classify = classifier_for(src_rate)
-            parts = []
-            for i in range(0, len(chunks), batch_size):
-                wave = chunks[i : i + batch_size]
-                n_valid = wave.shape[0]
-                if n_valid < batch_size:
-                    wave = np.pad(wave, ((0, batch_size - n_valid), (0, 0)))
-                parts.append((classify(wave), n_valid))  # enqueue, no block
-                inflight_batches += 1
-            total_chunks += len(chunks)
-            try:
-                from birdnet_stm32_tpu.audio.io import wav_info
-
-                audio_s += wav_info(path).duration
-            except Exception:
-                audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
-            outstanding.append(({"file": str(path), "chunks": len(chunks),
-                                 "read_ms": read_ms, "frontend_ms": 0.0,
-                                 "model_ms": 0.0}, parts))
-            while inflight_batches > max_outstanding:
-                finalize(outstanding.popleft())
-        while outstanding:
-            finalize(outstanding.popleft())
-
-    wall_s = time.perf_counter() - t_all0
     rtf = audio_s / wall_s if wall_s > 0 else float("inf")
     print("=== DONE ===")
     print(f"files: {len(per_file_rows)}  chunks: {total_chunks}")
