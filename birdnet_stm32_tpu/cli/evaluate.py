@@ -25,6 +25,9 @@ def get_args(argv=None):
     p.add_argument("--lme_beta", type=float, default=10.0)
     p.add_argument("--chunk_overlap", type=float, default=0.0)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--decode_workers", type=int, default=0,
+                   help=">0 prefetches file decode on N threads, overlapping "
+                        "host decode with device inference")
     p.add_argument("--benchmark_latency", action="store_true")
     p.add_argument("--profile_memory", action="store_true")
     p.add_argument("--optimize_thresholds", action="store_true")
@@ -71,7 +74,8 @@ def main(argv=None) -> int:
         runner, files, classes, cfg,
         pooling=args.pooling, batch_size=args.batch_size,
         overlap=args.chunk_overlap, mep_beta=args.lme_beta,
-        measure_latency=args.benchmark_latency, profile_memory=args.profile_memory)
+        measure_latency=args.benchmark_latency, profile_memory=args.profile_memory,
+        decode_workers=args.decode_workers)
 
     print("\n=== Evaluation ===")
     for k in ("roc-auc", "cmAP", "mAP", "precision", "recall", "f1",

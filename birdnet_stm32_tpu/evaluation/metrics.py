@@ -55,6 +55,7 @@ def evaluate(
     measure_latency: bool = False,
     profile_memory: bool = False,
     label_fn=None,
+    decode_workers: int = 0,
 ) -> tuple[dict, list[dict], np.ndarray, np.ndarray]:
     """Per-chunk inference -> pooled file scores -> metrics.
 
@@ -70,6 +71,9 @@ def evaluate(
         measure_latency: Record per-chunk latency stats.
         profile_memory: Record peak-RSS stats.
         label_fn: Optional path -> class-name override.
+        decode_workers: >0 prefetches file decode on that many threads,
+            overlapping host decode with device inference (chunk batching
+            and results are unchanged).
 
     Returns:
         (metrics dict, per_file list, y_true [N,C], y_scores [N,C]).
@@ -118,13 +122,12 @@ def evaluate(
             for fi, s in zip(meta, scores):
                 chunk_scores_per_file.setdefault(fi, []).append(s)
 
-    for path in files:
-        label = label_fn(path)
-        if label not in class_idx:
-            continue
-        chunks = chunks_for_file(path, cfg, overlap)
+    labeled = [(p, label_fn(p)) for p in files]
+    labeled = [(p, lb) for p, lb in labeled if lb in class_idx]
+
+    def consume(path, label, chunks):
         if chunks.shape[0] == 0:
-            continue
+            return
         target = np.zeros(num_classes, np.float32)
         target[class_idx[label]] = 1.0
         fi = len(file_records)
@@ -133,6 +136,18 @@ def evaluate(
             pending_chunks.append(c)
             pending_meta.append(fi)
         flush()
+
+    if decode_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=decode_workers) as ex:
+            futs = [(p, lb, ex.submit(chunks_for_file, p, cfg, overlap))
+                    for p, lb in labeled]
+            for path, label, fut in futs:
+                consume(path, label, fut.result())
+    else:
+        for path, label in labeled:
+            consume(path, label, chunks_for_file(path, cfg, overlap))
     flush(force=True)
 
     for fi, (path, label, target) in enumerate(file_records):

@@ -91,6 +91,26 @@ def test_evaluate_end_to_end(wav_dataset):
         assert key in metrics
 
 
+def test_evaluate_threaded_decode_matches_serial(wav_dataset):
+    """decode_workers>0 (prefetch threads) must not change any result."""
+    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
+
+    root, sr = wav_dataset
+    paths, labels, class_names = load_file_paths_from_directory(root)
+    real = [p for p, l in zip(paths, labels) if l in class_names]
+    cfg = ModelConfig(sample_rate=sr, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                      class_names=class_names, audio_frontend="librosa", mag_scale="none")
+    m0, pf0, yt0, ys0 = evaluate(FakeRunner(2), real, class_names, cfg,
+                                 batch_size=4)
+    m3, pf3, yt3, ys3 = evaluate(FakeRunner(2), real, class_names, cfg,
+                                 batch_size=4, decode_workers=3)
+    np.testing.assert_array_equal(yt0, yt3)
+    np.testing.assert_allclose(ys0, ys3)
+    assert [r["file"] for r in pf0] == [r["file"] for r in pf3]
+    assert m0["roc-auc"] == m3["roc-auc"]
+
+
 def test_perfect_scores_metrics(wav_dataset):
     root, sr = wav_dataset
 
