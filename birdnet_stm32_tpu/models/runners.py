@@ -23,24 +23,38 @@ import jax.numpy as jnp
 
 
 class FlaxRunner:
-    """Float32 forward over {params, batch_stats} variables.
+    """Float forward over {params, batch_stats} variables.
 
     With a mesh, parameters are replicated and the batch sharded
-    (parallel/steps.py::make_infer_fn).
+    (parallel/steps.py::make_infer_fn). With dtype=jnp.bfloat16, parameters
+    and activations run in bf16 on the MXU (outputs return float32) —
+    ~70% more serving throughput than the INT8 simulation on TPU at
+    cosine ~0.9997 vs float32 (scripts/bench_float_vs_int8.py).
     """
 
-    def __init__(self, model, variables, cfg=None, mesh=None):
+    def __init__(self, model, variables, cfg=None, mesh=None, dtype=None):
+        if dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, variables)
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.mesh = mesh
+        self.dtype = dtype
         if mesh is not None:
             from birdnet_stm32_tpu.parallel.steps import make_infer_fn
 
-            self._infer = make_infer_fn(model, variables, mesh=mesh)
+            self._infer = make_infer_fn(model, variables, mesh=mesh, dtype=dtype)
         else:
             fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
-            self._infer = lambda x: fn(self.variables, x)
+            if dtype is None:
+                self._infer = lambda x: fn(self.variables, x)
+            else:
+                fn16 = jax.jit(lambda v, x: model.apply(
+                    v, x.astype(dtype), train=False).astype(jnp.float32))
+                self._infer = lambda x: fn16(self.variables, x)
 
     def predict(self, x_batch: np.ndarray) -> np.ndarray:
         return np.asarray(self._infer(jnp.asarray(x_batch)))
@@ -137,10 +151,15 @@ def _is_full_int8(graph) -> bool:
     return True
 
 
-def load_model_runner(model_path: str | Path, config_path: str | Path | None = None):
+def load_model_runner(model_path: str | Path, config_path: str | Path | None = None,
+                      dtype=None):
     """Dispatch on extension: .keras -> transplant + FlaxRunner, .tflite ->
     TFLiteSimRunner (full-int8) or interpreter fallback, directory -> this
-    framework's own checkpoint."""
+    framework's own checkpoint.
+
+    dtype applies to float (Flax) runners only: jnp.bfloat16 serves the
+    model in bf16 (fastest path on TPU, cosine ~0.9997 vs float32).
+    """
     p = Path(model_path)
     if p.suffix == ".tflite":
         sim = TFLiteSimRunner(p)
@@ -153,10 +172,10 @@ def load_model_runner(model_path: str | Path, config_path: str | Path | None = N
         if config_path is None:
             config_path = p.with_name(p.stem + "_model_config.json")
         model, variables, cfg = load_reference_model(p, config_path)
-        return FlaxRunner(model, variables, cfg)
+        return FlaxRunner(model, variables, cfg, dtype=dtype)
     if p.is_dir():
         from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
 
         model, variables, cfg = load_checkpoint(p)
-        return FlaxRunner(model, variables, cfg)
+        return FlaxRunner(model, variables, cfg, dtype=dtype)
     raise ValueError(f"Cannot infer runner type from {model_path}")

@@ -75,8 +75,13 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
         return classify
 
     if hasattr(runner, "model"):  # FlaxRunner
-        fn = lambda v, w: runner.model.apply(  # noqa: E731
-            v, _inputs(w, cfg), train=False)
+        dtype = getattr(runner, "dtype", None)
+        if dtype is not None:  # bf16 serving: cast features in, f32 out
+            fn = lambda v, w: runner.model.apply(  # noqa: E731
+                v, _inputs(w, cfg).astype(dtype), train=False).astype(jnp.float32)
+        else:
+            fn = lambda v, w: runner.model.apply(  # noqa: E731
+                v, _inputs(w, cfg), train=False)
         if mesh is not None:
             fused = jax.jit(fn, in_shardings=(shardings["rep"], shardings["data"]),
                             out_shardings=shardings["data"])

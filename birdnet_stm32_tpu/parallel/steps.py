@@ -186,11 +186,17 @@ def make_eval_step(model, loss_fn, mesh: Mesh | None = None, activation: str = "
     return jax.jit(step, in_shardings=(rep, data, data), out_shardings=(rep, data))
 
 
-def make_infer_fn(model, variables, mesh: Mesh | None = None):
-    """Jitted batched inference: x -> scores, batch sharded over the mesh."""
+def make_infer_fn(model, variables, mesh: Mesh | None = None, dtype=None):
+    """Jitted batched inference: x -> scores, batch sharded over the mesh.
+
+    dtype=jnp.bfloat16 casts the input to bf16 (variables are expected
+    pre-cast by the caller); scores return float32.
+    """
 
     @partial(jax.jit, static_argnames=())
     def infer(v, x):
+        if dtype is not None:
+            return model.apply(v, x.astype(dtype), train=False).astype(jnp.float32)
         return model.apply(v, x, train=False)
 
     if mesh is None:

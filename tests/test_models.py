@@ -149,3 +149,33 @@ def test_learnable_mel_scale():
     tri = af._tri_matrix(jnp.zeros((cfg.num_mels + 1,)))
     assert tri.shape == (cfg.fft_bins, cfg.num_mels)
     np.testing.assert_allclose(np.asarray(tri.sum(axis=0)), 1.0, atol=1e-3)
+
+
+def test_bf16_runner_matches_f32():
+    """bf16 serving (FlaxRunner dtype + fused classifier) tracks float32
+    closely and returns float32 scores."""
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=4, audio_frontend="hybrid", mag_scale="pwl",
+                      alpha=0.25)
+    model = build_dscnn(cfg)
+    variables = init_model(model, cfg, jax.random.key(0))
+    r32 = FlaxRunner(model, variables, cfg)
+    r16 = FlaxRunner(model, variables, cfg, dtype=jnp.bfloat16)
+
+    x = np.random.default_rng(0).uniform(0, 1, (4, *cfg.input_shape())).astype(np.float32)
+    s32, s16 = r32.predict(x), r16.predict(x)
+    assert s16.dtype == np.float32
+    np.testing.assert_allclose(s16, s32, atol=0.02)
+
+    wave = np.random.default_rng(1).normal(size=(4, cfg.chunk_samples)).astype(np.float32)
+    c32 = make_fused_classifier(r32, cfg)(wave)
+    c16 = make_fused_classifier(r16, cfg)(wave)
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=0.02)
+    # bf16 params really are bf16 (the speed comes from the cast).
+    assert r16.variables["params"]["pred"]["kernel"].dtype == jnp.bfloat16
