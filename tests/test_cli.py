@@ -149,6 +149,7 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     bundle = tmp_path / "bundle"
     assert dispatch([
         "deploy", "--model_path", str(run_dir), "--output_dir", str(bundle),
+        "--stablehlo",
     ]) == 0
     out = capsys.readouterr().out
     assert "validate OK" in out
@@ -157,6 +158,14 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert (bundle / "firmware" / "app_config.h").exists()
     assert (bundle / "firmware" / "app_labels.h").exists()
     assert (bundle / "model_config.json").exists()
+    # Portable serving module round-trips through jax.export.
+    from birdnet_stm32_tpu.conversion.export_stablehlo import load_serving_fn
+
+    blob = (bundle / "serving_module.bin").read_bytes()
+    serve = load_serving_fn(blob)
+    wave = np.zeros((64, 4000), np.float32)  # batch baked into the module
+    scores = np.asarray(serve(wave))
+    assert scores.shape == (64, 2)
 
     # Board test: the standalone WAV-dir inference test over the bundle.
     results_csv = tmp_path / "board_results.csv"
