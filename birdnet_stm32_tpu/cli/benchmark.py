@@ -266,8 +266,17 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
 
     t_all0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=decode_workers) as ex:
-        futures = [(path, ex.submit(decode, path)) for path in files]
-        for path, fut in futures:
+        # Bounded decode-ahead window: submitting every file up front would
+        # buffer the whole dataset's waveforms in RAM when the device is
+        # the slower stage.
+        window = max(2 * decode_workers, 4)
+        futures = deque((p, ex.submit(decode, p)) for p in files[:window])
+        next_file = window
+        while futures:
+            path, fut = futures.popleft()
+            if next_file < len(files):
+                futures.append((files[next_file], ex.submit(decode, files[next_file])))
+                next_file += 1
             chunks, src_rate, read_ms = fut.result()
             if chunks.shape[0] == 0:
                 print(f"file: {Path(path).name}  SKIP (no audio)")

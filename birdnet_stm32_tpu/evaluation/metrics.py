@@ -138,12 +138,21 @@ def evaluate(
         flush()
 
     if decode_workers > 0:
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=decode_workers) as ex:
-            futs = [(p, lb, ex.submit(chunks_for_file, p, cfg, overlap))
-                    for p, lb in labeled]
-            for path, label, fut in futs:
+            # Bounded decode-ahead window (RAM-safe on large test sets).
+            window = max(2 * decode_workers, 4)
+            futs = deque((p, lb, ex.submit(chunks_for_file, p, cfg, overlap))
+                         for p, lb in labeled[:window])
+            nxt = window
+            while futs:
+                path, label, fut = futs.popleft()
+                if nxt < len(labeled):
+                    p, lb = labeled[nxt]
+                    futs.append((p, lb, ex.submit(chunks_for_file, p, cfg, overlap)))
+                    nxt += 1
                 consume(path, label, fut.result())
     else:
         for path, label in labeled:
