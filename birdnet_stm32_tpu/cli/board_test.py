@@ -89,7 +89,16 @@ def main(argv=None) -> int:
     classes = (open_species_list(labels_path) if labels_path.is_file()
                else cfg.class_names)
 
-    runner = load_model_runner(Path(dcfg.model_path), config_path)
+    model_p = Path(dcfg.model_path)
+    if not dcfg.use_int8 and model_p.suffix == ".tflite":
+        # use_int8=false: run the artifact through the CPU TFLite
+        # interpreter instead of the on-device INT8 executor (useful to
+        # cross-check the executor against stock TFLite behavior).
+        from birdnet_stm32_tpu.models.runners import TFLiteInterpreterRunner
+
+        runner = TFLiteInterpreterRunner(model_p)
+    else:
+        runner = load_model_runner(model_p, config_path)
     files = sorted(str(p) for p in Path(dcfg.audio_dir).rglob("*")
                    if p.suffix.lower() == ".wav")
     if not files:

@@ -29,7 +29,8 @@ class DeployConfig:
     batch_size: int = 64
     top_k: int = 3
     chunk_overlap: float = 0.0
-    use_int8: bool = True          # serve the INT8 executor when a .tflite exists
+    use_int8: bool = True          # .tflite: on-device INT8 executor (True)
+                                   # or stock CPU TFLite interpreter (False)
     mesh_devices: int = 0          # 0 = all visible devices
     output_csv: str = ""
     extra: dict = field(default_factory=dict)
