@@ -18,7 +18,8 @@ from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 
 def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
-                          as_numpy: bool = True):
+                          as_numpy: bool = True,
+                          stft_precision: str | None = None):
     """waveform batch [B, T] -> scores [B, C], fused when possible.
 
     Falls back to frontend-then-predict for non-jittable runners (the
@@ -36,16 +37,25 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
             returns the jax.Array future immediately (JAX async dispatch) —
             the pipelined serving driver enqueues many batches and drains
             later, overlapping host decode with device compute.
+        stft_precision: Frontend DFT matmul precision ('highest' | 'high'
+            | 'default', ops/stft.py). None picks 'high' for bf16 float
+            runners (serving-grade, ~1e-6 relative error, ~half the
+            frontend MXU work) and 'highest' otherwise (librosa parity —
+            and the INT8 executor's bit-exactness depends on it).
     """
+    if stft_precision is None:
+        stft_precision = ("high" if getattr(runner, "dtype", None) is not None
+                          else "highest")
     if input_sample_rate is not None and input_sample_rate != cfg.sample_rate:
         from birdnet_stm32_tpu.ops.resample import resample_chunk_batch
 
-        base = inputs_for_config
-
         def _inputs(wave, cfg=cfg):
-            return base(resample_chunk_batch(wave, input_sample_rate, cfg), cfg)
+            return inputs_for_config(
+                resample_chunk_batch(wave, input_sample_rate, cfg), cfg,
+                stft_precision=stft_precision)
     else:
-        _inputs = inputs_for_config
+        def _inputs(wave, cfg=cfg):
+            return inputs_for_config(wave, cfg, stft_precision=stft_precision)
     _out = np.asarray if as_numpy else (lambda a: a)
     mesh = getattr(runner, "mesh", None)
     shardings = {}

@@ -36,6 +36,7 @@ from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
         "mag_scale",
         "n_mfcc",
         "chunk_samples",
+        "stft_precision",
     ),
 )
 def waveform_to_input(
@@ -48,6 +49,7 @@ def waveform_to_input(
     mag_scale: str,
     n_mfcc: int,
     chunk_samples: int,
+    stft_precision: str = "highest",
 ) -> jax.Array:
     """Map [B, T] waveforms to the model input for the given frontend."""
     if audio_frontend == "raw":
@@ -61,24 +63,33 @@ def waveform_to_input(
         S = spectrogram_batch(
             audio, sample_rate=sample_rate, n_fft=n_fft, mel_bins=-1,
             spec_width=spec_width, mag_scale="none", mode="linear",
+            stft_precision=stft_precision,
         )
     elif audio_frontend in ("mfcc", "log_mel"):
         S = spectrogram_batch(
             audio, sample_rate=sample_rate, n_fft=n_fft, mel_bins=mel_bins,
             spec_width=spec_width, mag_scale="none", mode=audio_frontend, n_mfcc=n_mfcc,
+            stft_precision=stft_precision,
         )
     elif audio_frontend == "librosa":
         S = spectrogram_batch(
             audio, sample_rate=sample_rate, n_fft=n_fft, mel_bins=mel_bins,
             spec_width=spec_width, mag_scale=mag_scale, mode="mel",
+            stft_precision=stft_precision,
         )
     else:
         raise ValueError(f"Invalid audio frontend: {audio_frontend!r}")
     return S[..., None]  # [B, bins, W, 1]
 
 
-def inputs_for_config(audio: jax.Array, cfg: ModelConfig) -> jax.Array:
-    """Convenience wrapper taking a ModelConfig."""
+def inputs_for_config(audio: jax.Array, cfg: ModelConfig,
+                      stft_precision: str = "highest") -> jax.Array:
+    """Convenience wrapper taking a ModelConfig.
+
+    stft_precision: 'highest' (librosa-parity, default) | 'high'
+    (serving-grade, ~1e-6 relative error, ~half the frontend MXU work) |
+    'default' (fastest, measurable score drift — see docs/performance.md).
+    """
     return waveform_to_input(
         audio,
         audio_frontend=cfg.audio_frontend,
@@ -89,4 +100,5 @@ def inputs_for_config(audio: jax.Array, cfg: ModelConfig) -> jax.Array:
         mag_scale=cfg.mag_scale,
         n_mfcc=cfg.n_mfcc,
         chunk_samples=cfg.chunk_samples,
+        stft_precision=stft_precision,
     )

@@ -29,7 +29,7 @@ VALID_MODES = ("mel", "mfcc", "log_mel", "linear")
 
 @partial(
     jax.jit,
-    static_argnames=("sample_rate", "n_fft", "mel_bins", "spec_width", "mag_scale", "mode", "n_mfcc"),
+    static_argnames=("sample_rate", "n_fft", "mel_bins", "spec_width", "mag_scale", "mode", "n_mfcc", "stft_precision"),
 )
 def spectrogram_batch(
     audio: jax.Array,
@@ -40,6 +40,7 @@ def spectrogram_batch(
     mag_scale: str = "none",
     mode: str = "mel",
     n_mfcc: int = 20,
+    stft_precision: str = "highest",
 ) -> jax.Array:
     """Compute magnitude spectrogram features for a batch of waveforms.
 
@@ -70,7 +71,8 @@ def spectrogram_batch(
     n_frames_full = 1 + T // hop
     n_frames = n_frames_full if mode == "mfcc" else min(spec_width, n_frames_full)
 
-    S = stft_magnitude(audio, n_fft=n_fft, hop=hop, n_frames=n_frames, center=True)  # [B, W, F]
+    S = stft_magnitude(audio, n_fft=n_fft, hop=hop, n_frames=n_frames, center=True,
+                       precision=stft_precision)  # [B, W, F]
 
     if not linear_mode:
         power = 2.0 if mode == "mfcc" else 1.0

@@ -91,20 +91,29 @@ def dft_bases(n_fft: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
             (win[:, None] * np.sin(ang)).astype(dtype))
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames", "center"))
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames", "center", "precision"))
 def stft_magnitude(
     y: jax.Array,
     n_fft: int,
     hop: int,
     n_frames: int,
     center: bool = True,
+    precision: str = "highest",
 ) -> jax.Array:
     """Batched |STFT| with a periodic Hann window, as MXU matmuls.
 
     Implemented as framing (dense reshape copies) followed by a windowed
-    real-DFT matmul pair at HIGHEST precision (full f32 accumulation:
-    frontend parity against librosa demands ~1e-5 relative error, which
-    bf16-accumulated matmuls do not deliver).
+    real-DFT matmul pair. Default precision is HIGHEST (6-pass bf16 ==
+    full f32 accumulation: frontend parity against librosa demands ~1e-5
+    relative error). `precision="high"` (3-pass bf16) halves the MXU work
+    at ~1e-6 relative error — the serving-grade setting; "default"
+    (single-pass bf16) is fastest but costs real accuracy on the
+    downstream scores (docs/performance.md).
 
     Args:
         y: [B, T] float32 waveforms.
@@ -112,10 +121,12 @@ def stft_magnitude(
         hop: Hop length in samples.
         n_frames: Static number of output frames.
         center: librosa-style centering (True) or firmware left-aligned (False).
+        precision: 'highest' | 'high' | 'default' MXU precision.
 
     Returns:
         [B, n_frames, n_fft//2 + 1] magnitude spectrogram (time-major).
     """
+    prec = _PRECISIONS[precision]
     wc, ws = dft_bases(n_fft)
     F = n_fft // 2 + 1
 
@@ -139,14 +150,14 @@ def stft_magnitude(
         out = jax.lax.conv_general_dilated(
             z, jnp.asarray(k), (1,), "VALID",
             dimension_numbers=("NHC", "HIO", "NHC"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # [B, n_frames, 2F]
         re, im = out[..., :F], out[..., F:]
         return jnp.sqrt(re * re + im * im).astype(y.dtype)
 
     frames = frame_signal(y, n_fft, hop, n_frames, center=center)
-    re = jnp.matmul(frames, jnp.asarray(wc), precision=jax.lax.Precision.HIGHEST)
-    im = jnp.matmul(frames, jnp.asarray(ws), precision=jax.lax.Precision.HIGHEST)
+    re = jnp.matmul(frames, jnp.asarray(wc), precision=prec)
+    im = jnp.matmul(frames, jnp.asarray(ws), precision=prec)
     return jnp.sqrt(re * re + im * im).astype(y.dtype)
 
 

@@ -70,6 +70,13 @@ def bf16(w):
     return model.apply(v16, x, train=False).astype(jnp.float32).sum()
 
 
+@jax.jit
+def bf16_high(w):
+    # The --bf16 serving default: HIGH-precision (3-pass) STFT matmuls.
+    x = inputs_for_config(w, cfg, stft_precision="high").astype(jnp.bfloat16)
+    return model.apply(v16, x, train=False).astype(jnp.float32).sum()
+
+
 graph = TFLiteGraph(TFLITE)
 fwd = build_executor(graph, batch_size=B)
 
@@ -79,7 +86,8 @@ def int8(w):
     return fwd(inputs_for_config(w, cfg)).astype(jnp.int32).sum()
 
 
-for name, fn in [("int8_exact", int8), ("float32", f32), ("bf16", bf16)]:
+for name, fn in [("int8_exact", int8), ("float32", f32), ("bf16", bf16),
+                 ("bf16_high_stft", bf16_high)]:
     v = tput(fn)
     print(json.dumps({"path": name, "B": B, "chunks_per_sec": round(v, 1),
                       "us_per_chunk": round(1e6 / v, 2)}), flush=True)
