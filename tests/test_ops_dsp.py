@@ -102,3 +102,30 @@ def test_spectrogram_output_range(noise_wave):
     y, sr = noise_wave
     S = np.asarray(spectrogram_batch(jnp.asarray(y)[None], sample_rate=sr, spec_width=256))
     assert S.min() >= 0.0 and S.max() <= 1.0 + 1e-6
+
+
+def test_stft_precision_api():
+    """The precision knob is accepted everywhere and is a no-op on CPU
+    (all precisions compute in f32 there); shapes and values agree."""
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    from birdnet_stm32_tpu.ops.stft import stft_magnitude
+
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4000)).astype(np.float32))
+    hi = stft_magnitude(y, n_fft=128, hop=125, n_frames=32, precision="highest")
+    md = stft_magnitude(y, n_fft=128, hop=125, n_frames=32, precision="high")
+    assert hi.shape == md.shape
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(md), rtol=1e-5, atol=1e-6)
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                      audio_frontend="hybrid", mag_scale="pwl")
+    a = inputs_for_config(y, cfg)
+    b = inputs_for_config(y, cfg, stft_precision="high")
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(KeyError):
+        stft_magnitude(y, n_fft=128, hop=125, n_frames=32, precision="fast")
