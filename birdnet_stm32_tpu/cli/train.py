@@ -268,7 +268,8 @@ def main(argv=None) -> int:
         mixup_alpha=args.mixup_alpha,
         mixup_probability=0.0 if args.no_mixup else args.mixup_probability,
         label_smoothing=args.label_smoothing,
-        freq_mask_max=args.freq_mask_max, time_mask_max=args.time_mask_max)
+        freq_mask_max=args.freq_mask_max, time_mask_max=args.time_mask_max,
+        stft_precision="high" if args.mixed_precision else "highest")
     class_weights = None if args.no_class_weights else balanced_class_weights(
         raw_labels, class_names)
 

@@ -34,6 +34,8 @@ variables = init_model(model, cfg, jax.random.key(0))
 tx = optax.adam(1e-3)
 loss_fn = make_loss_fn(multilabel=False)
 
+from birdnet_stm32_tpu.data.pipeline import make_train_batcher
+
 rng = np.random.default_rng(0)
 wave = jnp.asarray(rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32))
 y = jnp.asarray(np.eye(cfg.num_classes, dtype=np.float32)[
@@ -41,7 +43,8 @@ y = jnp.asarray(np.eye(cfg.num_classes, dtype=np.float32)[
 x = jax.jit(lambda w: inputs_for_config(w, cfg))(wave)
 x.block_until_ready()
 
-for name, dtype in [("f32", None), ("bf16", jnp.bfloat16)]:
+for name, dtype, prec in [("f32", None, "highest"),
+                          ("bf16", jnp.bfloat16, "high")]:
     step = make_train_step(model, tx, loss_fn, mesh=None, donate=False,
                            compute_dtype=dtype)
     state = TrainState.create(variables, tx)
@@ -55,7 +58,29 @@ for name, dtype in [("f32", None), ("bf16", jnp.bfloat16)]:
             state, m = step(state, x, y, jax.random.key(1))
         float(m["loss"])
         best = max(best, iters * B / (time.perf_counter() - t0))
-    print(json.dumps({"mode": name, "B": B,
+    print(json.dumps({"mode": f"{name}_step_only", "B": B,
                       "train_chunks_per_sec": round(best, 1),
                       "steps_per_sec": round(best / B, 2),
                       "loss": round(float(m["loss"]), 4)}), flush=True)
+
+    # Full device pipeline: batcher (frontend + SpecAugment + mixup) + step
+    # — what the training loop actually runs per batch.
+    batcher = make_train_batcher(cfg, stft_precision=prec)
+    state = TrainState.create(variables, tx)
+
+    def full(state, key, wave, y):
+        xb, yb = batcher(key, wave, y)
+        return step(state, xb, yb, key)
+
+    state, m = full(state, jax.random.key(1), wave, y)
+    float(m["loss"])
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = full(state, jax.random.key(1), wave, y)
+        float(m["loss"])
+        best = max(best, iters * B / (time.perf_counter() - t0))
+    print(json.dumps({"mode": f"{name}_with_batcher", "B": B,
+                      "train_chunks_per_sec": round(best, 1),
+                      "steps_per_sec": round(best / B, 2)}), flush=True)
