@@ -20,6 +20,7 @@ COMMANDS = {
     "profile": ("birdnet_stm32_tpu.cli.profile", "Analytical model cost profile"),
     "deploy": ("birdnet_stm32_tpu.cli.deploy", "Package a checkpoint into a deployment bundle"),
     "board-test": ("birdnet_stm32_tpu.cli.board_test", "Standalone WAV-dir inference test ([BENCH] protocol)"),
+    "serve": ("birdnet_stm32_tpu.cli.serve", "Watch a directory, classify new WAVs continuously"),
 }
 
 

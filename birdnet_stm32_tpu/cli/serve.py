@@ -1,0 +1,183 @@
+"""Serve CLI: continuous directory-watching classification service.
+
+The TPU analog of the firmware's steady-state loop (firmware/Src/main.c +
+sd_handler.c): the board mounts the SD card, scans `audio/`, classifies
+each WAV, prints top-K over UART, and appends a TSV line per file to
+`results.txt` (sd_handler.c:90-108 — filename then every class score at 4
+decimals). Here the "SD card" is a watched directory: new WAVs are picked
+up every poll interval, classified through the fused device dispatch, and
+appended to the results file with the same TSV schema. Already-recorded
+files (first column of the results file) are skipped on restart, so the
+service is resumable — like re-inserting the SD card.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(
+        "birdnet_stm32_tpu serve",
+        description="Watch a directory and classify new WAVs continuously.")
+    p.add_argument("--model_path", required=True,
+                   help="checkpoint dir, .tflite, or reference .keras")
+    p.add_argument("--audio_dir", required=True, help="directory to watch")
+    p.add_argument("--config_path", default=None)
+    p.add_argument("--labels_path", default=None)
+    p.add_argument("--results_file", default=None,
+                   help="TSV results path (default: <audio_dir>/results.txt, "
+                        "the firmware APP_RESULTS_FILE analog)")
+    p.add_argument("--poll_interval", type=float, default=2.0,
+                   help="seconds between directory scans")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--top_k", type=int, default=3)
+    p.add_argument("--score_threshold", type=float, default=0.01)
+    p.add_argument("--chunk_overlap", type=float, default=0.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="serve float checkpoints in bfloat16")
+    p.add_argument("--device_resample", action="store_true",
+                   help="decode at native rate, resample on device")
+    p.add_argument("--once", action="store_true",
+                   help="process the current directory contents and exit")
+    return p.parse_args(argv)
+
+
+def _recorded_files(results_file: Path) -> set[str]:
+    """First column of an existing results TSV (resume support)."""
+    if not results_file.exists():
+        return set()
+    return {line.split("\t", 1)[0]
+            for line in results_file.read_text().splitlines() if line}
+
+
+def _append_result(results_file: Path, name: str, scores: np.ndarray) -> None:
+    """One TSV line: filename then every class score at 4 decimals
+    (sd_handler.c:90-108 format)."""
+    with open(results_file, "a") as f:
+        f.write(name + "".join(f"\t{s:.4f}" for s in scores) + "\n")
+
+
+def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
+               poll_interval: float = 2.0, batch_size: int = 64, top_k: int = 3,
+               score_threshold: float = 0.01, overlap: float = 0.0,
+               device_resample: bool = False, once: bool = False,
+               max_polls: int | None = None) -> int:
+    """Watch `audio_dir`; classify + record new WAVs. Returns files served."""
+    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+
+    classifiers: dict[int, object] = {}
+
+    def classifier_for(rate: int):
+        if rate not in classifiers:
+            classifiers[rate] = make_fused_classifier(
+                runner, cfg,
+                input_sample_rate=rate if rate != cfg.sample_rate else None)
+        return classifiers[rate]
+
+    done = _recorded_files(results_file)
+    if done:
+        print(f"[serve] resuming: {len(done)} files already in {results_file.name}")
+    print(f"[serve] watching {audio_dir} (poll {poll_interval:.1f}s); "
+          f"results -> {results_file}")
+
+    served = 0
+    polls = 0
+    try:
+        while True:
+            new = sorted(p for p in audio_dir.rglob("*")
+                         if p.suffix.lower() == ".wav" and p.name not in done)
+            for path in new:
+                t0 = time.perf_counter()
+                src_rate = cfg.sample_rate
+                if device_resample:
+                    try:
+                        from birdnet_stm32_tpu.audio.io import wav_info
+
+                        src_rate = wav_info(path).sample_rate
+                    except Exception:
+                        pass
+                try:
+                    chunks = chunks_for_file(str(path), cfg, overlap,
+                                             max_duration=None,
+                                             sample_rate=src_rate)
+                except Exception as e:
+                    print(f"[serve] {path.name}: decode failed ({e}); skipped")
+                    done.add(path.name)
+                    continue
+                if chunks.shape[0] == 0:
+                    print(f"[serve] {path.name}: no audio; skipped")
+                    done.add(path.name)
+                    continue
+                classify = classifier_for(src_rate)
+                scores = []
+                for i in range(0, len(chunks), batch_size):
+                    wave = chunks[i : i + batch_size]
+                    n = wave.shape[0]
+                    if n < batch_size:
+                        wave = np.pad(wave, ((0, batch_size - n), (0, 0)))
+                    scores.append(classify(wave)[:n])
+                pooled = np.concatenate(scores).mean(axis=0)
+                _append_result(results_file, path.name, pooled)
+                done.add(path.name)
+                served += 1
+                top = np.argsort(pooled)[::-1][:top_k]
+                top = [i for r, i in enumerate(top)
+                       if r == 0 or pooled[i] >= score_threshold]
+                preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
+                dt = (time.perf_counter() - t0) * 1000.0
+                print(f"file: {path.name}  chunks: {len(chunks)}  top: {preds}  "
+                      f"[{dt:.0f} ms]")
+            polls += 1
+            if once or (max_polls is not None and polls >= max_polls):
+                break
+            time.sleep(poll_interval)
+    except KeyboardInterrupt:
+        print("\n[serve] interrupted")
+    print(f"=== DONE ===\nfiles served: {served}  results: {results_file}")
+    return served
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.data.species import open_species_list
+    from birdnet_stm32_tpu.models.runners import load_model_runner
+
+    dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+    runner = load_model_runner(Path(args.model_path), args.config_path,
+                               dtype=dtype)
+    cfg = getattr(runner, "cfg", None)
+    if cfg is None:
+        if args.config_path is None:
+            raise SystemExit("--config_path required for .tflite models")
+        cfg = ModelConfig.load(args.config_path)
+    classes = (open_species_list(args.labels_path) if args.labels_path
+               else cfg.class_names)
+
+    audio_dir = Path(args.audio_dir)
+    if not audio_dir.is_dir():
+        raise SystemExit(f"audio_dir not found: {audio_dir}")
+    results_file = Path(args.results_file) if args.results_file else (
+        audio_dir / "results.txt")
+
+    serve_loop(runner, cfg, classes, audio_dir, results_file,
+               poll_interval=args.poll_interval, batch_size=args.batch_size,
+               top_k=args.top_k, score_threshold=args.score_threshold,
+               overlap=args.chunk_overlap,
+               device_resample=args.device_resample, once=args.once)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

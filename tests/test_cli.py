@@ -265,3 +265,55 @@ def test_cli_mode_dispatch_paths(wav_dataset, tmp_path, capsys):
     assert dispatch(["train", *common, "--run_dir", str(tune_dir),
                      "--tune", "2"]) == 0
     assert (tune_dir / "best_params.json").exists()
+
+
+def test_serve_once_and_resume(wav_dataset, tmp_path, capsys):
+    """serve --once classifies every WAV, writes the firmware TSV schema,
+    and skips already-recorded files on the next run (SD-card resume
+    semantics, sd_handler.c:90-108)."""
+    import jax
+
+    from birdnet_stm32_tpu.audio.io import save_wav
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+
+    results = tmp_path / "results.txt"
+    assert dispatch(["serve", "--model_path", str(run_dir),
+                     "--audio_dir", str(root), "--results_file", str(results),
+                     "--batch_size", "4", "--once"]) == 0
+    out = capsys.readouterr().out
+    assert "=== DONE ===" in out
+    lines = [l for l in results.read_text().splitlines() if l]
+    n_wavs = len(list(Path(root).rglob("*.wav")))
+    assert len(lines) == n_wavs
+    cols = lines[0].split("\t")
+    assert len(cols) == 1 + cfg.num_classes  # filename + every class score
+    float(cols[1])  # 4-decimal scores parse
+
+    # Second run: everything already recorded -> nothing new served.
+    assert dispatch(["serve", "--model_path", str(run_dir),
+                     "--audio_dir", str(root), "--results_file", str(results),
+                     "--batch_size", "4", "--once"]) == 0
+    out = capsys.readouterr().out
+    assert "files served: 0" in out
+    assert len([l for l in results.read_text().splitlines() if l]) == n_wavs
+
+    # A new file appears -> only it is served.
+    t = np.arange(4000) / 4000.0
+    save_wav((0.5 * np.sin(2 * np.pi * 900 * t)).astype(np.float32),
+             Path(root) / "bird_a" / "late_arrival.wav", 4000)
+    assert dispatch(["serve", "--model_path", str(run_dir),
+                     "--audio_dir", str(root), "--results_file", str(results),
+                     "--batch_size", "4", "--once"]) == 0
+    out = capsys.readouterr().out
+    assert "files served: 1" in out and "late_arrival.wav" in out
