@@ -46,6 +46,9 @@ def get_args(argv=None):
     p.add_argument("--save_plots", action="store_true",
                    help="confusion-matrix PNG (and DET PNG with --det_curve)")
     p.add_argument("--save_benchmark_json", action="store_true")
+    p.add_argument("--save_embeddings", default=None, metavar="NPZ",
+                   help="write per-file pooled embeddings (mean over chunks) "
+                        "to an NPZ (float checkpoints only)")
     return p.parse_args(argv)
 
 
@@ -137,6 +140,36 @@ def main(argv=None) -> int:
                               out_dir / "benchmark.json",
                               species_data=species_data, config=cfg.to_dict(),
                               num_files=len(per_file))
+    if args.save_embeddings:
+        from birdnet_stm32_tpu.models.serving import make_embedder
+
+        try:
+            embed = make_embedder(runner, cfg)
+        except TypeError as e:
+            print(f"[WARN] --save_embeddings skipped: {e}")
+        else:
+            names, embs = [], []
+            for rec in per_file:
+                chunks = M.chunks_for_file(rec["file"], cfg, args.chunk_overlap)
+                if chunks.shape[0] == 0:
+                    continue
+                b = args.batch_size
+                parts = []
+                for i in range(0, len(chunks), b):
+                    w = chunks[i : i + b]
+                    n = w.shape[0]
+                    if n < b:
+                        w = np.pad(w, ((0, b - n), (0, 0)))
+                    parts.append(embed(w)[:n])
+                names.append(rec["file"])
+                embs.append(np.concatenate(parts).mean(axis=0))
+            np.savez(args.save_embeddings,
+                     files=np.array(names),
+                     labels=np.array([r["label"] for r in per_file
+                                      if r["file"] in set(names)]),
+                     embeddings=np.stack(embs).astype(np.float32))
+            print(f"[evaluate] embeddings [{len(names)}, {embs[0].shape[0]}] "
+                  f"-> {args.save_embeddings}")
     if args.save_html:
         R.save_html_report(results, classes, y_true, y_scores, str(model_path),
                            out_dir / "report.html",

@@ -113,3 +113,34 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
         return np.asarray(runner.predict(np.asarray(frontend(jnp.asarray(wave)))))
 
     return classify
+
+
+def make_embedder(runner, cfg, stft_precision: str | None = None):
+    """waveform batch [B, T] -> embeddings [B, emb] (FlaxRunner only).
+
+    The DS-CNN's pooled pre-head vector (reference `return_embeddings`
+    path) — the representation linear probing and downstream classifiers
+    build on. INT8/interpreter artifacts don't expose it (the reference's
+    TFLite export drops it too); callers should check for FlaxRunner.
+    """
+    if not hasattr(runner, "model"):
+        raise TypeError("embeddings need a float (Flax) runner; "
+                        ".tflite artifacts expose only class scores")
+    if stft_precision is None:
+        stft_precision = ("high" if getattr(runner, "dtype", None) is not None
+                          else "highest")
+    dtype = getattr(runner, "dtype", None)
+
+    def fn(v, w):
+        x = inputs_for_config(w, cfg, stft_precision=stft_precision)
+        if dtype is not None:
+            x = x.astype(dtype)
+        _, emb = runner.model.apply(v, x, train=False, return_embeddings=True)
+        return emb.astype(jnp.float32)
+
+    fused = jax.jit(fn)
+
+    def embed(wave: np.ndarray) -> np.ndarray:
+        return np.asarray(fused(runner.variables, jnp.asarray(wave)))
+
+    return embed

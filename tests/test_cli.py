@@ -121,10 +121,13 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
         "evaluate", "--model_path", str(run_dir), "--data_path_test", str(root),
         "--output_dir", str(out_dir), "--save_csv", "--save_benchmark_json",
         "--optimize_thresholds", "--max_files", "8", "--n_bootstrap", "20",
-        "--bootstrap_ci",
+        "--bootstrap_ci", "--save_embeddings", str(tmp_path / "emb.npz"),
     ]) == 0
     out = capsys.readouterr().out
     assert "roc-auc" in out and "cmAP" in out
+    emb = np.load(tmp_path / "emb.npz", allow_pickle=False)
+    assert emb["embeddings"].shape == (len(emb["files"]), 32)  # embeddings_size
+    assert len(emb["labels"]) == len(emb["files"])
     assert (out_dir / "predictions.csv").exists()
     assert (out_dir / "species_report.csv").exists()
     assert (out_dir / "benchmark.json").exists()
