@@ -46,6 +46,17 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
+def _warmup(classify, cfg, batch_size) -> None:
+    """One dummy dispatch before the clock starts: compile + executable
+    load (7-130 s through a tunnel, docs/troubleshooting.md) are one-time
+    process costs a serving deployment pays once, not per-file work."""
+    t0 = time.perf_counter()
+    np.asarray(classify(np.zeros((batch_size, cfg.chunk_samples), np.float32)))
+    dt = time.perf_counter() - t0
+    if dt > 1.0:
+        print(f"[info] warmup {dt:.1f} s (compile/load, excluded from timings)")
+
+
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
                   overlap=0.0, csv_path=None, score_threshold=0.0,
                   timeout=None, device_resample=False) -> dict:
@@ -70,6 +81,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
 
     print("[info] frontend+model fused into one device dispatch; "
           "[BENCH] 'model' covers both, 'frontend' reads 0.0")
+    _warmup(classifiers[cfg.sample_rate], cfg, batch_size)
 
     per_file_rows = []
     t_read = t_frontend = t_model = 0.0
@@ -223,6 +235,7 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
 
     print(f"[info] pipelined serving: {decode_workers} decode threads, "
           f"<= {max_outstanding} device batches in flight")
+    _warmup(lambda w: classifier_for(cfg.sample_rate)(w), cfg, batch_size)
 
     per_file_rows = []
     total_chunks = 0
