@@ -90,9 +90,14 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
     polls = 0
     try:
         while True:
-            new = sorted(p for p in audio_dir.rglob("*")
-                         if p.suffix.lower() == ".wav" and p.name not in done)
+            new = sorted(
+                p for p in audio_dir.rglob("*")
+                if p.suffix.lower() == ".wav"
+                and str(p.relative_to(audio_dir)) not in done)
             for path in new:
+                # Key by path relative to the watched dir: bare filenames
+                # collide across class subfolders.
+                rel = str(path.relative_to(audio_dir))
                 t0 = time.perf_counter()
                 src_rate = cfg.sample_rate
                 if device_resample:
@@ -107,12 +112,12 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                                              max_duration=None,
                                              sample_rate=src_rate)
                 except Exception as e:
-                    print(f"[serve] {path.name}: decode failed ({e}); skipped")
-                    done.add(path.name)
+                    print(f"[serve] {rel}: decode failed ({e}); skipped")
+                    done.add(rel)
                     continue
                 if chunks.shape[0] == 0:
-                    print(f"[serve] {path.name}: no audio; skipped")
-                    done.add(path.name)
+                    print(f"[serve] {rel}: no audio; skipped")
+                    done.add(rel)
                     continue
                 classify = classifier_for(src_rate)
                 scores = []
@@ -123,15 +128,15 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                         wave = np.pad(wave, ((0, batch_size - n), (0, 0)))
                     scores.append(classify(wave)[:n])
                 pooled = np.concatenate(scores).mean(axis=0)
-                _append_result(results_file, path.name, pooled)
-                done.add(path.name)
+                _append_result(results_file, rel, pooled)
+                done.add(rel)
                 served += 1
                 top = np.argsort(pooled)[::-1][:top_k]
                 top = [i for r, i in enumerate(top)
                        if r == 0 or pooled[i] >= score_threshold]
                 preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
                 dt = (time.perf_counter() - t0) * 1000.0
-                print(f"file: {path.name}  chunks: {len(chunks)}  top: {preds}  "
+                print(f"file: {rel}  chunks: {len(chunks)}  top: {preds}  "
                       f"[{dt:.0f} ms]")
             polls += 1
             if once or (max_polls is not None and polls >= max_polls):

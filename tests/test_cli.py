@@ -315,8 +315,14 @@ def test_serve_once_and_resume(wav_dataset, tmp_path, capsys):
     t = np.arange(4000) / 4000.0
     save_wav((0.5 * np.sin(2 * np.pi * 900 * t)).astype(np.float32),
              Path(root) / "bird_a" / "late_arrival.wav", 4000)
+    # Same bare filename in ANOTHER class folder must not collide
+    # (results are keyed by path relative to the watched dir).
+    save_wav((0.5 * np.sin(2 * np.pi * 700 * t)).astype(np.float32),
+             Path(root) / "bird_b" / "late_arrival.wav", 4000)
     assert dispatch(["serve", "--model_path", str(run_dir),
                      "--audio_dir", str(root), "--results_file", str(results),
                      "--batch_size", "4", "--once"]) == 0
     out = capsys.readouterr().out
-    assert "files served: 1" in out and "late_arrival.wav" in out
+    assert "files served: 2" in out and "late_arrival.wav" in out
+    keys = [l.split("\t", 1)[0] for l in results.read_text().splitlines() if l]
+    assert len(keys) == len(set(keys)) == n_wavs + 2
