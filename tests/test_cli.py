@@ -15,7 +15,8 @@ def test_dispatch_help(capsys):
     assert dispatch([]) == 2  # no command: usage + error exit
     assert dispatch(["--help"]) == 0
     out = capsys.readouterr().out
-    for cmd in ("train", "convert", "evaluate", "benchmark", "profile"):
+    for cmd in ("train", "convert", "evaluate", "benchmark", "profile",
+                "deploy", "board-test", "serve"):
         assert cmd in out
 
 
