@@ -13,22 +13,34 @@ from pathlib import Path
 
 def get_args(argv=None):
     p = argparse.ArgumentParser("birdnet_stm32_tpu convert")
-    p.add_argument("--model_path", required=True,
+    p.add_argument("--model_path", "--checkpoint_path", required=True,
                    help="checkpoint directory (or reference .keras file)")
-    p.add_argument("--data_path", required=True, help="calibration audio directory")
+    p.add_argument("--data_path", "--data_path_train", required=True,
+                   help="calibration audio directory")
+    p.add_argument("--model_config", default=None,
+                   help="config JSON override for .keras inputs (reference "
+                        "cli/convert.py:29; checkpoint dirs carry their own)")
     p.add_argument("--output_path", default=None)
-    p.add_argument("--quantize", default="int8", choices=["int8", "dynamic", "float"])
+    p.add_argument("--quantize", "--quantization", default="int8",
+                   choices=["int8", "ptq", "dynamic", "float"],
+                   help="'ptq' is the reference spelling for full INT8")
     p.add_argument("--per_tensor", action="store_true")
-    p.add_argument("--num_calibration_samples", type=int, default=100)
+    p.add_argument("--num_calibration_samples", "--num_samples", type=int, default=100)
     p.add_argument("--calibration_per_class", type=int, default=10)
+    p.add_argument("--validate_samples", type=int, default=64,
+                   help="validation sample count for the cosine gate "
+                        "(reference cli/convert.py:33)")
     p.add_argument("--min_cosine_sim", type=float, default=0.95)
-    p.add_argument("--num_validation_seeds", type=int, default=1)
+    p.add_argument("--num_validation_seeds", "--batch_validate", type=int, default=1)
+    p.add_argument("--report_json", default=None,
+                   help="also write the structured conversion report here "
+                        "(reference cli/convert.py:223-233)")
     p.add_argument("--no_npz", action="store_true")
     p.add_argument("--stablehlo", action="store_true",
                    help="also export the float serving fn (frontend+model) "
                         "as a portable StableHLO module (the reference's "
                         "optional ONNX-export analog)")
-    p.add_argument("--onnx", action="store_true",
+    p.add_argument("--onnx", "--export_onnx", action="store_true",
                    help="also export ONNX via tf2onnx when installed "
                         "(reference cli/convert.py:209-221); prints a warning "
                         "and continues when tf2onnx is unavailable")
@@ -43,11 +55,14 @@ def main(argv=None) -> int:
     from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
     from birdnet_stm32_tpu.utils.logging import ok
 
+    if args.quantize == "ptq":
+        args.quantize = "int8"
     model_path = Path(args.model_path)
     if model_path.suffix == ".keras":
         from birdnet_stm32_tpu.models.transplant import load_reference_model
 
-        config_path = model_path.with_name(model_path.stem + "_model_config.json")
+        config_path = Path(args.model_config) if args.model_config else (
+            model_path.with_name(model_path.stem + "_model_config.json"))
         model, variables, cfg = load_reference_model(model_path, config_path)
         stem = model_path.stem
         out_default = model_path.parent
@@ -74,10 +89,16 @@ def main(argv=None) -> int:
         quantize=args.quantize, per_channel=not args.per_tensor,
         min_cosine_sim=args.min_cosine_sim,
         num_validation_seeds=args.num_validation_seeds,
+        num_validation_samples=args.validate_samples,
         class_activation=class_activation,
         save_npz=not args.no_npz, seed=args.seed)
     ok("convert", f"{out_path} ({report['tflite_bytes']:,} B, "
                   f"{report['compression_ratio']:.1f}x compression)")
+    if args.report_json:
+        import json
+
+        Path(args.report_json).write_text(json.dumps(report, indent=2, default=float))
+        ok("convert", f"conversion report -> {args.report_json}")
     if args.stablehlo:
         from birdnet_stm32_tpu.conversion.export_stablehlo import export_serving_fn
 

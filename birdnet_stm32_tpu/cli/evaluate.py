@@ -20,10 +20,10 @@ def get_args(argv=None):
     p.add_argument("--model_path", required=True,
                    help="checkpoint dir, .tflite, or reference .keras")
     p.add_argument("--data_path_test", required=True)
-    p.add_argument("--config_path", default=None)
+    p.add_argument("--config_path", "--model_config", default=None)
     p.add_argument("--pooling", default="average", choices=["average", "avg", "max", "lme"])
     p.add_argument("--lme_beta", type=float, default=10.0)
-    p.add_argument("--chunk_overlap", type=float, default=0.0)
+    p.add_argument("--chunk_overlap", "--overlap", type=float, default=0.0)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--bf16", action="store_true",
                    help="serve float checkpoints in bfloat16 (fastest TPU "
@@ -38,14 +38,31 @@ def get_args(argv=None):
     p.add_argument("--n_bootstrap", type=int, default=1000,
                    help="bootstrap resamples for AP CIs (reference --n_bootstrap)")
     p.add_argument("--max_files", type=int, default=None,
-                   help="evaluate at most N test files (reference --max_files)")
+                   help="evaluate at most N test files (reference --max_files; "
+                        "values <= 0 mean all)")
     p.add_argument("--det_curve", action="store_true")
     p.add_argument("--output_dir", default=None)
-    p.add_argument("--save_csv", action="store_true")
+    p.add_argument("--save_csv", nargs="?", const=True, default=False,
+                   metavar="CSV",
+                   help="write predictions/species CSVs; an optional path "
+                        "sets the predictions CSV file (reference --save_csv)")
+    p.add_argument("--confusion_matrix", action="store_true",
+                   help="accepted for reference compatibility (the ASCII "
+                        "confusion matrix is always printed here)")
+    p.add_argument("--save_cm_plot", default=None, metavar="PNG",
+                   help="confusion-matrix plot path (reference --save_cm_plot)")
+    p.add_argument("--save_det_plot", default=None, metavar="PNG",
+                   help="DET curve plot path (reference --save_det_plot)")
     p.add_argument("--save_html", action="store_true")
     p.add_argument("--save_plots", action="store_true",
                    help="confusion-matrix PNG (and DET PNG with --det_curve)")
-    p.add_argument("--save_benchmark_json", action="store_true")
+    p.add_argument("--save_benchmark_json", nargs="?", const=True, default=False,
+                   metavar="JSON",
+                   help="write the benchmark JSON report; an optional path "
+                        "overrides the destination (reference --benchmark)")
+    p.add_argument("--benchmark", dest="save_benchmark_json", metavar="JSON",
+                   default=argparse.SUPPRESS,
+                   help="reference spelling of --save_benchmark_json PATH")
     p.add_argument("--save_embeddings", default=None, metavar="NPZ",
                    help="write per-file pooled embeddings (mean over chunks) "
                         "to an NPZ (float checkpoints only)")
@@ -78,7 +95,7 @@ def main(argv=None) -> int:
     files, _, _ = load_file_paths_from_directory(args.data_path_test, classes=classes)
     if not files:
         raise SystemExit(f"no test audio under {args.data_path_test}")
-    if args.max_files is not None:
+    if args.max_files is not None and args.max_files > 0:
         files = files[:args.max_files]
 
     results, per_file, y_true, y_scores = M.evaluate(
@@ -129,15 +146,22 @@ def main(argv=None) -> int:
         far, frr, _ = M.compute_det_curve(y_true, y_scores)
         R.print_ascii_det_curve(far, frr)
         R.save_det_curve_plot(far, frr, out_dir / "det_curve.png")
-    if args.save_plots:
+    if args.save_plots or args.save_cm_plot:
         R.save_confusion_matrix_plot(y_true, y_scores, classes,
-                                     out_dir / "confusion_matrix.png")
+                                     args.save_cm_plot or out_dir / "confusion_matrix.png")
+    if args.save_det_plot:
+        far, frr, _ = M.compute_det_curve(y_true, y_scores)
+        R.save_det_curve_plot(far, frr, args.save_det_plot)
     if args.save_csv:
-        R.save_predictions_csv(per_file, classes, out_dir / "predictions.csv")
+        csv_path = (Path(args.save_csv) if isinstance(args.save_csv, str)
+                    else out_dir / "predictions.csv")
+        R.save_predictions_csv(per_file, classes, csv_path)
         R.save_species_report_csv(species_data, out_dir / "species_report.csv")
     if args.save_benchmark_json:
-        R.save_benchmark_json(results, classes, str(model_path),
-                              out_dir / "benchmark.json",
+        json_path = (Path(args.save_benchmark_json)
+                     if isinstance(args.save_benchmark_json, str)
+                     else out_dir / "benchmark.json")
+        R.save_benchmark_json(results, classes, str(model_path), json_path,
                               species_data=species_data, config=cfg.to_dict(),
                               num_files=len(per_file))
     if args.save_embeddings:

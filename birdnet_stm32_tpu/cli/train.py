@@ -20,8 +20,9 @@ def get_args(argv=None):
     p.add_argument("--data_path_train", required=True)
     p.add_argument("--data_path_val", default=None)
     p.add_argument("--val_split", type=float, default=0.2)
-    p.add_argument("--top_n_classes", type=int, default=None)
-    p.add_argument("--max_samples_per_class", type=int, default=None)
+    p.add_argument("--top_n_classes", "--max_classes", type=int, default=None,
+                   help="use top N classes by sample count (reference --max_classes)")
+    p.add_argument("--max_samples_per_class", "--max_samples", type=int, default=None)
     p.add_argument("--upsample_ratio", type=float, default=0.5)
     p.add_argument("--no_upsample", action="store_true")
     p.add_argument("--max_chunks_per_file", type=int, default=2)
@@ -39,11 +40,15 @@ def get_args(argv=None):
     p.add_argument("--audio_frontend", default="hybrid")
     p.add_argument("--mag_scale", default="pwl")
     p.add_argument("--no_frontend_trainable", action="store_true")
+    p.add_argument("--frontend_trainable", action="store_true",
+                   help="accepted for reference compatibility (cli/train.py:178 "
+                        "there; trainable is already the default here — use "
+                        "--no_frontend_trainable to freeze)")
     # Architecture
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--depth_multiplier", type=int, default=1)
     p.add_argument("--embeddings_size", type=int, default=256)
-    p.add_argument("--dropout_rate", type=float, default=0.5)
+    p.add_argument("--dropout_rate", "--dropout", type=float, default=0.5)
     p.add_argument("--no_se", action="store_true")
     p.add_argument("--se_reduction", type=int, default=8)
     p.add_argument("--no_inverted_residual", action="store_true")
@@ -56,7 +61,7 @@ def get_args(argv=None):
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "adamw"])
     p.add_argument("--weight_decay", type=float, default=0.0)
-    p.add_argument("--gradient_clip_norm", type=float, default=1.0)
+    p.add_argument("--gradient_clip_norm", "--grad_clip", type=float, default=1.0)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--multilabel", action="store_true")
     p.add_argument("--focal_gamma", type=float, default=None)
@@ -91,8 +96,15 @@ def get_args(argv=None):
     p.add_argument("--qat_learning_rate", type=float, default=1e-5)
     p.add_argument("--linear_probe", action="store_true", help="retrain only the head on the new data")
     p.add_argument("--find_lr", action="store_true", help="run the LR finder and exit")
-    p.add_argument("--tune", type=int, default=0, metavar="N", help="random-search N trials")
-    return p.parse_args(argv)
+    p.add_argument("--tune", type=int, nargs="?", const=-1, default=0, metavar="N",
+                   help="search N trials (bare --tune takes the count from "
+                        "--n_trials, the reference spelling)")
+    p.add_argument("--n_trials", type=int, default=20,
+                   help="trial count for bare --tune (reference cli/train.py:244)")
+    args = p.parse_args(argv)
+    if args.tune and args.tune < 0:
+        args.tune = args.n_trials
+    return args
 
 
 def build_loaders(args, cfg, for_qat: bool = False):

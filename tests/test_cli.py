@@ -24,6 +24,45 @@ def test_dispatch_unknown():
     assert dispatch(["frobnicate"]) == 2
 
 
+def test_reference_flag_spellings_parse():
+    """The reference's original flag names are accepted as aliases, so its
+    documented command lines work unchanged (reference cli/train.py:132-269,
+    cli/convert.py:28-71, cli/evaluate.py:32-72).
+    """
+    from birdnet_stm32_tpu.cli.convert import get_args as conv_args
+    from birdnet_stm32_tpu.cli.evaluate import get_args as eval_args
+    from birdnet_stm32_tpu.cli.train import get_args as train_args
+
+    t = train_args(["--data_path_train", "d", "--max_classes", "50",
+                    "--max_samples", "100", "--dropout", "0.3",
+                    "--grad_clip", "2.0", "--frontend_trainable",
+                    "--tune", "--n_trials", "7"])
+    assert (t.top_n_classes, t.max_samples_per_class) == (50, 100)
+    assert (t.dropout_rate, t.gradient_clip_norm, t.tune) == (0.3, 2.0, 7)
+    assert train_args(["--data_path_train", "d", "--tune", "3"]).tune == 3
+
+    c = conv_args(["--checkpoint_path", "m.keras", "--data_path_train", "d",
+                   "--num_samples", "64", "--quantization", "ptq",
+                   "--batch_validate", "3", "--export_onnx",
+                   "--model_config", "cfg.json", "--validate_samples", "32"])
+    assert (c.model_path, c.data_path, c.num_calibration_samples) == ("m.keras", "d", 64)
+    assert (c.quantize, c.num_validation_seeds, c.onnx) == ("ptq", 3, True)
+
+    e = eval_args(["--model_path", "m", "--data_path_test", "d",
+                   "--model_config", "cfg.json", "--overlap", "1.5",
+                   "--benchmark", "out.json", "--save_cm_plot", "cm.png",
+                   "--save_det_plot", "det.png", "--confusion_matrix",
+                   "--save_csv", "p.csv", "--max_files", "-1"])
+    assert (e.config_path, e.chunk_overlap) == ("cfg.json", 1.5)
+    assert (e.save_benchmark_json, e.save_csv) == ("out.json", "p.csv")
+    # Bare boolean forms still work and default off.
+    e2 = eval_args(["--model_path", "m", "--data_path_test", "d",
+                    "--save_csv", "--save_benchmark_json"])
+    assert e2.save_csv is True and e2.save_benchmark_json is True
+    e3 = eval_args(["--model_path", "m", "--data_path_test", "d"])
+    assert e3.save_csv is False and e3.save_benchmark_json is False
+
+
 def test_deploy_sidecar_derivation(tmp_path):
     from birdnet_stm32_tpu.cli.deploy import derive_sidecar_paths
 
