@@ -249,8 +249,69 @@ def _rdbp(x, exponent: int):
     return (x + jnp.int32(1 << (exponent - 1))) >> exponent
 
 
+def _mbqm_limbs(x, qm_np: np.ndarray, shift_np: np.ndarray):
+    """Fused MultiplyByQuantizedMultiplier via signed 16-bit limbs.
+
+    Bit-exact rewrite of ``_rdbp(_srdhm(x << left, qm), right)`` in one
+    pass, using two identities (both fuzz-verified against the int64
+    golden, including tie cases — tests/test_quant.py):
+
+    1. gemmlowp's sign-dependent nudge + truncating divide collapses to a
+       uniform addend under floor (arithmetic shift) semantics:
+         SRDHM(x, qm) = (x*qm + 2^30) >>arith 31   for qm > 0, both signs.
+    2. nested floors compose: the trailing rounding-divide-by-POT is
+         (srdhm + 2^(right-1)) >>arith right,
+       so the whole requant is ((x*qm + K) >>arith 31) >>arith right with
+       K = 2^30 + 2^(30+right) folded into the 64-bit product once.
+
+    The 33 high bits of the signed int32*int32 product come from signed
+    16-bit limb decomposition in int32/uint32 (TPUs have no int64):
+    x = x_hi*2^16 + x_lo with x_hi = x >>arith 16 (so x_hi*qm terms carry
+    the sign) — no abs/negate/select pass, one carry chain.
+
+    qm_np/shift_np are numpy scalars or per-channel vectors broadcast
+    along the last axis. Precondition (holds for every accumulator a
+    TFLite graph can produce, since requant output clamps to int8):
+    |x << left| < 2^31 - 2^right.
+    """
+    qm_np = np.atleast_1d(np.asarray(qm_np, np.int64))
+    shift_np = np.atleast_1d(np.asarray(shift_np, np.int64))
+    left = np.maximum(shift_np, 0).astype(np.int32)
+    right = np.maximum(-shift_np, 0).astype(np.int64)
+    if left.any():  # static skip: conv multipliers are almost always < 1
+        x = jnp.left_shift(x, jnp.asarray(left))
+    b_hi = jnp.asarray((qm_np >> 16).astype(np.int32))   # < 2^15
+    b_lo = jnp.asarray((qm_np & 0xFFFF).astype(np.int32))
+    K = (1 << 30) + np.where(right > 0, np.int64(1) << (30 + right), 0)
+    k_lo = jnp.asarray((K & 0xFFFFFFFF).astype(np.uint32))
+    k_hi = jnp.asarray((K >> 32).astype(np.int32))
+    x_hi = x >> 16                       # arithmetic: carries the sign
+    x_lo = x & 0xFFFF                    # [0, 2^16)
+    hh = x_hi * b_hi                     # |.| < 2^30, exact in int32
+    m1 = x_hi * b_lo                     # |.| < 2^31, exact in int32
+    m2 = x_lo * b_hi                     # < 2^31
+    ll = x_lo.astype(jnp.uint32) * b_lo.astype(jnp.uint32)
+    # p + K = high*2^32 + low, accumulated with carry detection per add
+    # (for uint32 a + b, carry out iff result < a).
+    low0 = ll + (m1.astype(jnp.uint32) << 16)
+    c1 = (low0 < ll).astype(jnp.int32)
+    low1 = low0 + (m2.astype(jnp.uint32) << 16)
+    c2 = (low1 < low0).astype(jnp.int32)
+    low2 = low1 + k_lo
+    c3 = (low2 < low1).astype(jnp.int32)
+    high = hh + (m1 >> 16) + (m2 >> 16) + k_hi + c1 + c2 + c3
+    r31 = (high << 1) | (low2 >> 31).astype(jnp.int32)   # (p+K) >>arith 31
+    return jnp.right_shift(r31, jnp.asarray(right.astype(np.int32)))
+
+
 def _mbqm(x, qm: int, shift: int):
     """MultiplyByQuantizedMultiplier: exact TFLite requant of int32 x."""
+    return _mbqm_limbs(x, qm, shift)
+
+
+def _mbqm_ref(x, qm: int, shift: int):
+    """Two-stage reference formulation (gemmlowp SRDHM then RDBP); kept as
+    the documented golden for tests/test_quant.py's equivalence check."""
     left = max(shift, 0)
     right = max(-shift, 0)
     if left:
@@ -261,46 +322,11 @@ def _mbqm(x, qm: int, shift: int):
 def _requant_exact(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int):
     """Per-channel exact requantization of an int32 accumulator [..., C]."""
     qms = [_quantize_multiplier(float(m)) for m in np.atleast_1d(multipliers)]
-    if len(qms) == 1:
-        q = _mbqm(acc, *qms[0])
-    else:
-        # One SRDHM pass with per-channel qm and per-channel (vector) shifts
-        # broadcast along the channel axis — shifts differ per channel, but
-        # elementwise shift ops take array amounts, so no per-shift loop.
-        qm_vec = jnp.asarray(np.array([q for q, _ in qms], np.int32))
-        sh = np.array([s for _, s in qms], np.int32)
-        left = jnp.asarray(np.maximum(sh, 0))
-        right = np.maximum(-sh, 0)
-        x = jnp.left_shift(acc, left)
-        r = _srdhm_vec(x, qm_vec)
-        # Vector rounding-divide by 2^right: (r + 2^(right-1)) >> right,
-        # with a zero addend where right == 0 (>> 0 is identity).
-        addend = jnp.asarray(np.where(right > 0, 1 << np.maximum(right - 1, 0), 0)
-                             .astype(np.int32))
-        q = jnp.right_shift(r + addend, jnp.asarray(right))
+    q = _mbqm_limbs(acc,
+                    np.array([q for q, _ in qms], np.int64),
+                    np.array([s for _, s in qms], np.int64))
     q = q + zp
     return jnp.clip(q, lo, hi).astype(jnp.int8)
-
-
-def _srdhm_vec(x, qm_vec):
-    """SRDHM where qm varies along the last axis (per-channel)."""
-    neg = x < 0
-    a = jnp.abs(x).astype(jnp.uint32)
-    b = qm_vec.astype(jnp.uint32)
-    b_hi, b_lo = b >> 16, b & 0xFFFF
-    a_hi, a_lo = a >> 16, a & 0xFFFF
-    hh = a_hi * b_hi
-    mid = a_hi * b_lo + a_lo * b_hi
-    ll = a_lo * b_lo
-    low = ll + ((mid & 0xFFFF) << 16)
-    carry = (low < ll).astype(jnp.uint32)
-    high = hh + (mid >> 16) + carry
-    addend = jnp.where(neg, jnp.uint32((1 << 30) - 1), jnp.uint32(1 << 30))
-    low2 = low + addend
-    carry2 = (low2 < low).astype(jnp.uint32)
-    high2 = high + carry2
-    r = ((high2 << 1) | (low2 >> 31)).astype(jnp.int32)
-    return jnp.where(neg, -r, r)
 
 
 def _act_bounds(activation: int, scale: float, zp: int):

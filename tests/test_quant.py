@@ -119,3 +119,49 @@ def test_pearson_edge_cases():
     assert pearson_correlation(z, c) == 1.0
     assert pearson_correlation(c, x) == 0.0
     assert pearson_correlation(x, 2 * x + 1) == pytest.approx(1.0)
+
+
+def _mbqm_golden_int64(x, qm, shift):
+    """int64 numpy golden of TFLite MultiplyByQuantizedMultiplier: gemmlowp
+    SRDHM (sign-dependent nudge, truncating divide) then the TF 2.21
+    add-half-then-arithmetic-shift rounding divide."""
+    x = x.astype(np.int64)
+    left = np.maximum(shift, 0)
+    right = np.maximum(-shift, 0)
+    p = (x << left) * qm.astype(np.int64)
+    nudge = np.where(p >= 0, np.int64(1 << 30), np.int64(1 - (1 << 30)))
+    t = p + nudge
+    sr = np.sign(t) * (np.abs(t) // (1 << 31))  # trunc toward zero
+    add = np.where(right > 0, np.int64(1) << np.maximum(right - 1, 0), 0)
+    return np.where(right > 0, (sr + add) >> right, sr)
+
+
+def test_mbqm_limbs_bit_exact_vs_int64_golden():
+    """The fused limb requant matches the int64 golden on randoms, tie
+    boundaries, and the degenerate qm=0 / right=0 / left>0 channels."""
+    from birdnet_stm32_tpu.quant.tflite_import import _mbqm_limbs, _mbqm_ref
+
+    rng = np.random.default_rng(7)
+    C = 64
+    qm = rng.integers(2**30 + 1, 2**31, C)
+    shift = rng.integers(-24, 3, C)
+    qm[0], shift[0] = 0, 0          # _quantize_multiplier(0.0) channel
+    shift[1] = 0                    # no rounding-divide stage
+    shift[2], shift[3] = 1, 2       # left-shift path
+
+    N = 4096
+    x = np.empty((N, C), np.int32)
+    x[: N // 2] = rng.integers(-(2**27), 2**27, (N // 2, C))
+    x[N // 2 : 3 * N // 4] = rng.integers(-1024, 1024, (N // 4, C))
+    k = rng.integers(-(2**6), 2**6, (N - 3 * N // 4, C)).astype(np.int64)
+    near = (k * (1 << 31)) // np.maximum(qm, 1)[None, :]
+    x[3 * N // 4 :] = (near + rng.integers(-1, 2, near.shape)).astype(np.int32)
+
+    got = np.asarray(_mbqm_limbs(jnp.asarray(x), qm, shift), np.int64)
+    gold = _mbqm_golden_int64(x, qm[None, :], shift[None, :])
+    np.testing.assert_array_equal(got, gold)
+
+    # scalar path + two-stage reference formulation agree too
+    got1 = np.asarray(_mbqm_ref(jnp.asarray(x[:, 5]), int(qm[5]), int(shift[5])),
+                      np.int64)
+    np.testing.assert_array_equal(got1, gold[:, 5])
