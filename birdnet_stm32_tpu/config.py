@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import warnings
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -37,7 +38,13 @@ def normalize_frontend_name(name: str) -> str:
     if name in VALID_FRONTENDS:
         return name
     if name in _FRONTEND_ALIASES:
-        return _FRONTEND_ALIASES[name]
+        canonical = _FRONTEND_ALIASES[name]
+        warnings.warn(
+            f"Frontend name {name!r} is deprecated, use {canonical!r} instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return canonical
     raise ValueError(f"Invalid audio frontend: {name!r}. Valid options: {VALID_FRONTENDS}")
 
 

@@ -59,8 +59,11 @@ def test_class_names_length_mismatch():
 
 
 def test_frontend_aliases():
-    assert normalize_frontend_name("precomputed") == "librosa"
-    assert normalize_frontend_name("tf") == "raw"
-    assert ModelConfig(audio_frontend="precomputed").audio_frontend == "librosa"
+    with pytest.warns(DeprecationWarning):
+        assert normalize_frontend_name("precomputed") == "librosa"
+    with pytest.warns(DeprecationWarning):
+        assert normalize_frontend_name("tf") == "raw"
+    with pytest.warns(DeprecationWarning):
+        assert ModelConfig(audio_frontend="precomputed").audio_frontend == "librosa"
     with pytest.raises(ValueError):
         normalize_frontend_name("nope")
