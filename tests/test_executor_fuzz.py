@@ -67,3 +67,37 @@ def test_executor_matches_interpreter(i, spec, tmp_path):
         f"config {i}: max diff {diff.max():.5f} exceeds 1 output quantum")
     # And the vast majority of entries agree exactly.
     assert (diff == 0).mean() > 0.95, f"config {i}: only {(diff == 0).mean():.2%} exact"
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+def test_executor_matches_interpreter_per_tensor(tmp_path):
+    """Per-tensor weight quantization (the reference's --per_tensor opt-out,
+    quantize.py:139-141) exercises the scalar-multiplier requant path."""
+    from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
+    from birdnet_stm32_tpu.models.runners import TFLiteInterpreterRunner
+    from birdnet_stm32_tpu.quant.tflite_import import TFLiteGraph, build_executor
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=4,
+                      class_names=list("abcd"), alpha=0.25,
+                      audio_frontend="hybrid", mag_scale="pwl",
+                      use_inverted_residual=True, use_se=True)
+    model = build_dscnn(cfg, class_activation="softmax")
+    v = init_model(model, cfg, jax.random.key(42))
+
+    rng = np.random.default_rng(42)
+    calib = rng.uniform(0, 1, (12, *cfg.input_shape())).astype(np.float32)
+    tfl = convert_to_tflite(v, cfg, calib, quantize="int8",
+                            class_activation="softmax", per_channel=False)
+
+    fwd = jax.jit(build_executor(TFLiteGraph(tfl), batch_size=6))
+    x = rng.uniform(0, 1, (6, *cfg.input_shape())).astype(np.float32)
+    ours = np.asarray(fwd(x))
+
+    tfl_path = tmp_path / "m.tflite"
+    tfl_path.write_bytes(tfl)
+    theirs = TFLiteInterpreterRunner(tfl_path).predict(x)
+    diff = np.abs(ours - theirs)
+    assert diff.max() <= 1.5 / 256.0
+    assert (diff == 0).mean() > 0.95
