@@ -138,9 +138,18 @@ def make_embedder(runner, cfg, stft_precision: str | None = None):
         _, emb = runner.model.apply(v, x, train=False, return_embeddings=True)
         return emb.astype(jnp.float32)
 
-    fused = jax.jit(fn)
+    mesh = getattr(runner, "mesh", None)
+    if mesh is not None:  # same batch/replica shardings as the classifier
+        from birdnet_stm32_tpu.parallel.mesh import batch_sharding, replicated
+
+        rep, data = replicated(mesh), batch_sharding(mesh)
+        fused = jax.jit(fn, in_shardings=(rep, data), out_shardings=data)
+        v_in = jax.device_put(runner.variables, rep)
+    else:
+        fused = jax.jit(fn)
+        v_in = runner.variables
 
     def embed(wave: np.ndarray) -> np.ndarray:
-        return np.asarray(fused(runner.variables, jnp.asarray(wave)))
+        return np.asarray(fused(v_in, jnp.asarray(wave)))
 
     return embed

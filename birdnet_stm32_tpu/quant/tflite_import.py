@@ -140,7 +140,11 @@ class TFLiteGraph:
     """Parsed .tflite model: tensor metadata + ops in execution order."""
 
     def __init__(self, path_or_bytes):
-        buf = path_or_bytes if isinstance(path_or_bytes, bytes) else open(path_or_bytes, "rb").read()
+        if isinstance(path_or_bytes, bytes):
+            buf = path_or_bytes
+        else:
+            with open(path_or_bytes, "rb") as f:
+                buf = f.read()
         model = fb.Model.GetRootAsModel(buf, 0)
         sg = model.Subgraphs(0)
         opcodes = [model.OperatorCodes(i) for i in range(model.OperatorCodesLength())]
@@ -428,6 +432,8 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
         t_in, t_out = graph.tensors[op.inputs[0]], graph.tensors[op.outputs[0]]
         if t_in.shape != t_out.shape or op.options.get("shrink_axis_mask"):
             return False
+        if any(graph.tensors[op.inputs[k]].data is None for k in (1, 2, 3)):
+            return False  # dynamic slice params: can't prove identity, no elision
         begin = np.asarray(graph.tensors[op.inputs[1]].data)
         strides = np.asarray(graph.tensors[op.inputs[3]].data)
         end = np.asarray(graph.tensors[op.inputs[2]].data)
@@ -442,6 +448,7 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
     # op index -> "alias" (forward input unchanged); tensor -> pending perm.
     _alias_ops: set[int] = set()
     _pending_perm: dict[int, tuple] = {}
+    _chains: list[list[int]] = []
     for _i, _op in enumerate(graph.ops):
         if _op.name != "TRANSPOSE" or graph.tensors[_op.inputs[1]].data is None:
             continue
@@ -464,6 +471,7 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             break
         if ok:
             _alias_ops.update(chain)
+            _chains.append(chain)
             for ci in chain:
                 _pending_perm[graph.ops[ci].outputs[0]] = perm
 
@@ -471,8 +479,15 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
         # The entry transpose is handled by the pretransposed-input path,
         # never by the elision pre-pass: its input arrives ALREADY
         # transposed, so pending-perm dimension remapping on the consuming
-        # conv would double-apply.
+        # conv would double-apply. Clear the perms for the WHOLE chain
+        # rooted at the entry transpose (identity slices in between stay
+        # aliases — forwarding the already-transposed tensor is correct,
+        # only the conv's dimension remap must not fire).
         _alias_ops.discard(1)
+        for ch in _chains:
+            if ch and ch[0] == 1:
+                for ci in ch:
+                    _pending_perm.pop(graph.ops[ci].outputs[0], None)
         _pending_perm.pop(_entry_target, None)
 
     def tshape(idx):
@@ -532,6 +547,13 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 s, z, _ = q_params(o)
                 if src.dtype == jnp.float32:
                     q = _round_away(src / float(s[0])) + int(z[0])
+                elif requant == "exact":
+                    # int8 -> int8 requantize: TFLite's Requantize kernel is
+                    # MultiplyByQuantizedMultiplier(x - zi, qm, shift) + zo
+                    # (reference quantize.h), not a float multiply.
+                    si, zi, _ = q_params(ins[0])
+                    qm, sh = _quantize_multiplier(float(si[0]) / float(s[0]))
+                    q = _mbqm(src.astype(jnp.int32) - int(zi[0]), qm, sh) + int(z[0])
                 else:
                     si, zi, _ = q_params(ins[0])
                     q = _round_away((src.astype(jnp.float32) - int(zi[0])) * (float(si[0]) / float(s[0]))) + int(z[0])
@@ -588,8 +610,14 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                     p = get(i)
                     si, zi, _ = q_params(i)
                     if float(si[0]) != float(so[0]) or int(zi[0]) != int(zo[0]):
-                        f = (p.astype(jnp.float32) - int(zi[0])) * float(si[0])
-                        p = jnp.clip(_round_away(f / float(so[0])) + int(zo[0]), -128, 127).astype(jnp.int8)
+                        # TFLite ConcatenationWithScaling: float32 path with
+                        # a precomputed inverse output scale — mirror its
+                        # exact association: round(x*scale + bias) + zo.
+                        inv_so = np.float32(1.0) / np.float32(so[0])
+                        scale = np.float32(si[0]) * inv_so
+                        bias = np.float32(-int(zi[0])) * scale
+                        f = p.astype(jnp.float32) * scale + bias
+                        p = jnp.clip(_round_away(f) + int(zo[0]), -128, 127).astype(jnp.int8)
                     parts.append(p)
                 vals[o] = jnp.concatenate(parts, axis=axis)
 
@@ -767,11 +795,12 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 new_shape = [int(d) for d in (get_host(ins[1]) if len(ins) > 1 and ins[1] >= 0
                                               else op.options["new_shape"])]
                 src = get(ins[0])
-                # Respect the executor's actual batch size (only one -1
-                # allowed in a reshape spec).
-                if (new_shape and new_shape[0] not in (-1, src.shape[0])
-                        and -1 not in new_shape):
-                    new_shape[0] = -1
+                # Respect the executor's actual batch size. A spec exported
+                # at batch 1 may carry a literal leading 1; remap it to -1,
+                # or to the real batch when the spec's -1 is elsewhere
+                # (only one -1 is allowed in a reshape spec).
+                if new_shape and new_shape[0] not in (-1, src.shape[0]):
+                    new_shape[0] = -1 if -1 not in new_shape[1:] else src.shape[0]
                 vals[o] = jnp.reshape(src, new_shape)
 
             elif name == "SOFTMAX":
