@@ -90,6 +90,9 @@ def sort_by_s2n(samples: list[np.ndarray], threshold: float = 0.1) -> list[np.nd
     """Sort by normalized SNR proxy, filter below threshold, keep >= 1
     (reference activity.py:160-185)."""
     values = np.array([get_s2n(s) for s in samples])
+    # Parity with the reference (activity.py:178): divide by max even when
+    # it is negative (all-negative proxies then invert the ranking) — the
+    # two frameworks must select the same chunks from the same audio.
     values = values / (values.max() + 1e-10)
     order = np.argsort(values)[::-1]
     kept = [samples[i] for i in order if values[i] >= threshold]

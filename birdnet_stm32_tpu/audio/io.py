@@ -58,7 +58,7 @@ def wav_info(path: str | Path) -> WavInfo:
                 break
             cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
             if cid == b"fmt ":
-                body = f.read(size)
+                body = f.read(size + (size & 1))  # RIFF chunks pad to even
                 audio_format, channels, rate = struct.unpack("<HHI", body[:8])
                 bits = struct.unpack("<H", body[14:16])[0]
                 if audio_format == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE

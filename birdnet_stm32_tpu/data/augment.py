@@ -114,7 +114,7 @@ def apply_spec_augment(
     x = spec[..., 0] if squeeze else spec
     B, F, T = x.shape
 
-    def mask_axis(key, dim, mask_max, n_masks, axis_idx):
+    def mask_axis(key, dim, mask_max, n_masks):
         ks = jax.random.split(key, 2)
         width = jax.random.randint(ks[0], (B, n_masks), 0, max(1, min(mask_max, dim)))
         start = jax.random.randint(ks[1], (B, n_masks), 0, jnp.maximum(1, dim - width))
@@ -123,7 +123,7 @@ def apply_spec_augment(
         return ~jnp.any(inside, axis=1)  # [B, dim] keep-mask
 
     kf, kt = jax.random.split(key)
-    keep_f = mask_axis(kf, F, freq_mask_max, num_freq_masks, 1)  # [B, F]
-    keep_t = mask_axis(kt, T, time_mask_max, num_time_masks, 2)  # [B, T]
+    keep_f = mask_axis(kf, F, freq_mask_max, num_freq_masks)  # [B, F]
+    keep_t = mask_axis(kt, T, time_mask_max, num_time_masks)  # [B, T]
     x = x * keep_f[:, :, None] * keep_t[:, None, :]
     return x[..., None] if squeeze else x

@@ -19,7 +19,13 @@ NOISE_LABELS = frozenset({"noise", "silence", "background", "other"})
 
 
 def _class_files(root: str | Path, extensions=AUDIO_EXTENSIONS) -> dict[str, list[str]]:
-    """Map class-folder name -> sorted file list."""
+    """Map class-folder name -> sorted file list.
+
+    A file's class is its IMMEDIATE parent directory's basename at any
+    depth — deliberate parity with the reference walk (dataset.py:74-85,
+    ``parent_class = basename(dirname(path))``), so nested per-session
+    subfolders label the same way in both frameworks.
+    """
     out: dict[str, list[str]] = defaultdict(list)
     root = Path(root)
     for dirpath, _dirnames, filenames in os.walk(root):

@@ -70,8 +70,11 @@ class AudioLoader:
 
     def __post_init__(self):
         assert len(self.paths) == len(self.labels)
-        if self.labels.ndim != 2 or (self.cfg.num_classes
-                                     and self.labels.shape[1] != self.cfg.num_classes):
+        if self.labels.ndim != 2:
+            raise ValueError(f"labels must be [N, C], got {self.labels.shape}")
+        if self.cfg.num_classes == 0:
+            self.cfg.num_classes = int(self.labels.shape[1])
+        elif self.labels.shape[1] != self.cfg.num_classes:
             raise ValueError(
                 f"labels shape {self.labels.shape} does not match "
                 f"LoaderConfig.num_classes={self.cfg.num_classes} — the noise "
@@ -85,17 +88,18 @@ class AudioLoader:
         return n * max(1, self.cfg.max_chunks_per_file // 2)
 
     def _iter_threads(self, tasks, reservoir, low_mark, drain_ready, drain_tail):
+        from collections import deque
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
         ex = ThreadPoolExecutor(self.num_workers)
         try:
-            pending = set()
+            pending: deque = deque()
             exhausted = False
             while True:
                 max_inflight = int(self.loader_control.get("max_inflight_files", 64))
                 while not exhausted and len(pending) < max_inflight:
                     try:
-                        pending.add(ex.submit(process_file, next(tasks)))
+                        pending.append(ex.submit(process_file, next(tasks)))
                     except StopIteration:
                         exhausted = True
                 if not pending:
@@ -103,15 +107,29 @@ class AudioLoader:
                         break
                     time.sleep(0.05)  # paused via loader_control inflight=0
                     continue
-                done, pending = wait(pending, timeout=self.worker_timeout,
-                                     return_when=FIRST_COMPLETED)
-                if not done:
-                    raise RuntimeError(
-                        f"no loader progress for {self.worker_timeout:.0f}s")
-                for f in done:
-                    result = f.result()
-                    if result:
-                        reservoir.extend(result)
+                if self.shuffle:
+                    done, _ = wait(set(pending), timeout=self.worker_timeout,
+                                   return_when=FIRST_COMPLETED)
+                    if not done:
+                        raise RuntimeError(
+                            f"no loader progress for {self.worker_timeout:.0f}s")
+                    pending = deque(f for f in pending if f not in done)
+                    for f in done:
+                        result = f.result()
+                        if result:
+                            reservoir.extend(result)
+                else:
+                    # Deterministic FIFO (validation loaders): consume in
+                    # SUBMISSION order, not completion order, so batch
+                    # composition doesn't depend on thread timing.
+                    done, _ = wait({pending[0]}, timeout=self.worker_timeout)
+                    if not done:
+                        raise RuntimeError(
+                            f"no loader progress for {self.worker_timeout:.0f}s")
+                    while pending and pending[0].done():
+                        result = pending.popleft().result()
+                        if result:
+                            reservoir.extend(result)
                 yield from drain_ready(low_mark)
             yield from drain_tail()
         finally:

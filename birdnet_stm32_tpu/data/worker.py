@@ -62,7 +62,10 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
 
     if audio.size == 0:
         chunk = rng.uniform(-1.0, 1.0, T).astype(np.float32)
-        return [(chunk, np.zeros(cfg.num_classes, np.float32))]
+        # Zero label in the caller's actual width (cfg.num_classes may be
+        # unset when the loader was built straight from a label matrix).
+        width = np.asarray(label).shape[-1] if label is not None else cfg.num_classes
+        return [(chunk, np.zeros(width, np.float32))]
 
     n_candidates = cfg.resolved_candidates()
     if estimate_num_chunks(audio.shape[0], cfg.sample_rate, cfg.chunk_duration) > n_candidates:

@@ -79,12 +79,14 @@ def run_distillation(
     loss_fn = make_distillation_loss(cfg.num_classes, alpha, temperature, multilabel)
 
     def val_with_teacher():
-        # The trainer's validation loop re-derives model inputs from the
-        # waveform, so yield (waveform, [B, 2C] hard ++ teacher targets).
+        # Yield the computed features (not the waveform) alongside the
+        # [B, 2C] hard ++ teacher targets: the trainer's validation loop
+        # accepts pre-featurized batches, so the frontend runs once per
+        # batch instead of once for the teacher and again for the student.
         for wave, labels in val_batches():
             x = inputs_for_config(jnp.asarray(wave), cfg)
             soft = jax.lax.stop_gradient(teacher_fn(x))
-            yield wave, jnp.concatenate([jnp.asarray(labels), soft], axis=-1)
+            yield x, jnp.concatenate([jnp.asarray(labels), soft], axis=-1)
 
     return train_model(
         student_model, student_variables, cfg,

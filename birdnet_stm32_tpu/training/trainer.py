@@ -121,10 +121,17 @@ def train_model(
     run_dir.mkdir(parents=True, exist_ok=True)
 
     initial_epoch = 0
+    resumed_best_val = float("inf")
     if resume and (run_dir / "best").exists():
         info("resume", f"loading checkpoint from {run_dir}")
         _, variables, _ = ckpt.load_checkpoint(run_dir, class_activation="none")
-        initial_epoch = int(ckpt.load_train_state(run_dir).get("epoch", 0))
+        tstate = ckpt.load_train_state(run_dir)
+        initial_epoch = int(tstate.get("epoch", 0))
+        # Restore the best-val watermark so the first post-resume epoch
+        # can't overwrite a better pre-crash checkpoint (cold cosine
+        # restarts routinely degrade the first epochs).
+        if tstate.get("best_val") is not None:
+            resumed_best_val = float(tstate["best_val"])
         info("resume", f"resuming from epoch {initial_epoch}")
 
     schedule = cosine_schedule(learning_rate, epochs, steps_per_epoch)
@@ -146,6 +153,11 @@ def train_model(
         )
     eval_fn = make_eval_step(model, loss_fn, mesh=mesh,
                              activation="sigmoid" if multilabel else "softmax")
+    # Final val batch may not divide the mesh's device count (the val
+    # loader drains its tail); run it through an unsharded twin on
+    # host-fetched variables instead of crashing the data sharding.
+    eval_fn_tail = None
+    n_shards = int(mesh.devices.size) if mesh is not None else 1
     state = TrainState.create(variables, tx)
     if mesh is not None:
         from birdnet_stm32_tpu.parallel.mesh import replicated
@@ -159,7 +171,7 @@ def train_model(
     root_key = jax.random.key(seed)
     host_step = 0  # host-side twin of state.step: no device read in the hot loop
     history: list[dict] = []
-    best_val = float("inf")
+    best_val = resumed_best_val
     best_variables = variables
     bad_epochs = 0
 
@@ -176,17 +188,32 @@ def train_model(
             if loader_tuner is not None:
                 loader_tuner.on_step()
 
-        val_losses, y_true, y_score = [], [], []
+        val_num, val_den, y_true, y_score = 0.0, 0, [], []
         for wave, labels in val_batches():
-            x = inputs_for_config(jnp.asarray(wave), cfg)
+            w = jnp.asarray(wave)
+            # [B, T] waveforms get the frontend; >=3-D batches are already
+            # model inputs (e.g. distillation yields features so the
+            # teacher's frontend pass isn't recomputed here).
+            x = w if w.ndim > 2 else inputs_for_config(w, cfg)
             y = jnp.asarray(labels)
-            loss, scores = eval_fn(state, x, y)
-            val_losses.append(float(loss))
+            b = int(x.shape[0])
+            if mesh is not None and b % n_shards != 0:
+                if eval_fn_tail is None:
+                    eval_fn_tail = make_eval_step(
+                        model, loss_fn, mesh=None,
+                        activation="sigmoid" if multilabel else "softmax")
+                loss, scores = eval_fn_tail(jax.device_get(state), x, y)
+            else:
+                loss, scores = eval_fn(state, x, y)
+            # Weight by batch size so the partial tail batch doesn't skew
+            # the epoch mean (matches Keras's sample-weighted running mean).
+            val_num += float(loss) * b
+            val_den += b
             y_true.append(np.asarray(labels))
             y_score.append(np.asarray(scores))
 
         train_loss = float(np.mean([float(x) for x in train_losses]))
-        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        val_loss = val_num / val_den if val_den else float("nan")
         if y_true:
             yt, ys = np.concatenate(y_true), np.concatenate(y_score)
             # Distillation targets are [B, 2C] (hard ++ teacher); score the hard half.
@@ -201,7 +228,10 @@ def train_model(
         }
         history.append(epoch_metrics)
         ckpt.append_history_csv(run_dir, epoch + 1, epoch_metrics)
-        ckpt.save_train_state(run_dir, epoch + 1, multilabel=multilabel)
+        ckpt.save_train_state(
+            run_dir, epoch + 1, multilabel=multilabel,
+            best_val=None if not np.isfinite(min(best_val, val_loss))
+            else min(best_val, val_loss))
         info("train", f"epoch {epoch + 1}/{epochs} loss={train_loss:.4f} "
                       f"val_loss={val_loss:.4f} val_auc={auc:.4f}")
 

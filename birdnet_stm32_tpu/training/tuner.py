@@ -11,7 +11,8 @@ implementation of the same pair over the same space:
   ratio l(x)/g(x). Random sampling is used for the startup trials and is
   selectable with `Study(sampler="random")`.
 - **Median pruning**: a trial stops when its intermediate val-AUC falls
-  below the median of completed trials at the same epoch.
+  below the median of all finished trials' (completed and pruned)
+  intermediate values at the same epoch, as in Optuna's MedianPruner.
 """
 
 from __future__ import annotations
@@ -218,10 +219,16 @@ class Study:
         return sample_params(self._rng)
 
     def should_prune(self, step: int, value: float) -> bool:
-        completed = [t for t in self.trials if t.value is not None]
-        if len(completed) < self.n_warmup_trials or step < self.n_warmup_steps:
+        # Optuna MedianPruner semantics: the median is over intermediate
+        # values reported at this step by ALL finished trials — completed
+        # AND pruned (a pruned trial reported intermediates before it
+        # stopped). Excluding pruned trials would ratchet the bar upward
+        # from survivors only. The in-flight trial (value None, not
+        # pruned) is excluded.
+        finished = [t for t in self.trials if t.value is not None or t.pruned]
+        if len(finished) < self.n_warmup_trials or step < self.n_warmup_steps:
             return False
-        peers = [t.intermediate[step] for t in completed if len(t.intermediate) > step]
+        peers = [t.intermediate[step] for t in finished if len(t.intermediate) > step]
         if len(peers) < self.n_warmup_trials:
             return False
         return value < float(np.median(peers))

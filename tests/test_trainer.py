@@ -128,3 +128,49 @@ def test_resume_continues_epoch_counter(tmp_path):
                              epochs=4, steps_per_epoch=4, learning_rate=1e-3, resume=True)
     assert len(history) == 2  # epochs 3..4 only
     assert load_train_state(run_dir)["epoch"] == 4
+
+
+def test_sharded_eval_handles_partial_val_batch(tmp_path):
+    """Mesh training with a val tail batch that doesn't divide the device
+    count must not crash the data sharding (trainer falls back to an
+    unsharded eval step for the tail) and weights val_loss by batch size."""
+    from birdnet_stm32_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    full = make_batch()
+    tail = (full[0][:3], full[1][:3])  # 3 rows: not divisible by 8
+    run_dir = tmp_path / "run"
+    _, history = train_model(
+        model, variables, cfg, train_iter(), lambda: [full, tail], run_dir,
+        epochs=1, steps_per_epoch=2, learning_rate=1e-3, mesh=mesh)
+    assert np.isfinite(history[0]["val_loss"])
+
+
+def test_resume_preserves_best_val_watermark(tmp_path):
+    """A resumed run must not overwrite a better pre-crash checkpoint: the
+    best-val watermark is persisted in train_state.json and restored."""
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    val_set = [make_batch()]
+    run_dir = tmp_path / "run"
+    train_model(model, variables, cfg, train_iter(), lambda: val_set, run_dir,
+                epochs=2, steps_per_epoch=4, learning_rate=1e-3)
+    state = load_train_state(run_dir)
+    assert state.get("best_val") is not None
+    assert np.isfinite(state["best_val"])
