@@ -232,6 +232,7 @@ def save_wav(audio: np.ndarray, path: str | Path, sample_rate: int = 24000) -> N
     """Write mono float32 [-1,1] as 16-bit PCM WAV."""
     y = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
     pcm = (y * 32767.0).astype("<i2")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

@@ -68,7 +68,11 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     rate encountered.
     """
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
-    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+    from birdnet_stm32_tpu.models.serving import (
+        classify_in_batches,
+        make_fused_classifier,
+        top_predictions,
+    )
 
     classifiers = {cfg.sample_rate: make_fused_classifier(runner, cfg)}
 
@@ -116,22 +120,8 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         if chunks.shape[0] == 0:
             print(f"file: {Path(path).name}  SKIP (no audio)")
             continue
-        scores = []
         fe_s = 0.0
-        mdl_s = 0.0
-        for i in range(0, len(chunks), batch_size):
-            wave = chunks[i : i + batch_size]
-            # Pad to the fixed batch size: one compiled shape serves every
-            # file regardless of its chunk count.
-            n_valid = wave.shape[0]
-            if n_valid < batch_size:
-                wave = np.pad(wave, ((0, batch_size - n_valid), (0, 0)))
-            ta = time.perf_counter()
-            s = classify(wave)[:n_valid]
-            tc = time.perf_counter()
-            mdl_s += tc - ta
-            scores.append(s)
-        scores = np.concatenate(scores)
+        scores, mdl_s = classify_in_batches(classify, chunks, batch_size)
         total_chunks += len(chunks)
         # True audio seconds (with overlap, chunks double-count time).
         try:
@@ -148,11 +138,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         t_frontend += fe_ms
         t_model += mdl_ms
 
-        top = np.argsort(pooled)[::-1][:top_k]
-        # Score-threshold display filter (firmware APP_SCORE_THRESHOLD,
-        # main.c:109-134): always keep the top-1 prediction.
-        top = [i for rank, i in enumerate(top)
-               if rank == 0 or pooled[i] >= score_threshold]
+        top = top_predictions(pooled, top_k, score_threshold)
         preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
         print(f"file: {Path(path).name}  chunks: {len(chunks)}  top: {preds}")
         print(f"[BENCH] read: {read_ms:.1f} ms  frontend: {fe_ms:.1f} ms  "
@@ -208,7 +194,7 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
     from concurrent.futures import ThreadPoolExecutor
 
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
-    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier, top_predictions
 
     classifiers: dict[int, object] = {}
 
@@ -323,9 +309,7 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
     for rec, rate, start, count in recs:
         scores = flat[rate][start : start + count]
         pooled = scores.mean(axis=0)
-        top = np.argsort(pooled)[::-1][:top_k]
-        top = [i for rank, i in enumerate(top)
-               if rank == 0 or pooled[i] >= score_threshold]
+        top = top_predictions(pooled, top_k, score_threshold)
         preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
         print(f"file: {Path(rec['file']).name}  chunks: {rec['chunks']}  top: {preds}")
         print(f"[BENCH] read: {rec['read_ms']:.1f} ms  frontend: 0.0 ms  "

@@ -34,15 +34,17 @@ def get_args(argv=None):
     p.add_argument("--audio_dir", default="",
                    help="WAV directory (the SD-card audio/ analog; "
                         "default: from deploy config)")
-    p.add_argument("--top_k", type=int, default=5,
-                   help="Top-K predictions per file")
+    p.add_argument("--top_k", type=int, default=None,
+                   help="Top-K predictions per file "
+                        "(default: deploy config value, 3)")
     p.add_argument("--score_threshold", type=float, default=0.01,
                    help="Minimum score to display")
     p.add_argument("--config", default="",
                    help="deploy config file (JSON or TOML)")
     p.add_argument("--timeout", type=int, default=300,
                    help="Max seconds for the whole run (default: 300)")
-    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="Batch size (default: deploy config value, 64)")
     p.add_argument("--save_results", default="",
                    help="Save results summary to a CSV file")
     return p.parse_args(argv)
@@ -58,6 +60,9 @@ def main(argv=None) -> int:
     from birdnet_stm32_tpu.deploy.config import resolve_deploy_config
     from birdnet_stm32_tpu.models.runners import load_model_runner
 
+    # Only values the user actually passed enter the CLI tier — argparse
+    # defaults must not outrank deploy-config/env (precedence CLI > env >
+    # file > defaults, deploy/config.py:77).
     cli_values = {"model_path": args.model_path or None,
                   "config_path": args.model_config or None,
                   "labels_path": args.labels or None,
@@ -107,6 +112,10 @@ def main(argv=None) -> int:
 
     result = run_benchmark(runner, cfg, classes, files,
                            top_k=dcfg.top_k, batch_size=dcfg.batch_size,
+                           overlap=dcfg.chunk_overlap,
+                           # output_csv = benchmark-format rows; --save_results
+                           # below writes the reference's 3-column format.
+                           csv_path=dcfg.output_csv or None,
                            score_threshold=args.score_threshold,
                            timeout=args.timeout)
 

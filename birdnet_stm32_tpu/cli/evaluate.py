@@ -92,11 +92,14 @@ def main(argv=None) -> int:
         cfg = ModelConfig.load(args.config_path)
     classes = cfg.class_names
 
-    files, _, _ = load_file_paths_from_directory(args.data_path_test, classes=classes)
+    # --max_files caps PER CLASS (reference cli/evaluate.py:35,102 —
+    # max_samples is a per-class subsample, not a global truncation that
+    # would drop the alphabetically-late classes entirely).
+    cap = args.max_files if args.max_files is not None and args.max_files > 0 else None
+    files, _, _ = load_file_paths_from_directory(
+        args.data_path_test, classes=classes, max_samples_per_class=cap)
     if not files:
         raise SystemExit(f"no test audio under {args.data_path_test}")
-    if args.max_files is not None and args.max_files > 0:
-        files = files[:args.max_files]
 
     results, per_file, y_true, y_scores = M.evaluate(
         runner, files, classes, cfg,
@@ -187,13 +190,16 @@ def main(argv=None) -> int:
                     parts.append(embed(w)[:n])
                 names.append(rec["file"])
                 embs.append(np.concatenate(parts).mean(axis=0))
-            np.savez(args.save_embeddings,
-                     files=np.array(names),
-                     labels=np.array([r["label"] for r in per_file
-                                      if r["file"] in set(names)]),
-                     embeddings=np.stack(embs).astype(np.float32))
-            print(f"[evaluate] embeddings [{len(names)}, {embs[0].shape[0]}] "
-                  f"-> {args.save_embeddings}")
+            if not embs:
+                print("[WARN] --save_embeddings skipped: no file yielded chunks")
+            else:
+                np.savez(args.save_embeddings,
+                         files=np.array(names),
+                         labels=np.array([r["label"] for r in per_file
+                                          if r["file"] in set(names)]),
+                         embeddings=np.stack(embs).astype(np.float32))
+                print(f"[evaluate] embeddings [{len(names)}, {embs[0].shape[0]}] "
+                      f"-> {args.save_embeddings}")
     if args.save_html:
         R.save_html_report(results, classes, y_true, y_scores, str(model_path),
                            out_dir / "report.html",

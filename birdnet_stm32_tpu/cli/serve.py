@@ -69,7 +69,11 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                max_polls: int | None = None) -> int:
     """Watch `audio_dir`; classify + record new WAVs. Returns files served."""
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
-    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+    from birdnet_stm32_tpu.models.serving import (
+        classify_in_batches,
+        make_fused_classifier,
+        top_predictions,
+    )
 
     classifiers: dict[int, object] = {}
 
@@ -88,6 +92,7 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
 
     served = 0
     polls = 0
+    pending: dict[str, int] = {}  # rel -> size at last poll (copy-in-progress guard)
     try:
         while True:
             new = sorted(
@@ -98,6 +103,18 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                 # Key by path relative to the watched dir: bare filenames
                 # collide across class subfolders.
                 rel = str(path.relative_to(audio_dir))
+                # Don't classify a file still being copied in: wait until
+                # its size is stable across two polls (skipped in --once
+                # mode, where the caller asserts the dir is complete).
+                if not once:
+                    try:
+                        size = path.stat().st_size
+                    except OSError:
+                        continue
+                    if pending.get(rel) != size:
+                        pending[rel] = size
+                        continue
+                    pending.pop(rel, None)
                 t0 = time.perf_counter()
                 src_rate = cfg.sample_rate
                 if device_resample:
@@ -120,20 +137,12 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                     done.add(rel)
                     continue
                 classify = classifier_for(src_rate)
-                scores = []
-                for i in range(0, len(chunks), batch_size):
-                    wave = chunks[i : i + batch_size]
-                    n = wave.shape[0]
-                    if n < batch_size:
-                        wave = np.pad(wave, ((0, batch_size - n), (0, 0)))
-                    scores.append(classify(wave)[:n])
-                pooled = np.concatenate(scores).mean(axis=0)
+                scores, _ = classify_in_batches(classify, chunks, batch_size)
+                pooled = scores.mean(axis=0)
                 _append_result(results_file, rel, pooled)
                 done.add(rel)
                 served += 1
-                top = np.argsort(pooled)[::-1][:top_k]
-                top = [i for r, i in enumerate(top)
-                       if r == 0 or pooled[i] >= score_threshold]
+                top = top_predictions(pooled, top_k, score_threshold)
                 preds = ", ".join(f"{classes[i]} ({pooled[i]:.3f})" for i in top)
                 dt = (time.perf_counter() - t0) * 1000.0
                 print(f"file: {rel}  chunks: {len(chunks)}  top: {preds}  "

@@ -107,7 +107,7 @@ def get_args(argv=None):
     return args
 
 
-def build_loaders(args, cfg, for_qat: bool = False):
+def build_loaders(args, for_qat: bool = False):
     """Discover files, split, upsample, and build train/val iterators."""
     from birdnet_stm32_tpu.data.dataset import (
         get_classes_with_most_samples,
@@ -198,7 +198,7 @@ def main(argv=None) -> int:
         for f in ("sample_rate", "chunk_duration", "num_mels", "spec_width",
                   "fft_length", "audio_frontend", "mag_scale"):
             setattr(args, f, getattr(cfg, f))
-        train_loader, val_loader, class_names, _ = build_loaders(args, cfg, for_qat=True)
+        train_loader, val_loader, class_names, _ = build_loaders(args, for_qat=True)
         mesh = None if args.no_mesh else make_mesh()
         run_qat(run_dir, iter(train_loader), lambda: iter(val_loader),
                 epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 100,
@@ -220,8 +220,7 @@ def main(argv=None) -> int:
         frontend_trainable=not args.no_frontend_trainable,
         n_mfcc=args.n_mfcc,
     )
-    probe_cfg = ModelConfig(num_classes=1, class_names=["_"], **cfg_kwargs)
-    train_loader, val_loader, class_names, raw_labels = build_loaders(args, probe_cfg)
+    train_loader, val_loader, class_names, raw_labels = build_loaders(args)
     cfg = ModelConfig(num_classes=len(class_names), class_names=class_names, **cfg_kwargs)
     info("train", f"{len(train_loader.paths)} train files, "
                   f"{len(val_loader.paths)} val files, {len(class_names)} classes")
@@ -339,7 +338,7 @@ def _run_tuning(args, cfg_kwargs: dict, class_names: list[str]) -> int:
         )
         cfg = ModelConfig(num_classes=len(class_names), class_names=class_names, **kw)
         args.batch_size = p["batch_size"]
-        train_loader, val_loader, _, _ = build_loaders(args, cfg)
+        train_loader, val_loader, _, _ = build_loaders(args)
         model = build_dscnn(cfg, class_activation="none")
         variables = init_model(model, cfg, jax.random.key(args.seed + trial.number))
         batcher = make_train_batcher(cfg, mixup_probability=p["mixup_probability"],

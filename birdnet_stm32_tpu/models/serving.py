@@ -153,3 +153,35 @@ def make_embedder(runner, cfg, stft_precision: str | None = None):
         return np.asarray(fused(v_in, jnp.asarray(wave)))
 
     return embed
+
+
+def classify_in_batches(classify, chunks: np.ndarray, batch_size: int):
+    """Run [N, T] chunks through a fixed-batch classifier, padding the tail.
+
+    One compiled shape serves every file regardless of its chunk count
+    (the serial drivers in cli/benchmark.py and cli/serve.py share this).
+
+    Returns:
+        ([N, C] scores, device seconds spent in classify calls).
+    """
+    import time
+
+    scores, dt = [], 0.0
+    for i in range(0, len(chunks), batch_size):
+        wave = chunks[i : i + batch_size]
+        n = wave.shape[0]
+        if n < batch_size:
+            wave = np.pad(wave, ((0, batch_size - n), (0, 0)))
+        t0 = time.perf_counter()
+        scores.append(np.asarray(classify(wave))[:n])
+        dt += time.perf_counter() - t0
+    return np.concatenate(scores), dt
+
+
+def top_predictions(pooled: np.ndarray, top_k: int, score_threshold: float) -> list[int]:
+    """Top-k class indices; ranks past the first must clear score_threshold
+    (the firmware's APP_SCORE_THRESHOLD display rule, main.c:109-134:
+    the top-1 prediction is always shown)."""
+    top = np.argsort(pooled)[::-1][:top_k]
+    return [int(i) for rank, i in enumerate(top)
+            if rank == 0 or pooled[i] >= score_threshold]

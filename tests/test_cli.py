@@ -366,3 +366,39 @@ def test_serve_once_and_resume(wav_dataset, tmp_path, capsys):
     assert "files served: 2" in out and "late_arrival.wav" in out
     keys = [l.split("\t", 1)[0] for l in results.read_text().splitlines() if l]
     assert len(keys) == len(set(keys)) == n_wavs + 2
+
+
+def test_serve_waits_for_stable_file_size(wav_dataset, tmp_path, capsys):
+    """In polling mode a file is classified only once its size is stable
+    across two polls (copy-in-progress guard); --once skips the guard."""
+    import jax
+
+    from birdnet_stm32_tpu.cli.serve import serve_loop
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import load_model_runner
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+    runner = load_model_runner(run_dir)
+
+    results = tmp_path / "results.txt"
+    n_wavs = len(list(Path(root).rglob("*.wav")))
+    # Poll 1 records sizes; nothing is classified yet. Poll 2 sees stable
+    # sizes and classifies everything.
+    served = serve_loop(runner, cfg, cfg.class_names, Path(root), results,
+                        poll_interval=0.01, batch_size=4, max_polls=2)
+    assert served == n_wavs
+    assert len([l for l in results.read_text().splitlines() if l]) == n_wavs
+    # One poll only -> sizes recorded, nothing classified.
+    results2 = tmp_path / "results2.txt"
+    served = serve_loop(runner, cfg, cfg.class_names, Path(root), results2,
+                        poll_interval=0.01, batch_size=4, max_polls=1)
+    assert served == 0
