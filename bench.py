@@ -12,7 +12,6 @@ vs_baseline is measured against the 100k chunks/sec on v5e-8 target
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -24,27 +23,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_birdnet_tpu")
 TARGET_PER_CHIP = 100_000 / 8.0  # BASELINE.json: >=100k chunks/s on v5e-8
 
 
-def _throughput(fn, wave, iters=20, reps=3):
-    """Sustained chunks/sec: `iters` batches enqueued back-to-back, one
-    host read at the end.
-
-    The tunnel to the TPU costs ~28 ms per blocking host read, and on this
-    backend block_until_ready() returns before execution completes — the
-    only reliable sync is a device->host transfer. Enqueueing `iters`
-    executions (device runs them in order) and reading only the final
-    scalar amortizes that fixed latency, which is also how a serving
-    pipeline actually runs: batches stream, the host rarely blocks.
-    """
-    float(fn(wave))  # warmup/compile + drain
-    best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(wave)
-        float(out)  # sync: device executed all queued batches in order
-        best = max(best, iters * wave.shape[0] / (time.perf_counter() - t0))
-    return best
+# Measurement protocol (enqueue N, read one trailing scalar) lives in
+# utils/benchmarking.py — shared with every scripts/bench_*.py driver.
 
 
 def main() -> None:
@@ -69,11 +49,14 @@ def main() -> None:
     @jax.jit
     def classify_int8(wave):
         x = inputs_for_config(wave, cfg)
-        # Reduce to a scalar so the benchmark's host read is cheap; the sum
-        # depends on every output element, so nothing is dead-code-eliminated.
-        return int8_forward(x).astype(jnp.int32).sum()
+        # Sum the float scores to a scalar: the host read stays cheap and
+        # the sum depends on every output element, so nothing is
+        # dead-code-eliminated.
+        return int8_forward(x).sum()
 
-    chunks_per_sec = _throughput(classify_int8, wave)
+    from birdnet_stm32_tpu.utils.benchmarking import sustained_chunks_per_sec
+
+    chunks_per_sec = sustained_chunks_per_sec(classify_int8, wave)
     print(json.dumps({
         "metric": "3s-chunks/sec/chip end-to-end (STFT frontend + INT8-sim DS-CNN, bit-exact vs ref TFLite)",
         "value": round(chunks_per_sec, 1),

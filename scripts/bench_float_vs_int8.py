@@ -24,6 +24,7 @@ from birdnet_stm32_tpu.config import ModelConfig
 from birdnet_stm32_tpu.models.transplant import load_reference_model
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 from birdnet_stm32_tpu.quant.tflite_import import TFLiteGraph, build_executor
+from birdnet_stm32_tpu.utils.benchmarking import sustained_chunks_per_sec
 
 KERAS = "/root/reference/checkpoints/birdnet_stm32n6_100.keras"
 CONFIG = "/root/reference/checkpoints/birdnet_stm32n6_100_model_config.json"
@@ -37,16 +38,7 @@ wave = jnp.asarray(rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32))
 
 
 def tput(fn, iters=20):
-    float(fn(wave))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(wave)
-        float(out)
-        best = max(best, iters * B / (time.perf_counter() - t0))
-    return best
+    return sustained_chunks_per_sec(fn, wave, iters=iters)
 
 
 def cast16(tree):
@@ -83,7 +75,7 @@ fwd = build_executor(graph, batch_size=B)
 
 @jax.jit
 def int8(w):
-    return fwd(inputs_for_config(w, cfg)).astype(jnp.int32).sum()
+    return fwd(inputs_for_config(w, cfg)).sum()
 
 
 for name, fn in [("int8_exact", int8), ("float32", f32), ("bf16", bf16),

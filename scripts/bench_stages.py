@@ -18,6 +18,7 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]
 from birdnet_stm32_tpu.config import ModelConfig
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 from birdnet_stm32_tpu.quant.tflite_import import TFLiteGraph, build_executor
+from birdnet_stm32_tpu.utils.benchmarking import sustained_chunks_per_sec
 
 TFLITE = sys.argv[1] if len(sys.argv) > 1 else (
     "/root/reference/checkpoints/birdnet_stm32n6_100.tflite")
@@ -33,7 +34,7 @@ fwd = build_executor(graph, batch_size=B)
 
 @jax.jit
 def fused(w):
-    return fwd(inputs_for_config(w, cfg)).astype(jnp.int32).sum()
+    return fwd(inputs_for_config(w, cfg)).sum()
 
 
 @jax.jit
@@ -47,20 +48,11 @@ x_feat.block_until_ready()
 
 @jax.jit
 def model_only(x):
-    return fwd(x).astype(jnp.int32).sum()
+    return fwd(x).sum()
 
 
 def tput(fn, arg, iters=20):
-    float(fn(arg))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(arg)
-        float(out)
-        best = max(best, iters * B / (time.perf_counter() - t0))
-    return best
+    return sustained_chunks_per_sec(fn, arg, iters=iters)
 
 
 for name, fn, arg in [("fused", fused, wave),

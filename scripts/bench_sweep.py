@@ -19,6 +19,7 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]
 from birdnet_stm32_tpu.config import ModelConfig
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 from birdnet_stm32_tpu.quant.tflite_import import TFLiteGraph, build_executor
+from birdnet_stm32_tpu.utils.benchmarking import sustained_chunks_per_sec
 
 TFLITE = sys.argv[1] if len(sys.argv) > 1 else (
     "/root/reference/checkpoints/birdnet_stm32n6_100.tflite")
@@ -35,23 +36,19 @@ def measure(B, requant):
 
     @jax.jit
     def classify(w):
-        return fwd(inputs_for_config(w, cfg)).astype(jnp.int32).sum()
+        return fwd(inputs_for_config(w, cfg)).sum()
 
+    # First call = compile + executable LOAD through the tunnel (7-130 s
+    # variance on a warm cache) + one execution — an upper bound on
+    # startup cost, NOT compile time.
     t0 = time.perf_counter()
     float(classify(wave))
-    compile_s = time.perf_counter() - t0
-    iters = max(4, int(40_000 / B))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = classify(wave)
-        float(out)
-        best = max(best, iters * B / (time.perf_counter() - t0))
+    first_call_s = time.perf_counter() - t0
+    best = sustained_chunks_per_sec(classify, wave,
+                                    iters=max(4, int(40_000 / B)))
     print(json.dumps({"B": B, "requant": requant,
                       "chunks_per_sec": round(best, 1),
-                      "compile_s": round(compile_s, 1)}), flush=True)
+                      "first_call_s": round(first_call_s, 1)}), flush=True)
 
 
 for B, rq in [(1024, "exact"), (2048, "exact"), (4096, "exact"),

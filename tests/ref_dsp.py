@@ -26,9 +26,10 @@ def stft_mag(y, n_fft, hop):
     win = hann_periodic(n_fft)
     cols = []
     for k in range(n_frames):
+        # Every frame is full: the last start (len(y)//hop)*hop + n_fft
+        # <= len(y) + n_fft == len(yp) (librosa's centered padding never
+        # produces partial trailing frames).
         fr = yp[k * hop : k * hop + n_fft]
-        if len(fr) < n_fft:
-            fr = np.pad(fr, (0, n_fft - len(fr)))
         cols.append(np.abs(np.fft.rfft(fr * win)))
     return np.stack(cols, axis=1)
 
