@@ -101,7 +101,8 @@ def _options(op, name):
         return {"activation": o.FusedActivationFunction()}
     if name == "FULLY_CONNECTED":
         o = init(fb.FullyConnectedOptions)
-        return {"activation": o.FusedActivationFunction()}
+        return {"activation": o.FusedActivationFunction(),
+                "weights_format": o.WeightsFormat()}
     if name == "CONCATENATION":
         o = init(fb.ConcatenationOptions)
         return {"axis": o.Axis(), "activation": o.FusedActivationFunction()}
@@ -158,21 +159,31 @@ class TFLiteGraph:
             qdim = 0
             if q is not None and q.ScaleLength() > 0:
                 scale = q.ScaleAsNumpy().astype(np.float64)
-                zp = q.ZeroPointAsNumpy().astype(np.int64)
+                zp_raw = q.ZeroPointAsNumpy()
+                # flatbuffers returns int 0 for an absent vector field.
+                zp = (np.zeros_like(scale, np.int64) if isinstance(zp_raw, int)
+                      else zp_raw.astype(np.int64))
                 qdim = q.QuantizedDimension()
+            sh_raw = t.ShapeAsNumpy()
+            shape = () if isinstance(sh_raw, int) else tuple(int(s) for s in sh_raw)
             data = None
             b = model.Buffers(t.Buffer())
             if b.DataLength() > 0:
                 raw = b.DataAsNumpy()
-                data = np.frombuffer(raw.tobytes(), dtype=np_dtype).reshape(t.ShapeAsNumpy())
+                data = np.frombuffer(raw.tobytes(), dtype=np_dtype).reshape(shape)
             self.tensors.append(
-                TensorInfo(i, tuple(int(s) for s in t.ShapeAsNumpy()), dtype_name, scale, zp, qdim, data)
+                TensorInfo(i, shape, dtype_name, scale, zp, qdim, data)
             )
 
         self.ops: list[OpInfo] = []
         for i in range(sg.OperatorsLength()):
             op = sg.Operators(i)
-            name = _OPNAMES[opcodes[op.OpcodeIndex()].BuiltinCode()]
+            oc = opcodes[op.OpcodeIndex()]
+            # Pre-TF-2.3 writers populate only the deprecated int8 opcode
+            # field; TFLite resolves with max(builtin, deprecated).
+            code = max(int(oc.BuiltinCode()),
+                       int(getattr(oc, "DeprecatedBuiltinCode", lambda: 0)()))
+            name = _OPNAMES[code]
             self.ops.append(
                 OpInfo(
                     name,
@@ -206,7 +217,10 @@ def _quantize_multiplier(m: float) -> tuple[int, int]:
     import math
 
     q, shift = math.frexp(m)
-    q_fixed = int(round(q * (1 << 31)))
+    # TFLite uses TfLiteRound (half AWAY from zero); Python round() is
+    # half-to-even and quantizes exact .5 mantissa ties 1 off. q > 0 here
+    # (quant scales are positive), so floor(x + 0.5) is half-away.
+    q_fixed = int(math.floor(q * (1 << 31) + 0.5))
     if q_fixed == (1 << 31):
         q_fixed //= 2
         shift += 1
@@ -380,8 +394,12 @@ def entry_transpose_perm(graph: TFLiteGraph) -> tuple | None:
     if len(graph.ops) < 2:
         return None
     q, t = graph.ops[0], graph.ops[1]
+    # The TRANSPOSE must be the quantize output's ONLY consumer: skipping
+    # ops {0, 1} must not starve another op of the quantized tensor.
+    n_cons = sum(q.outputs[0] in op.inputs for op in graph.ops)
     if (q.name == "QUANTIZE" and q.inputs[0] == graph.inputs[0]
             and t.name == "TRANSPOSE" and t.inputs[0] == q.outputs[0]
+            and n_cons == 1 and q.outputs[0] not in graph.outputs
             and graph.tensors[t.inputs[1]].data is not None):
         return tuple(int(p) for p in graph.tensors[t.inputs[1]].data)
     return None
@@ -434,9 +452,13 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             return False
         if any(graph.tensors[op.inputs[k]].data is None for k in (1, 2, 3)):
             return False  # dynamic slice params: can't prove identity, no elision
+        if op.options.get("ellipsis_mask") or op.options.get("new_axis_mask"):
+            return False  # dims don't map 1:1 to param entries; decline
         begin = np.asarray(graph.tensors[op.inputs[1]].data)
         strides = np.asarray(graph.tensors[op.inputs[3]].data)
         end = np.asarray(graph.tensors[op.inputs[2]].data)
+        if min(len(begin), len(end), len(strides)) < len(t_in.shape):
+            return False
         bm, em = op.options["begin_mask"], op.options["end_mask"]
         for d, dim in enumerate(t_in.shape):
             b = 0 if (bm >> d) & 1 else int(begin[d])
@@ -460,7 +482,9 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
         ok = False
         while True:
             cons = _consumers.get(t, [])
-            if len(cons) != 1:
+            # A graph output counts as a consumer: an elided tensor would
+            # be returned in the wrong (untransposed) layout.
+            if len(cons) != 1 or t in graph.outputs:
                 break
             nxt = graph.ops[cons[0]]
             if nxt.name == "STRIDED_SLICE" and _slice_is_identity(nxt) and nxt.inputs[0] == t:
@@ -592,6 +616,14 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 for d in range(len(begin)):
                     b = None if (bm >> d) & 1 else begin[d]
                     e = None if (em >> d) & 1 else end[d]
+                    if (d == 0 and not src_is_host and b in (None, 0)
+                            and e == 1 and T[ins[0]].shape
+                            and T[ins[0]].shape[0] == 1):
+                        # Literal batch-1 end from a batch-1 export: the
+                        # slice meant "the whole batch" — remap to the
+                        # executor's real batch (same rule SHAPE/RESHAPE
+                        # apply) instead of truncating to one sample.
+                        e = None
                     if (sm >> d) & 1:
                         slices.append(begin[d])
                     else:
@@ -619,7 +651,12 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                         f = p.astype(jnp.float32) * scale + bias
                         p = jnp.clip(_round_away(f) + int(zo[0]), -128, 127).astype(jnp.int8)
                     parts.append(p)
-                vals[o] = jnp.concatenate(parts, axis=axis)
+                cat = jnp.concatenate(parts, axis=axis)
+                act = op.options.get("activation", _ACT_NONE)
+                if act != _ACT_NONE:
+                    lo, hi = _act_bounds(act, float(so[0]), int(zo[0]))
+                    cat = jnp.clip(cat, lo, hi)
+                vals[o] = cat
 
             elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
                 xin = get(ins[0])
@@ -673,6 +710,11 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi)
 
             elif name == "FULLY_CONNECTED":
+                if op.options.get("weights_format", 0) != 0:
+                    raise NotImplementedError(
+                        "FULLY_CONNECTED with shuffled weights format "
+                        f"{op.options['weights_format']} is not supported "
+                        "(weights would be consumed as row-major garbage)")
                 xin = get(ins[0])
                 w = get_host(ins[1])  # [out, in]
                 bias = get_host(ins[2]).astype(np.int64) if len(ins) > 2 and ins[2] >= 0 else 0
@@ -690,9 +732,10 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
                 vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi)
 
-            elif name == "ADD":
-                # Exact TFLite int8 ADD: rescale both inputs to twice the max
-                # input scale at 20 fractional bits, integer-add, requantize.
+            elif name in ("ADD", "SUB"):
+                # Exact TFLite int8 ADD/SUB: rescale both inputs to twice
+                # the max input scale at 20 fractional bits, integer
+                # add/subtract, requantize.
                 a, b = get(ins[0]), get(ins[1])
                 sa, za, _ = q_params(ins[0])
                 sb, zb, _ = q_params(ins[1])
@@ -704,7 +747,8 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 qm_o = _quantize_multiplier(twice_max / ((1 << left_shift) * float(so[0])))
                 a32 = (a.astype(jnp.int32) - int(za[0])) << left_shift
                 b32 = (b.astype(jnp.int32) - int(zb[0])) << left_shift
-                raw = _mbqm(a32, *qm_a) + _mbqm(b32, *qm_b)
+                ra, rb = _mbqm(a32, *qm_a), _mbqm(b32, *qm_b)
+                raw = ra + rb if name == "ADD" else ra - rb
                 q = _mbqm(raw, *qm_o) + int(zo[0])
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
                 vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
@@ -722,24 +766,6 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 qm, sh = _quantize_multiplier(float(si[0]) / (num * float(so[0])))
                 q = _mbqm(acc, qm, sh) + int(zo[0])
                 vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
-
-            elif name == "SUB":
-                # Same twice-max rescale scheme as ADD, with b negated.
-                a, b = get(ins[0]), get(ins[1])
-                sa, za, _ = q_params(ins[0])
-                sb, zb, _ = q_params(ins[1])
-                so, zo, _ = q_params(o)
-                left_shift = 20
-                twice_max = 2.0 * max(float(sa[0]), float(sb[0]))
-                qm_a = _quantize_multiplier(float(sa[0]) / twice_max)
-                qm_b = _quantize_multiplier(float(sb[0]) / twice_max)
-                qm_o = _quantize_multiplier(twice_max / ((1 << left_shift) * float(so[0])))
-                a32 = (a.astype(jnp.int32) - int(za[0])) << left_shift
-                b32 = (b.astype(jnp.int32) - int(zb[0])) << left_shift
-                raw = _mbqm(a32, *qm_a) - _mbqm(b32, *qm_b)
-                q = _mbqm(raw, *qm_o) + int(zo[0])
-                lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
-                vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
 
             elif name == "MUL":
                 # TFLite int8 MUL: int32 product of offset values, one MBQM.
