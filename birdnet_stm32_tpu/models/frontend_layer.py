@@ -102,7 +102,7 @@ def tri_mel_matrix(seg_logits: jax.Array, sample_rate: int, fft_length: int,
     freqs = np.linspace(0.0, sample_rate / 2.0, fft_bins)
     bins_mel = jnp.asarray(hz_to_mel(freqs), jnp.float32)  # [F]
     mel_fmin = float(hz_to_mel(150.0))
-    mel_fmax = float(hz_to_mel(sample_rate / 2.0))
+    mel_fmax = float(hz_to_mel(float(sample_rate // 2)))  # reference frontend.py:190 floors
 
     seg = jax.nn.softplus(seg_logits) + 1e-3                  # [M+1]
     seg = seg / (jnp.sum(seg) + eps) * (mel_fmax - mel_fmin)
@@ -120,7 +120,7 @@ def _mel_mixer_init(sample_rate: int, fft_length: int, mel_bins: int):
     """Slaney mel basis seed for the hybrid mixer (frontend.py:257-276)."""
     def init(key):
         fb = mel_filterbank(sample_rate, fft_length, mel_bins, fmin=150.0,
-                            fmax=sample_rate / 2.0)
+                            fmax=float(sample_rate // 2))
         return jnp.asarray(fb)  # [fft_bins, mel_bins]
     return init
 

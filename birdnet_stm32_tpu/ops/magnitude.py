@@ -105,7 +105,9 @@ def pcen(
 
     # EMA: m[t] = b*S[t] + (1-b)*m[t-1], m[-1] = S[0]  (lfilter_zi start).
     x = jnp.moveaxis(S, -1, 0)  # [T, ..., F]
-    a_seq = jnp.full(x.shape, 1.0 - b, dtype=S.dtype)
+    # Broadcastable [T, 1, ..., 1] coefficient: the combine() broadcasts,
+    # so no need to materialize a full spectrogram-sized constant.
+    a_seq = jnp.full((x.shape[0],) + (1,) * (x.ndim - 1), 1.0 - b, dtype=S.dtype)
     c_seq = b * x
     # m[0] must equal S[0]: fold the initial state into the first element.
     c_seq = c_seq.at[0].add((1.0 - b) * x[0])

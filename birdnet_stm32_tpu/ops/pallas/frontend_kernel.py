@@ -121,7 +121,13 @@ def pallas_available() -> bool:
             y = jnp.zeros((8, 2 * 516), jnp.float32)
             fused_hybrid_frontend(y, 512, 258, 2, batch_tile=8).block_until_ready()
             _PALLAS_OK = True
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — any Mosaic failure means fallback
+            # Cached for the process lifetime: a compile failure won't heal,
+            # and retrying a transient failure on every call would make the
+            # serving path's latency unpredictable. Log what was swallowed
+            # so a downgrade to the XLA path is diagnosable.
+            print(f"[pallas] Mosaic probe failed ({type(e).__name__}: {e}); "
+                  "using the XLA frontend composition")
             _PALLAS_OK = False
     return _PALLAS_OK
 
@@ -129,13 +135,25 @@ def pallas_available() -> bool:
 def hybrid_frontend_input(y: jax.Array, cfg, batch_tile: int = 8,
                           interpret: bool = False) -> jax.Array:
     """[B, T] -> [B, F, W, 1] hybrid model input via the fused kernel,
-    falling back to the XLA composition when Mosaic is unavailable."""
+    falling back to the XLA composition when Mosaic is unavailable, the
+    geometry violates the kernel's 2*hop >= n_fft precondition, or the
+    batch doesn't divide into batch_tile (the tail is padded in)."""
     hop = max(1, y.shape[1] // cfg.spec_width)
     n_frames = min(cfg.spec_width, 1 + y.shape[1] // hop)
-    if not interpret and not pallas_available():
-        from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    if (2 * hop < cfg.fft_length or interpret is False and not pallas_available()):
+        # Same features the fused kernel computes — a linear |STFT| in the
+        # entry orientation — NOT inputs_for_config, which dispatches on
+        # cfg.audio_frontend and could return a different frontend's shape.
+        from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
 
-        return inputs_for_config(y, cfg)
+        S = spectrogram_batch(y, sample_rate=cfg.sample_rate, n_fft=cfg.fft_length,
+                              mel_bins=-1, spec_width=cfg.spec_width,
+                              mag_scale="none", mode="linear")
+        return S[..., None]
+    B = y.shape[0]
+    pad = (-B) % batch_tile
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0)))
     out = fused_hybrid_frontend(y, cfg.fft_length, hop, n_frames,
                                 batch_tile=batch_tile, interpret=interpret)
-    return out[..., None]
+    return out[:B, ..., None]

@@ -61,7 +61,12 @@ def spectrogram_batch(
     if mode not in VALID_MODES:
         raise ValueError(f"Invalid mode: {mode!r}")
     B, T = audio.shape
-    hop = (T // spec_width) if spec_width > 0 else n_fft // 2
+    if mode == "mfcc" and mel_bins <= 0:
+        raise ValueError("mfcc mode needs mel_bins > 0 (DCT runs over mel bands)")
+    # hop = T // spec_width (reference spectrogram.py:61); max(1, .) guards
+    # T < spec_width like config.hop_length. spec_width <= 0 means "all
+    # frames" at the librosa default hop.
+    hop = max(1, T // spec_width) if spec_width > 0 else n_fft // 2
     sample_axes = (1, 2)
 
     linear_mode = mel_bins <= 0 or mode == "linear"
@@ -69,7 +74,10 @@ def spectrogram_batch(
     # spec_width *before* any stats except in mfcc mode, where power_to_db's
     # ref/top_db max runs over the full frame count.
     n_frames_full = 1 + T // hop
-    n_frames = n_frames_full if mode == "mfcc" else min(spec_width, n_frames_full)
+    if mode == "mfcc" or spec_width <= 0:
+        n_frames = n_frames_full
+    else:
+        n_frames = min(spec_width, n_frames_full)
 
     S = stft_magnitude(audio, n_fft=n_fft, hop=hop, n_frames=n_frames, center=True,
                        precision=stft_precision)  # [B, W, F]
@@ -79,7 +87,10 @@ def spectrogram_batch(
         if power != 1.0:
             S = jnp.square(S)
         fb = jnp.asarray(
-            mel_filterbank(sample_rate, n_fft, mel_bins, fmin=150.0, fmax=sample_rate / 2.0),
+            # fmax floors like the reference (spectrogram.py:74: sample_rate // 2)
+            # so odd sample rates produce identical band edges.
+            mel_filterbank(sample_rate, n_fft, mel_bins, fmin=150.0,
+                           fmax=float(sample_rate // 2)),
             dtype=S.dtype,
         )
         S = S @ fb  # [B, W, M] on the MXU
@@ -90,7 +101,9 @@ def spectrogram_batch(
         ref = jnp.max(S, axis=sample_axes, keepdims=True)
         S_log = mag_ops.power_to_db(S, ref=ref, top_db=80.0, axis=sample_axes)
         S = dct2_ortho(jnp.swapaxes(S_log, 1, 2), n_mfcc)  # DCT over mel axis
-        S = jnp.swapaxes(S, 1, 2)[:, :, :spec_width]
+        S = jnp.swapaxes(S, 1, 2)
+        if spec_width > 0:
+            S = S[:, :, :spec_width]
         return mag_ops.normalize_minmax(S, axis=sample_axes)
 
     if mode == "log_mel":

@@ -129,3 +129,31 @@ def test_stft_precision_api():
 
     with pytest.raises(KeyError):
         stft_magnitude(y, n_fft=128, hop=125, n_frames=32, precision="fast")
+
+
+def test_spectrogram_odd_sample_rate_fmax_floors(rng):
+    """fmax floors to sr // 2 like the reference (spectrogram.py:74), so odd
+    sample rates produce identical mel band edges."""
+    sr = 11025
+    y = np.sin(2 * np.pi * 3000 * np.arange(sr * 2) / sr).astype(np.float32)
+    y += 0.05 * rng.normal(size=y.shape).astype(np.float32)
+    ours = np.asarray(spectrogram_batch(jnp.asarray(y)[None], sample_rate=sr,
+                                        n_fft=512, mel_bins=64, spec_width=128,
+                                        mag_scale="none", mode="mel"))[0]
+    golden = ref_dsp.get_spectrogram(y, sr, 512, 64, 128, "none", "mel")
+    np.testing.assert_allclose(ours, golden, atol=5e-3)
+    # And the filterbank's top band edge comes from the floored Nyquist.
+    fb_floor = mel_filterbank(sr, 512, 64, fmin=150.0, fmax=float(sr // 2))
+    fb_ours = np.asarray(
+        spectrogram_batch(jnp.asarray(y)[None], sample_rate=sr, n_fft=512,
+                          mel_bins=64, spec_width=128, mag_scale="none",
+                          mode="mel"))
+    assert fb_ours is not None and fb_floor.shape == (257, 64)
+
+
+def test_spectrogram_short_audio_no_zero_hop():
+    """T < spec_width clamps hop to 1 instead of dividing by zero."""
+    y = jnp.zeros((1, 100), jnp.float32)
+    S = np.asarray(spectrogram_batch(y, sample_rate=4000, n_fft=64, mel_bins=16,
+                                     spec_width=256, mag_scale="none", mode="mel"))
+    assert S.shape[0] == 1 and np.all(np.isfinite(S))

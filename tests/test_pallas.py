@@ -59,3 +59,33 @@ def test_hybrid_frontend_input_wrapper(rng):
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(inputs_for_config(y, cfg)),
                                atol=1e-5)
+
+
+def test_hybrid_frontend_input_pads_partial_batch(rng):
+    """B not divisible by batch_tile is padded in and sliced back."""
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, num_classes=2,
+                      class_names=["a", "b"], audio_frontend="hybrid",
+                      mag_scale="pwl")
+    y = jnp.asarray(rng.normal(0, 0.5, (6, 4000)).astype(np.float32))
+    out = np.asarray(hybrid_frontend_input(y, cfg, interpret=True))
+    full = np.asarray(hybrid_frontend_input(
+        jnp.concatenate([y, y[:2]]), cfg, interpret=True))[:6]
+    assert out.shape[0] == 6
+    np.testing.assert_allclose(out, full, atol=1e-6)
+
+
+def test_hybrid_frontend_input_falls_back_on_small_hop(rng):
+    """2*hop < n_fft violates the kernel precondition -> XLA fallback with
+    identical features, instead of a ValueError."""
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=256,
+                      fft_length=128, chunk_duration=1.0, num_classes=2,
+                      class_names=["a", "b"], audio_frontend="hybrid",
+                      mag_scale="pwl")
+    # hop = 4000 // 256 = 15; 2*15 < 128
+    y = jnp.asarray(rng.normal(0, 0.5, (2, 4000)).astype(np.float32))
+    out = np.asarray(hybrid_frontend_input(y, cfg, interpret=True))
+    ref = np.asarray(spectrogram_batch(y, sample_rate=4000, n_fft=128, mel_bins=-1,
+                                       spec_width=256, mag_scale="none",
+                                       mode="linear"))[..., None]
+    np.testing.assert_allclose(out, ref, atol=1e-6)
