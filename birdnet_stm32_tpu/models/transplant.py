@@ -69,7 +69,7 @@ def detect_arch(layers: list[dict]) -> dict[str, Any]:
     names = [l["name"] for l in layers]
     has = lambda frag: any(frag in n for n in names)  # noqa: E731
     out: dict[str, Any] = {
-        "use_inverted_residual": has("_ir1_") or has("_ir1"),
+        "use_inverted_residual": has("_ir1"),
         "use_se": has("_se"),
         "use_attention_pooling": any(l["class_name"] == "AttentionPooling" for l in layers),
     }
@@ -100,8 +100,11 @@ def _frontend_params(h5, group: str, mag_scale: str, fft_bins: int) -> dict:
 
     # Hybrid mel mixer: [1, 1, cin_padded, M] -> [fft_bins, M] (strip the
     # zero-input channel padding, frontend.py:269-276).
+    # The reference constructs mel_mixer unconditionally but only BUILDS it
+    # in hybrid mode; unbuilt sublayers still serialize an EMPTY vars group
+    # (Keras 3 saving_lib), so also require the weight entry itself.
     mixer = get("mel_mixer/vars")
-    if mixer is not None:
+    if mixer is not None and "0" in mixer:
         k = np.asarray(mixer["0"])
         out["mel_mixer"] = k[0, 0, :fft_bins, :]
 
@@ -208,8 +211,15 @@ def transplant_params(keras_path: str | Path, cfg: ModelConfig) -> tuple[dict, d
                 stats["audio_frontend"] = {"raw_fb_bn": bn_stats}
         elif cls == "AttentionPooling":
             g = h5["layers"][group]
-            if "score" in g:
-                params["attn_pool_score"] = {"kernel": np.asarray(g["score"]["vars"]["0"])}
+            # Keras 3 keys nested layers by ATTRIBUTE name: the reference
+            # stores Dense(1, name="score") in self._score_dense
+            # (blocks.py:148), so the h5 group is "_score_dense".
+            for key in ("_score_dense", "score"):
+                if key in g and "vars" in g[key] and "0" in g[key]["vars"]:
+                    # Dense(1, use_bias=False): kernel only (blocks.py:148).
+                    params["attn_pool_score"] = {
+                        "kernel": np.asarray(g[key]["vars"]["0"])}
+                    break
 
     import jax.numpy as jnp
 

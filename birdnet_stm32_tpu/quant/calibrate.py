@@ -49,8 +49,11 @@ def representative_inputs(
     x = np.asarray(inputs_for_config(jnp.asarray(np.stack(waves)), cfg))
     if snr_threshold > 0 and cfg.audio_frontend != "raw":
         keep = np.abs(x).mean(axis=tuple(range(1, x.ndim))) >= snr_threshold
-        if keep.any():
-            x = x[keep]
+        if not keep.any():
+            # Same loud failure as the raw path: calibrating INT8 ranges on
+            # all-silent data would be silently wrong.
+            raise ValueError("All calibration chunks were filtered as silent.")
+        x = x[keep]
     return x.astype(np.float32)
 
 

@@ -49,6 +49,14 @@ def fake_quantize(
 
     Returns:
         Fake-quantized tensor, same shape/dtype.
+
+    Note on parity: this implements TRUE per-channel ranges. The
+    reference's per-channel mode is inert — its reduce_axes comparison
+    `i != channel_axis` with a negative axis (qat.py:49) never matches, so
+    it actually reduces over every axis (per-tensor). We implement the
+    intended semantics (and what the TFLite converter does) rather than
+    reproducing that bug; per_channel=False gives the reference's actual
+    observed behavior.
     """
     qmax = (1 << num_bits) - 1
     if per_channel and w.ndim > 1:
@@ -69,11 +77,13 @@ def fake_quantize_ste(w: jax.Array, **kw) -> jax.Array:
 
 def is_quantizable(path: tuple, leaf: Any) -> bool:
     """QAT weight selection, mirroring reference qat.py:24-77:
-    conv/dense kernels only — skip biases, BN params, and the frontend."""
+    conv/dense kernels only — skip biases, BN params, the frontend, and
+    the attention-pooling score Dense (nested in a custom layer, so the
+    reference's top-level isinstance walk never selects it)."""
     keys = [p.key if hasattr(p, "key") else str(p) for p in path]
     if not keys:
         return False
-    if keys[0] == "audio_frontend":
+    if keys[0] == "audio_frontend" or keys[0] == "attn_pool_score":
         return False
     if keys[-1] != "kernel":
         return False

@@ -26,6 +26,25 @@ from birdnet_stm32_tpu.parallel.steps import TrainState, _project_nonneg_mel_mix
 from birdnet_stm32_tpu.quant.fake_quant import quantize_params
 
 
+def _qat_freeze_mask(params, frontend_trainable: bool):
+    """1/0 mask freezing what reference QAT keeps fixed: every BN's
+    gamma/beta (qat.py:142-158 sets trainable=False on the whole layer,
+    not just its statistics) and, when frontend_trainable=False, the
+    frontend subtree (reference frontend sublayers carry the config's
+    trainable flag through QAT)."""
+    def mask(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if not frontend_trainable and top == "audio_frontend":
+            return 0.0
+        for p in path:
+            k = p.key if hasattr(p, "key") else str(p)
+            if k.endswith("_bn") or k == "bn":
+                return 0.0
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
 def make_qat_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -35,11 +54,14 @@ def make_qat_train_step(
     per_channel: bool = True,
     donate: bool = True,
     kernel_l2: float = 1e-4,
+    frontend_trainable: bool = True,
 ):
     """Build the jitted QAT fine-tuning step.
 
     The model runs with train=True (dropout active) and freeze_bn=True
-    (BN on running statistics, no updates), on STE-fake-quantized kernels.
+    (BN on running statistics), on STE-fake-quantized kernels. BN
+    gamma/beta and (per frontend_trainable) the frontend are excluded
+    from optimizer updates like the reference's layer-level freeze.
 
     Returns:
         step(state, x, y, rng) -> (state, metrics).
@@ -60,7 +82,12 @@ def make_qat_train_step(
             return loss
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        keep = _qat_freeze_mask(state.params, frontend_trainable)
+        grads = jax.tree_util.tree_map(lambda g, k: g * k, grads, keep)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # Mask updates too: decoupled weight decay would still move frozen
+        # parameters.
+        updates = jax.tree_util.tree_map(lambda u, k: u * k, updates, keep)
         params = optax.apply_updates(state.params, updates)
         params = _project_nonneg_mel_mixer(params)
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)

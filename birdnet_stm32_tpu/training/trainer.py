@@ -144,7 +144,8 @@ def train_model(
     if qat:
         from birdnet_stm32_tpu.quant.qat import make_qat_train_step
 
-        step_fn = make_qat_train_step(model, tx, loss_fn, mesh=mesh, kernel_l2=kernel_l2)
+        step_fn = make_qat_train_step(model, tx, loss_fn, mesh=mesh, kernel_l2=kernel_l2,
+                                      frontend_trainable=cfg.frontend_trainable)
     else:
         step_fn = make_train_step(
             model, tx, loss_fn, mesh=mesh, frontend_trainable=cfg.frontend_trainable,
