@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -20,6 +21,29 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 _SO_PATH = _REPO_ROOT / "native" / "build" / "libaudio_native.so"
 _lib = None
 _load_failed = False
+_load_lock = threading.Lock()
+
+
+def _build_locked():
+    """Build the library under an exclusive cross-process file lock.
+
+    Loader threads AND spawn-pool workers can hit the first use
+    concurrently; without the lock, two `make` runs link to the same
+    output path and a reader can CDLL a partially-written .so (latching
+    _load_failed for the process lifetime).
+    """
+    import fcntl
+
+    build_dir = _SO_PATH.parent
+    build_dir.mkdir(parents=True, exist_ok=True)
+    with open(build_dir / ".build.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if not _SO_PATH.exists():  # another process may have built it
+                subprocess.run(["make", "-C", str(_REPO_ROOT / "native")],
+                               check=True, capture_output=True, timeout=120)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 def _try_load():
@@ -29,10 +53,17 @@ def _try_load():
     if os.environ.get("BIRDNET_TPU_NO_NATIVE"):
         _load_failed = True
         return None
+    with _load_lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        return _try_load_locked()
+
+
+def _try_load_locked():
+    global _lib, _load_failed
     try:
         if not _SO_PATH.exists():
-            subprocess.run(["make", "-C", str(_REPO_ROOT / "native")],
-                           check=True, capture_output=True, timeout=120)
+            _build_locked()
         lib = ctypes.CDLL(str(_SO_PATH))
     except Exception:
         _load_failed = True

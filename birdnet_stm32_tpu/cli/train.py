@@ -176,6 +176,13 @@ def balanced_class_weights(labels: list[str], class_names: list[str]) -> np.ndar
 def main(argv=None) -> int:
     args = get_args(argv)
 
+    # Multi-host: must run before any other JAX API so host_shard() and the
+    # global mesh see every process (no-op without JAX_COORDINATOR_ADDRESS
+    # / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    from birdnet_stm32_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     import jax
 
     from birdnet_stm32_tpu.config import ModelConfig, normalize_frontend_name

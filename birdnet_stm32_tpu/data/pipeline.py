@@ -17,7 +17,9 @@ Kept reference behaviors: crash-tolerant loads (failed decode = random-noise
 chunk with all-zero label, generator.py:101-103), candidate smart-crop
 policy (generator.py:106-110), activity sort with keep-at-least-one, bounded
 in-flight windows with a live `loader_control` dict (generator.py:359-372),
-SIGINT-ignoring workers with maxtasksperchild=100, reservoir shuffling, and
+SIGINT-ignoring workers with periodic recycling (maxtasksperchild=10_000
+here — spawn re-import costs seconds, see the pool setup), reservoir
+shuffling, and
 infinite epochs.
 """
 
@@ -138,8 +140,6 @@ class AudioLoader:
             ex.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self):
-        T = int(self.cfg.sample_rate * self.cfg.chunk_duration)
-        C = self.labels.shape[1]
         reservoir: list[tuple[np.ndarray, np.ndarray]] = []
         # Drain down to half the reservoir: the shuffle window really is
         # ~reservoir_size/2 items (the previous 4*batch cap made the knob a

@@ -116,7 +116,11 @@ def evaluate(
             t0 = time.perf_counter()
             scores = classify(wave)[: len(take)]
             if measure_latency:
-                per_chunk_ms = (time.perf_counter() - t0) * 1000.0 / len(take)
+                # Divide by the rows the device actually computed (the
+                # padded batch), not len(take): a 1-chunk tail padded to
+                # batch_size would otherwise report batch_size times the
+                # true per-chunk latency and corrupt the percentiles.
+                per_chunk_ms = (time.perf_counter() - t0) * 1000.0 / wave.shape[0]
                 latencies.extend([per_chunk_ms] * len(take))
             total_chunks += len(take)
             for fi, s in zip(meta, scores):

@@ -14,30 +14,40 @@ import jax.numpy as jnp
 POOLING_METHODS = ("avg", "mean", "average", "max", "lme", "log_mean_exp", "log_mean_exponential")
 
 
-def lme_pooling(scores: np.ndarray, beta: float = 10.0) -> np.ndarray:
-    """log(mean(exp(beta*s)))/beta with max-subtraction stability.
+# Method-name aliases accepted by the reference CLI (pooling.py:37-47).
+_AVG_NAMES = frozenset({"avg", "mean", "average"})
+_LME_NAMES = frozenset({"lme", "log_mean_exp", "log_mean_exponential"})
 
-    beta->0 approaches mean, beta->inf approaches max.
+
+def lme_pooling(scores: np.ndarray, beta: float = 10.0) -> np.ndarray:
+    """Temperature-weighted soft pooling over the chunk axis.
+
+    Numerically: log(mean(exp(beta * s))) / beta, computed in shifted form
+    (subtract the per-class max before exponentiating) so large beta can't
+    overflow. The temperature interpolates mean (beta -> 0) and max
+    (beta -> inf). Behavioral parity: reference pooling.py:6-23, including
+    its epsilon inside the log.
     """
     if scores.size == 0:
         return scores
-    m = np.max(beta * scores, axis=0, keepdims=True)
-    lme = m + np.log(np.mean(np.exp(beta * scores - m), axis=0, keepdims=True) + 1e-12)
-    return (lme / beta).ravel()
+    z = beta * scores
+    shift = z.max(axis=0, keepdims=True)
+    soft_mean = np.exp(z - shift).mean(axis=0, keepdims=True)
+    return ((shift + np.log(soft_mean + 1e-12)) / beta).ravel()
 
 
 def pool_scores(chunk_scores: np.ndarray, method: str = "average", beta: float = 10.0) -> np.ndarray:
-    """[N_chunks, C] -> [C] file-level scores."""
-    method = method.lower()
+    """[N_chunks, C] -> [C] file-level scores (reference pooling.py:25-48)."""
     if chunk_scores.ndim != 2:
         raise ValueError("chunk_scores must be [N_chunks, C]")
-    if chunk_scores.shape[0] == 0:
-        return np.zeros((chunk_scores.shape[1],), np.float32)
-    if method in ("avg", "mean", "average"):
-        return np.mean(chunk_scores, axis=0)
-    if method == "max":
-        return np.max(chunk_scores, axis=0)
-    if method in ("lme", "log_mean_exp", "log_mean_exponential"):
+    if len(chunk_scores) == 0:
+        return np.zeros(chunk_scores.shape[1], np.float32)
+    m = method.lower()
+    if m in _AVG_NAMES:
+        return chunk_scores.mean(axis=0)
+    if m == "max":
+        return chunk_scores.max(axis=0)
+    if m in _LME_NAMES:
         return lme_pooling(chunk_scores, beta=beta)
     raise ValueError(f"Unsupported pooling method: {method}")
 

@@ -44,3 +44,36 @@ def _int_env(name: str) -> int | None:
 def host_shard() -> tuple[int, int]:
     """(shard_index, num_shards) for this host's input pipeline."""
     return jax.process_index(), jax.process_count()
+
+
+def globalize_batch(batch, mesh):
+    """Assemble per-host local batches into logical global arrays.
+
+    Single-process: identity — jit consumes the host's numpy/jax arrays
+    directly. Multi-process: each host holds a DISJOINT slice of the
+    logical batch (AudioLoader shard_index/num_shards), and feeding
+    different per-host arrays into a jit whose in_shardings span the
+    global mesh violates JAX's single-controller contract (each process
+    would contribute only its own rows and half the decode work would be
+    silently dropped). jax.make_array_from_process_local_data stitches
+    the local slices into one global batch-sharded array per leaf.
+
+    Args:
+        batch: pytree of [B_local, ...] arrays (numpy or device).
+        mesh: The global mesh whose batch axis the arrays shard over.
+
+    Returns:
+        The pytree with each leaf a global jax.Array (or unchanged when
+        single-process).
+    """
+    if jax.process_count() == 1:
+        return batch
+    import numpy as np
+
+    from birdnet_stm32_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        batch,
+    )

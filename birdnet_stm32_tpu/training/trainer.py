@@ -159,6 +159,11 @@ def train_model(
     # host-fetched variables instead of crashing the data sharding.
     eval_fn_tail = None
     n_shards = int(mesh.devices.size) if mesh is not None else 1
+    # Multi-host: per-host local batches must be stitched into logical
+    # global arrays before a global-mesh jit consumes them.
+    multihost = mesh is not None and jax.process_count() > 1
+    if multihost:
+        from birdnet_stm32_tpu.parallel.distributed import globalize_batch
     state = TrainState.create(variables, tx)
     if mesh is not None:
         from birdnet_stm32_tpu.parallel.mesh import replicated
@@ -183,6 +188,8 @@ def train_model(
             wave, labels = next(train_batches)
             bkey = jax.random.fold_in(root_key, host_step)
             x, y = batcher(bkey, jnp.asarray(wave), jnp.asarray(labels))
+            if multihost:
+                x, y = globalize_batch((x, y), mesh)
             state, metrics = step_fn(state, x, y, root_key)
             host_step += 1
             train_losses.append(metrics["loss"])
@@ -197,8 +204,15 @@ def train_model(
             # teacher's frontend pass isn't recomputed here).
             x = w if w.ndim > 2 else inputs_for_config(w, cfg)
             y = jnp.asarray(labels)
+            if multihost:
+                # A per-host tail that doesn't fill the local devices can't
+                # be expressed as an even global sharding; skip it (the
+                # single-host path below evaluates tails exactly).
+                if x.shape[0] % (n_shards // jax.process_count()) != 0:
+                    continue
+                x, y = globalize_batch((x, y), mesh)
             b = int(x.shape[0])
-            if mesh is not None and b % n_shards != 0:
+            if mesh is not None and b % n_shards != 0 and not multihost:
                 if eval_fn_tail is None:
                     eval_fn_tail = make_eval_step(
                         model, loss_fn, mesh=None,
