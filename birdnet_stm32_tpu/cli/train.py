@@ -53,7 +53,8 @@ def get_args(argv=None):
     p.add_argument("--se_reduction", type=int, default=8)
     p.add_argument("--no_inverted_residual", action="store_true")
     p.add_argument("--expansion_factor", type=int, default=2)
-    p.add_argument("--attention_pooling", action="store_true")
+    p.add_argument("--attention_pooling", "--use_attention_pooling",
+                   dest="attention_pooling", action="store_true")
     # Optimization
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = estimate from data")
@@ -87,7 +88,10 @@ def get_args(argv=None):
     p.add_argument("--n_mfcc", type=int, default=20,
                    help="MFCC coefficient count (mfcc frontend)")
     # Run control
-    p.add_argument("--run_dir", default="runs/birdnet_tpu")
+    p.add_argument("--run_dir", "--checkpoint_path", dest="run_dir",
+                   default="runs/birdnet_tpu",
+                   help="Run directory (reference --checkpoint_path: a .keras "
+                        "file path is accepted and mapped to its directory)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_mesh", action="store_true", help="single-device (skip data-parallel mesh)")
@@ -197,6 +201,11 @@ def main(argv=None) -> int:
     set_global_seed(args.seed)
     args.audio_frontend = normalize_frontend_name(args.audio_frontend)
     run_dir = Path(args.run_dir)
+    if run_dir.suffix == ".keras":
+        # Reference --checkpoint_path names a .keras FILE; this framework's
+        # runs are directories — use the file's directory.
+        run_dir = run_dir.parent if str(run_dir.parent) != "" else Path(".")
+        info("train", f"--checkpoint_path file mapped to run dir {run_dir}")
 
     if args.qat:
         from birdnet_stm32_tpu.quant.qat import run_qat
