@@ -47,6 +47,9 @@ def get_args(argv=None):
                    help="Batch size (default: deploy config value, 64)")
     p.add_argument("--save_results", default="",
                    help="Save results summary to a CSV file")
+    p.add_argument("--serial_port", default="",
+                   help="accepted for reference compatibility (no UART on a "
+                        "TPU target; results stream to stdout)")
     return p.parse_args(argv)
 
 

@@ -46,6 +46,12 @@ def get_args(argv=None):
                    help="also export a portable StableHLO serving module")
     p.add_argument("--dry_run", action="store_true",
                    help="print the deployment plan without executing it")
+    # Reference vendor-toolchain paths (cli/deploy.py there): accepted so
+    # reference invocations parse; TPU deployment builds a self-contained
+    # bundle and shells out to no vendor tools.
+    for flag in ("--stedgeai_path", "--x_cube_ai_path", "--cubeide_path",
+                 "--arm_toolchain_path", "--workspace_dir"):
+        p.add_argument(flag, default="", help=argparse.SUPPRESS)
     p.add_argument("--skip_validate", action="store_true",
                    help="skip the on-device validation step")
     return p.parse_args(argv)

@@ -31,6 +31,10 @@ def get_args(argv=None):
                         "reference's 0.25 applies to spectrogram features, "
                         "where ratios run systematically higher)")
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--prefetch_batches", type=int, default=None,
+                   help="accepted for reference compatibility (host-side "
+                        "prefetch depth is managed adaptively by "
+                        "AdaptiveLoaderTuner / loader_control)")
     # Audio / frontend
     p.add_argument("--sample_rate", type=int, default=24000)
     p.add_argument("--chunk_duration", type=float, default=3.0)
