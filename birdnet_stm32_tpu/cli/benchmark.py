@@ -70,22 +70,15 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
     from birdnet_stm32_tpu.models.serving import (
         classify_in_batches,
-        make_fused_classifier,
+        make_classifier_cache,
         top_predictions,
     )
 
-    classifiers = {cfg.sample_rate: make_fused_classifier(runner, cfg)}
-
-    def classifier_for(rate: int):
-        if rate not in classifiers:
-            print(f"[info] compiling device-resample classifier for {rate} Hz input")
-            classifiers[rate] = make_fused_classifier(runner, cfg,
-                                                      input_sample_rate=rate)
-        return classifiers[rate]
+    classifier_for = make_classifier_cache(runner, cfg, verbose=True)
 
     print("[info] frontend+model fused into one device dispatch; "
           "[BENCH] 'model' covers both, 'frontend' reads 0.0")
-    _warmup(classifiers[cfg.sample_rate], cfg, batch_size)
+    _warmup(classifier_for(cfg.sample_rate), cfg, batch_size)
 
     per_file_rows = []
     t_read = t_frontend = t_model = 0.0
@@ -194,16 +187,9 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
     from concurrent.futures import ThreadPoolExecutor
 
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
-    from birdnet_stm32_tpu.models.serving import make_fused_classifier, top_predictions
+    from birdnet_stm32_tpu.models.serving import make_classifier_cache, top_predictions
 
-    classifiers: dict[int, object] = {}
-
-    def classifier_for(rate: int):
-        if rate not in classifiers:
-            classifiers[rate] = make_fused_classifier(
-                runner, cfg, as_numpy=False,
-                input_sample_rate=rate if rate != cfg.sample_rate else None)
-        return classifiers[rate]
+    classifier_for = make_classifier_cache(runner, cfg, as_numpy=False)
 
     def decode(path):
         t0 = time.perf_counter()

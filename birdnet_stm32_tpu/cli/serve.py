@@ -71,18 +71,11 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
     from birdnet_stm32_tpu.models.serving import (
         classify_in_batches,
-        make_fused_classifier,
+        make_classifier_cache,
         top_predictions,
     )
 
-    classifiers: dict[int, object] = {}
-
-    def classifier_for(rate: int):
-        if rate not in classifiers:
-            classifiers[rate] = make_fused_classifier(
-                runner, cfg,
-                input_sample_rate=rate if rate != cfg.sample_rate else None)
-        return classifiers[rate]
+    classifier_for = make_classifier_cache(runner, cfg)
 
     done = _recorded_files(results_file)
     if done:

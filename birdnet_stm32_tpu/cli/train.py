@@ -208,7 +208,7 @@ def main(argv=None) -> int:
     if run_dir.suffix == ".keras":
         # Reference --checkpoint_path names a .keras FILE; this framework's
         # runs are directories — use the file's directory.
-        run_dir = run_dir.parent if str(run_dir.parent) != "" else Path(".")
+        run_dir = run_dir.parent
         info("train", f"--checkpoint_path file mapped to run dir {run_dir}")
 
     if args.qat:

@@ -9,6 +9,8 @@ latency; on any backend it removes an HBM round-trip of the feature tensor.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 import jax
@@ -164,8 +166,6 @@ def classify_in_batches(classify, chunks: np.ndarray, batch_size: int):
     Returns:
         ([N, C] scores, device seconds spent in classify calls).
     """
-    import time
-
     scores, dt = [], 0.0
     for i in range(0, len(chunks), batch_size):
         wave = chunks[i : i + batch_size]
@@ -185,3 +185,21 @@ def top_predictions(pooled: np.ndarray, top_k: int, score_threshold: float) -> l
     top = np.argsort(pooled)[::-1][:top_k]
     return [int(i) for rank, i in enumerate(top)
             if rank == 0 or pooled[i] >= score_threshold]
+
+
+def make_classifier_cache(runner, cfg, as_numpy: bool = True, verbose: bool = False):
+    """classifier_for(rate) -> fused classifier, compiled once per distinct
+    source sample rate (shared by the serve and benchmark drivers; rates
+    equal to cfg.sample_rate skip the on-device resampler)."""
+    cache: dict[int, object] = {}
+
+    def classifier_for(rate: int):
+        if rate not in cache:
+            if verbose and rate != cfg.sample_rate:
+                print(f"[info] compiling device-resample classifier for {rate} Hz input")
+            cache[rate] = make_fused_classifier(
+                runner, cfg, as_numpy=as_numpy,
+                input_sample_rate=rate if rate != cfg.sample_rate else None)
+        return cache[rate]
+
+    return classifier_for

@@ -71,14 +71,32 @@ def conv_kernel_l2(params, coeff: float):
     return coeff * total
 
 
-def frontend_freeze_mask(params, trainable: bool):
-    """Zero-gradient mask for frontend params when frontend_trainable=False
-    (reference builds those sublayers with trainable=False)."""
+def freeze_mask(params, frontend_trainable: bool = True, freeze_bn: bool = False):
+    """Boolean keep-mask over a param tree for frozen-subtree training.
+
+    frontend_trainable=False zeroes the frontend subtree (reference builds
+    those sublayers with trainable=False); freeze_bn=True zeroes every
+    BN's gamma/beta (QAT: the reference sets trainable=False on the whole
+    BatchNormalization layer, qat.py:142-158). Apply to both gradients and
+    optimizer updates — decoupled weight decay moves params otherwise.
+    """
     def mask(path, _):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        return not (top == "audio_frontend" and not trainable)
+        if not frontend_trainable and top == "audio_frontend":
+            return False
+        if freeze_bn:
+            for p in path:
+                k = p.key if hasattr(p, "key") else str(p)
+                if k.endswith("_bn") or k == "bn":
+                    return False
+        return True
 
     return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def frontend_freeze_mask(params, trainable: bool):
+    """Back-compat wrapper over freeze_mask (frontend subtree only)."""
+    return freeze_mask(params, frontend_trainable=trainable)
 
 
 def make_train_step(

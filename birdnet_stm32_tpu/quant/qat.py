@@ -22,27 +22,13 @@ import optax
 from jax.sharding import Mesh
 
 from birdnet_stm32_tpu.parallel.mesh import batch_sharding, replicated
-from birdnet_stm32_tpu.parallel.steps import TrainState, _project_nonneg_mel_mixer, conv_kernel_l2
+from birdnet_stm32_tpu.parallel.steps import (
+    TrainState,
+    _project_nonneg_mel_mixer,
+    conv_kernel_l2,
+    freeze_mask,
+)
 from birdnet_stm32_tpu.quant.fake_quant import quantize_params
-
-
-def _qat_freeze_mask(params, frontend_trainable: bool):
-    """1/0 mask freezing what reference QAT keeps fixed: every BN's
-    gamma/beta (qat.py:142-158 sets trainable=False on the whole layer,
-    not just its statistics) and, when frontend_trainable=False, the
-    frontend subtree (reference frontend sublayers carry the config's
-    trainable flag through QAT)."""
-    def mask(path, _):
-        top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        if not frontend_trainable and top == "audio_frontend":
-            return 0.0
-        for p in path:
-            k = p.key if hasattr(p, "key") else str(p)
-            if k.endswith("_bn") or k == "bn":
-                return 0.0
-        return 1.0
-
-    return jax.tree_util.tree_map_with_path(mask, params)
 
 
 def make_qat_train_step(
@@ -82,7 +68,10 @@ def make_qat_train_step(
             return loss
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
-        keep = _qat_freeze_mask(state.params, frontend_trainable)
+        # Freeze what reference QAT keeps fixed: every BN's gamma/beta and
+        # (per frontend_trainable) the frontend subtree.
+        keep = freeze_mask(state.params, frontend_trainable=frontend_trainable,
+                           freeze_bn=True)
         grads = jax.tree_util.tree_map(lambda g, k: g * k, grads, keep)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         # Mask updates too: decoupled weight decay would still move frozen
