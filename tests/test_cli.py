@@ -402,3 +402,22 @@ def test_serve_waits_for_stable_file_size(wav_dataset, tmp_path, capsys):
     served = serve_loop(runner, cfg, cfg.class_names, Path(root), results2,
                         poll_interval=0.01, batch_size=4, max_polls=1)
     assert served == 0
+
+
+@pytest.mark.slow
+def test_train_cli_on_device_mesh(wav_dataset, tmp_path):
+    """Default (mesh) CLI path: training runs data-parallel over the 8
+    virtual devices, including the sharded eval of a partial val tail."""
+    root, sr = wav_dataset
+    run_dir = tmp_path / "run_mesh"
+    assert dispatch([
+        "train", "--data_path_train", str(root), "--run_dir", str(run_dir),
+        "--sample_rate", "4000", "--chunk_duration", "1.0",
+        "--fft_length", "128", "--num_mels", "16", "--spec_width", "32",
+        "--alpha", "0.25", "--embeddings_size", "32",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--num_workers", "0", "--max_chunks_per_file", "1", "--seed", "0",
+        # no --no_mesh: exercise make_mesh() + pjit train/eval steps
+    ]) == 0
+    assert (run_dir / "best").exists()
+    assert (run_dir / "history.csv").exists()
