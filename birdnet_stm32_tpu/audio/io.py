@@ -144,9 +144,14 @@ def load_audio_window(
     """One contiguous mono window: read -> downmix -> resample -> peak-norm.
 
     Mirrors reference io.py:63-130 (including the random-offset policy and
-    returning an empty array on any error).
+    returning an empty array on any error). Non-WAV formats (mp3/flac/ogg/
+    m4a — the reference's SUPPORTED_AUDIO_EXTS) decode through the native
+    libav codec when available.
     """
     try:
+        if Path(path).suffix.lower() != ".wav":
+            return _load_window_codec(path, sample_rate, max_duration,
+                                      chunk_duration, random_offset, rng)
         info = wav_info(path)
         if info.frames <= 0 or info.sample_rate <= 0:
             return np.empty((0,), np.float32)
@@ -184,6 +189,56 @@ def load_audio_window(
         return y.astype(np.float32, copy=False)
     except Exception:
         return np.empty((0,), np.float32)
+
+
+def _load_window_codec(path, sample_rate, max_duration, chunk_duration,
+                       random_offset, rng) -> np.ndarray:
+    """load_audio_window for compressed formats via the libav codec
+    (same offset/duration policy; mono mean-downmix happens natively)."""
+    from birdnet_stm32_tpu.audio import native
+
+    if not native.codec_available():
+        return np.empty((0,), np.float32)
+    sr0, _ch, total_frames = native.codec_info(path)
+    if total_frames <= 0 or sr0 <= 0:
+        return np.empty((0,), np.float32)
+    total_duration = total_frames / float(sr0)
+    read_duration = (min(float(max_duration), total_duration)
+                     if max_duration and max_duration > 0 else total_duration)
+    offset_sec = 0.0
+    if random_offset:
+        max_start = max(0.0, total_duration - max(chunk_duration, read_duration))
+        if max_start > 0:
+            r = rng.uniform(0.0, max_start) if rng is not None else np.random.uniform(0.0, max_start)
+            offset_sec = float(r)
+    start = min(int(offset_sec * sr0), total_frames)
+    n = int(min(total_frames - start, read_duration * sr0))
+    if n <= 0:
+        return np.empty((0,), np.float32)
+    y, sr0 = native.codec_decode(path, offset_frames=start, max_frames=n)
+    if y.size == 0:
+        return np.empty((0,), np.float32)
+    if sr0 != sample_rate:
+        y = fast_resample(y, sr0, sample_rate)
+    peak = float(np.max(np.abs(y))) if y.size else 0.0
+    if peak > 0.0:
+        y = y / peak
+    return y.astype(np.float32, copy=False)
+
+
+def audio_info(path: str | Path):
+    """WavInfo-compatible probe for ANY supported audio file.
+
+    WAVs go through the RIFF walker; compressed formats are probed by the
+    libav codec (frame count approximate for VBR streams).
+    """
+    p = Path(path)
+    if p.suffix.lower() == ".wav":
+        return wav_info(p)
+    from birdnet_stm32_tpu.audio import native
+
+    sr, ch, frames = native.codec_info(p)
+    return WavInfo(str(p), sr, ch, 32, 3, 0, frames * ch * 4)
 
 
 def split_audio_into_chunks(

@@ -168,3 +168,102 @@ def short_time_energy(x: np.ndarray, frame_len: int) -> np.ndarray:
     out = np.empty(len(x) // frame_len, np.float32)
     lib.short_time_energy_native(_fptr(x), len(x), frame_len, _fptr(out))
     return out
+
+
+# --- Multi-format codec library (libaudio_codec.so, optional) --------------
+#
+# Decode/encode mp3/flac/ogg/m4a via FFmpeg's libav* (the reference reaches
+# these formats through soundfile/audioread, data/dataset.py
+# SUPPORTED_AUDIO_EXTS; this environment ships libavformat instead of
+# libsndfile). Built by the same `make -C native` when the libav dev
+# packages exist; everything degrades to WAV-only when absent.
+
+_CODEC_PATH = _REPO_ROOT / "native" / "build" / "libaudio_codec.so"
+_codec = None
+_codec_failed = False
+
+
+def _try_load_codec():
+    global _codec, _codec_failed
+    if _codec is not None or _codec_failed:
+        return _codec
+    if os.environ.get("BIRDNET_TPU_NO_NATIVE"):
+        _codec_failed = True
+        return None
+    with _load_lock:
+        if _codec is not None or _codec_failed:
+            return _codec
+        try:
+            if not _CODEC_PATH.exists():
+                _build_locked()  # builds the codec too when libav is present
+            lib = ctypes.CDLL(str(_CODEC_PATH))
+        except Exception:
+            _codec_failed = True
+            return None
+        lib.codec_audio_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long)]
+        lib.codec_audio_info.restype = ctypes.c_int
+        lib.codec_decode_f32.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.codec_decode_f32.restype = ctypes.c_long
+        lib.codec_encode_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.c_int]
+        lib.codec_encode_f32.restype = ctypes.c_int
+        _codec = lib
+        return _codec
+
+
+def codec_available() -> bool:
+    """True when the libav-backed multi-format codec loaded on this host."""
+    return _try_load_codec() is not None
+
+
+def codec_info(path: str | os.PathLike) -> tuple[int, int, int]:
+    """(sample_rate, channels, approx_frames) of any supported audio file."""
+    lib = _try_load_codec()
+    if lib is None:
+        raise RuntimeError("codec library unavailable")
+    sr, ch, fr = ctypes.c_int(), ctypes.c_int(), ctypes.c_long()
+    rc = lib.codec_audio_info(str(path).encode(), ctypes.byref(sr),
+                              ctypes.byref(ch), ctypes.byref(fr))
+    if rc != 0:
+        raise ValueError(f"cannot probe audio file: {path}")
+    return sr.value, ch.value, fr.value
+
+
+def codec_decode(path: str | os.PathLike, offset_frames: int = 0,
+                 max_frames: int = 0) -> tuple[np.ndarray, int]:
+    """Decode to (mono float32 at native rate, sample_rate).
+
+    Channel MEAN downmix (reference io.py `y.mean(axis=1)` semantics);
+    max_frames <= 0 decodes to EOF.
+    """
+    lib = _try_load_codec()
+    if lib is None:
+        raise RuntimeError("codec library unavailable")
+    sr, ch, fr = codec_info(path)
+    cap = int(max_frames) if max_frames and max_frames > 0 else max(fr, sr) + sr
+    out = np.empty(cap + 4096, np.float32)
+    sro = ctypes.c_int()
+    n = lib.codec_decode_f32(str(path).encode(), int(offset_frames),
+                             int(max_frames), _fptr(out), len(out),
+                             ctypes.byref(sro))
+    if n < 0:
+        raise ValueError(f"decode failed for {path}")
+    return out[:n].copy(), sro.value
+
+
+def codec_encode(path: str | os.PathLike, data: np.ndarray, sample_rate: int) -> None:
+    """Encode mono float32 to .flac/.ogg/.mp3/.wav by extension."""
+    lib = _try_load_codec()
+    if lib is None:
+        raise RuntimeError("codec library unavailable")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    x = np.ascontiguousarray(data, np.float32)
+    rc = lib.codec_encode_f32(str(path).encode(), _fptr(x), len(x), int(sample_rate))
+    if rc != 0:
+        raise ValueError(f"encode failed for {path} (rc={rc})")

@@ -99,9 +99,9 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         src_rate = cfg.sample_rate
         if device_resample:
             try:
-                from birdnet_stm32_tpu.audio.io import wav_info
+                from birdnet_stm32_tpu.audio.io import audio_info
 
-                src_rate = wav_info(path).sample_rate
+                src_rate = audio_info(path).sample_rate
             except Exception:
                 src_rate = cfg.sample_rate
         classify = classifier_for(src_rate)
@@ -118,9 +118,9 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         total_chunks += len(chunks)
         # True audio seconds (with overlap, chunks double-count time).
         try:
-            from birdnet_stm32_tpu.audio.io import wav_info
+            from birdnet_stm32_tpu.audio.io import audio_info
 
-            audio_s += wav_info(path).duration
+            audio_s += audio_info(path).duration
         except Exception:
             audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
         pooled = scores.mean(axis=0)
@@ -196,9 +196,9 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
         src_rate = cfg.sample_rate
         if device_resample:
             try:
-                from birdnet_stm32_tpu.audio.io import wav_info
+                from birdnet_stm32_tpu.audio.io import audio_info
 
-                src_rate = wav_info(path).sample_rate
+                src_rate = audio_info(path).sample_rate
             except Exception:
                 pass
         chunks = chunks_for_file(str(path), cfg, overlap, max_duration=None,
@@ -278,9 +278,9 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
             buf_n[src_rate] += len(chunks)
             total_chunks += len(chunks)
             try:
-                from birdnet_stm32_tpu.audio.io import wav_info
+                from birdnet_stm32_tpu.audio.io import audio_info
 
-                audio_s += wav_info(path).duration
+                audio_s += audio_info(path).duration
             except Exception:
                 audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
             flush_rate(src_rate)
@@ -329,6 +329,7 @@ def main(argv=None) -> int:
     args = get_args(argv)
 
     from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.data.dataset import supported_audio_extensions
     from birdnet_stm32_tpu.data.species import open_species_list
     from birdnet_stm32_tpu.models.runners import load_model_runner
 
@@ -347,9 +348,9 @@ def main(argv=None) -> int:
                else cfg.class_names)
 
     files = sorted(str(p) for p in Path(args.audio_dir).rglob("*")
-                   if p.suffix.lower() == ".wav")
+                   if p.suffix.lower() in supported_audio_extensions())
     if not files:
-        raise SystemExit(f"no WAV files under {args.audio_dir}")
+        raise SystemExit(f"no audio files under {args.audio_dir}")
     if args.pipeline > 0:
         def drive():
             run_benchmark_pipelined(

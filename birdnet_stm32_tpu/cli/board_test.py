@@ -107,10 +107,12 @@ def main(argv=None) -> int:
         runner = TFLiteInterpreterRunner(model_p)
     else:
         runner = load_model_runner(model_p, config_path)
+    from birdnet_stm32_tpu.data.dataset import supported_audio_extensions
+
     files = sorted(str(p) for p in Path(dcfg.audio_dir).rglob("*")
-                   if p.suffix.lower() == ".wav")
+                   if p.suffix.lower() in supported_audio_extensions())
     if not files:
-        print(f"[ERROR] no WAV files under {dcfg.audio_dir}")
+        print(f"[ERROR] no audio files under {dcfg.audio_dir}")
         return 1
 
     result = run_benchmark(runner, cfg, classes, files,

@@ -75,7 +75,10 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
         top_predictions,
     )
 
+    from birdnet_stm32_tpu.data.dataset import supported_audio_extensions
+
     classifier_for = make_classifier_cache(runner, cfg)
+    exts = supported_audio_extensions()
 
     done = _recorded_files(results_file)
     if done:
@@ -90,7 +93,7 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
         while True:
             new = sorted(
                 p for p in audio_dir.rglob("*")
-                if p.suffix.lower() == ".wav"
+                if p.suffix.lower() in exts
                 and str(p.relative_to(audio_dir)) not in done)
             for path in new:
                 # Key by path relative to the watched dir: bare filenames
@@ -112,9 +115,9 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                 src_rate = cfg.sample_rate
                 if device_resample:
                     try:
-                        from birdnet_stm32_tpu.audio.io import wav_info
+                        from birdnet_stm32_tpu.audio.io import audio_info
 
-                        src_rate = wav_info(path).sample_rate
+                        src_rate = audio_info(path).sample_rate
                     except Exception:
                         pass
                 try:

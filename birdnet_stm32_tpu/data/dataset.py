@@ -14,11 +14,24 @@ from pathlib import Path
 
 import numpy as np
 
-AUDIO_EXTENSIONS = (".wav",)  # no libsndfile in this environment; WAV only
+AUDIO_EXTENSIONS = (".wav",)  # always decodable (in-repo RIFF reader)
+
+
+def supported_audio_extensions() -> tuple:
+    """Reference SUPPORTED_AUDIO_EXTS (dataset.py:13) gated on decode
+    capability: compressed formats join the list when the native libav
+    codec is available (no libsndfile in this environment)."""
+    from birdnet_stm32_tpu.audio import native
+
+    if native.codec_available():
+        return (".wav", ".mp3", ".flac", ".ogg", ".m4a")
+    return AUDIO_EXTENSIONS
+
+
 NOISE_LABELS = frozenset({"noise", "silence", "background", "other"})
 
 
-def _class_files(root: str | Path, extensions=AUDIO_EXTENSIONS) -> dict[str, list[str]]:
+def _class_files(root: str | Path, extensions=None) -> dict[str, list[str]]:
     """Map class-folder name -> sorted file list.
 
     A file's class is its IMMEDIATE parent directory's basename at any
@@ -26,6 +39,8 @@ def _class_files(root: str | Path, extensions=AUDIO_EXTENSIONS) -> dict[str, lis
     ``parent_class = basename(dirname(path))``), so nested per-session
     subfolders label the same way in both frameworks.
     """
+    if extensions is None:
+        extensions = supported_audio_extensions()
     out: dict[str, list[str]] = defaultdict(list)
     root = Path(root)
     for dirpath, _dirnames, filenames in os.walk(root):
@@ -38,7 +53,7 @@ def _class_files(root: str | Path, extensions=AUDIO_EXTENSIONS) -> dict[str, lis
     return dict(out)
 
 
-def get_classes_with_most_samples(root: str | Path, top_n: int, extensions=AUDIO_EXTENSIONS) -> list[str]:
+def get_classes_with_most_samples(root: str | Path, top_n: int, extensions=None) -> list[str]:
     """Top-N class names by file count, noise folders excluded
     (reference dataset.py:16-46)."""
     files = _class_files(root, extensions)
@@ -51,7 +66,7 @@ def load_file_paths_from_directory(
     root: str | Path,
     classes: list[str] | None = None,
     max_samples_per_class: int | None = None,
-    extensions=AUDIO_EXTENSIONS,
+    extensions=None,
     rng: np.random.Generator | None = None,
 ) -> tuple[list[str], list[str], list[str]]:
     """Walk a class-structured dataset directory.
@@ -61,7 +76,8 @@ def load_file_paths_from_directory(
         classes: Restrict to these classes (noise folders always kept as
             zero-label files). None = all non-noise classes.
         max_samples_per_class: Per-class cap (random subset).
-        extensions: Audio file extensions.
+        extensions: Audio file extensions (None = every decodable format,
+            supported_audio_extensions()).
         rng: RNG for the per-class cap subsample.
 
     Returns:

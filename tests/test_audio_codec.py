@@ -1,0 +1,105 @@
+"""Multi-format audio support via the native libav codec.
+
+The reference decodes mp3/flac/ogg/m4a through soundfile/audioread
+(data/dataset.py SUPPORTED_AUDIO_EXTS, audio/io.py:63-130); here the same
+formats flow through native/audio_codec.cc. Tests gate on codec
+availability so WAV-only hosts still pass.
+"""
+
+import numpy as np
+import pytest
+
+from birdnet_stm32_tpu.audio import native
+from birdnet_stm32_tpu.audio.io import audio_info, load_audio_file, load_audio_window
+from birdnet_stm32_tpu.data.dataset import (
+    load_file_paths_from_directory,
+    supported_audio_extensions,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.codec_available(), reason="libav codec not available")
+
+SR = 22050
+
+
+def _tone(seconds=2.0, f=1200.0):
+    t = np.arange(int(SR * seconds)) / SR
+    return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+@pytest.mark.parametrize("ext", ["flac", "ogg", "mp3"])
+def test_roundtrip_by_format(tmp_path, ext):
+    y = _tone()
+    p = tmp_path / f"tone.{ext}"
+    native.codec_encode(p, y, SR)
+    got, sr = native.codec_decode(p)
+    assert sr == SR
+    assert abs(len(got) - len(y)) < SR // 4  # codec delay/padding bounded
+    # Align (mp3 adds encoder delay) and compare a 1-s window.
+    k = SR
+    lag = int(np.argmax(np.correlate(got[: k + 2048], y[:k], mode="valid")))
+    a, b = got[lag : lag + k], y[:k]
+    m = min(len(a), len(b))
+    cos = float(np.dot(a[:m], b[:m]) /
+                (np.linalg.norm(a[:m]) * np.linalg.norm(b[:m]) + 1e-12))
+    assert cos > 0.98, f"{ext}: cosine {cos}"
+
+
+def test_load_audio_window_flac_resamples_and_normalizes(tmp_path):
+    y = _tone()
+    p = tmp_path / "tone.flac"
+    native.codec_encode(p, y, SR)
+    w = load_audio_window(p, sample_rate=16000, max_duration=10,
+                          chunk_duration=1.0)
+    assert w.size > 0
+    assert abs(w.size - 32000) < 1600  # 2 s at 16 kHz
+    assert np.isclose(np.abs(w).max(), 1.0, atol=1e-5)  # peak-normalized
+
+
+def test_load_audio_file_chunks_ogg(tmp_path):
+    p = tmp_path / "tone.ogg"
+    native.codec_encode(p, _tone(3.0), SR)
+    chunks = load_audio_file(p, sample_rate=SR, chunk_duration=1.0)
+    assert chunks.shape[0] >= 3 and chunks.shape[1] == SR
+
+
+def test_audio_info_probes_compressed(tmp_path):
+    p = tmp_path / "tone.flac"
+    native.codec_encode(p, _tone(), SR)
+    info = audio_info(p)
+    assert info.sample_rate == SR
+    assert abs(info.duration - 2.0) < 0.25
+
+
+def test_discovery_includes_compressed_formats(tmp_path):
+    assert ".flac" in supported_audio_extensions()
+    y = _tone()
+    from birdnet_stm32_tpu.audio.io import save_wav
+
+    save_wav(y, tmp_path / "bird_a" / "a.wav", SR)
+    native.codec_encode(tmp_path / "bird_a" / "b.flac", y, SR)
+    native.codec_encode(tmp_path / "bird_b" / "c.ogg", y, SR)
+    paths, labels, class_names = load_file_paths_from_directory(tmp_path)
+    assert len(paths) == 3
+    assert class_names == ["bird_a", "bird_b"]
+
+
+def test_mixed_format_loader_batches(tmp_path):
+    """AudioLoader yields training batches from a wav+flac+ogg dataset."""
+    from birdnet_stm32_tpu.audio.io import save_wav
+    from birdnet_stm32_tpu.data.dataset import one_hot_labels
+    from birdnet_stm32_tpu.data.pipeline import AudioLoader, LoaderConfig
+
+    y = _tone(2.0)
+    save_wav(y, tmp_path / "bird_a" / "a.wav", SR)
+    native.codec_encode(tmp_path / "bird_a" / "b.flac", y, SR)
+    native.codec_encode(tmp_path / "bird_b" / "c.ogg", _tone(2.0, 700), SR)
+    paths, labels, class_names = load_file_paths_from_directory(tmp_path)
+    loader = AudioLoader(
+        paths, one_hot_labels(labels, class_names),
+        LoaderConfig(sample_rate=4000, chunk_duration=1.0, snr_threshold=0.0,
+                     random_offset=False),
+        batch_size=3, num_workers=0, shuffle=False, infinite=False)
+    wave, lab = next(iter(loader))
+    assert wave.shape == (3, 4000) and lab.shape == (3, 2)
+    assert np.isfinite(wave).all() and np.abs(wave).max() > 0.1
