@@ -258,7 +258,7 @@ def codec_decode(path: str | os.PathLike, offset_frames: int = 0,
 
 
 def codec_encode(path: str | os.PathLike, data: np.ndarray, sample_rate: int) -> None:
-    """Encode mono float32 to .flac/.ogg/.mp3/.wav by extension."""
+    """Encode mono float32 to .flac/.ogg/.mp3/.m4a/.wav by extension."""
     lib = _try_load_codec()
     if lib is None:
         raise RuntimeError("codec library unavailable")

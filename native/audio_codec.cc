@@ -7,7 +7,7 @@
 // returns mono float32 at the stream's native rate (channel MEAN downmix,
 // matching reference io.py `y.mean(axis=1)`); resampling stays in the
 // existing polyphase path for parity. Encoding exists for fixture
-// generation and tooling (flac/ogg/mp3/wav by extension).
+// generation and tooling (flac/ogg/mp3/m4a/wav by extension).
 //
 // Built as a SEPARATE shared library (libaudio_codec.so) so the base
 // libaudio_native.so never depends on libav; Python gates on availability.
@@ -24,6 +24,12 @@ extern "C" {
 #include <vector>
 
 namespace {
+
+// Workers decode thousands of files; keep libav's per-file chatter
+// (e.g. mp3 "Could not update timestamps" notes) off stderr.
+struct LogQuiet {
+  LogQuiet() { av_log_set_level(AV_LOG_ERROR); }
+} log_quiet;
 
 struct DecodeCtx {
   AVFormatContext* fmt = nullptr;
@@ -229,6 +235,8 @@ int codec_encode_f32(const char* path, const float* data, long frames,
   } else if (ends_with(".mp3")) {
     codec = avcodec_find_encoder_by_name("libmp3lame");
     if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_MP3);
+  } else if (ends_with(".m4a")) {
+    codec = avcodec_find_encoder(AV_CODEC_ID_AAC);
   } else {
     codec = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
   }

@@ -27,7 +27,7 @@ def _tone(seconds=2.0, f=1200.0):
     return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
 
 
-@pytest.mark.parametrize("ext", ["flac", "ogg", "mp3"])
+@pytest.mark.parametrize("ext", ["flac", "ogg", "mp3", "m4a"])
 def test_roundtrip_by_format(tmp_path, ext):
     y = _tone()
     p = tmp_path / f"tone.{ext}"
