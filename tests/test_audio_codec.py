@@ -84,6 +84,30 @@ def test_discovery_includes_compressed_formats(tmp_path):
     assert class_names == ["bird_a", "bird_b"]
 
 
+def test_corrupt_compressed_file_degrades_to_empty(tmp_path):
+    """Crash-tolerant loads (reference generator.py:101-103): a truncated
+    or garbage compressed file must yield an empty window, which the
+    pipeline then converts to a zero-label noise sample — never raise."""
+    y = _tone()
+    good = tmp_path / "good.flac"
+    native.codec_encode(good, y, SR)
+    truncated = tmp_path / "bad.flac"
+    truncated.write_bytes(good.read_bytes()[: good.stat().st_size // 8])
+    garbage = tmp_path / "junk.flac"  # flac demuxer requires fLaC magic
+    garbage.write_bytes(b"\x00\xde\xad" * 1000)
+    empty = tmp_path / "empty.ogg"
+    empty.write_bytes(b"")
+    for p in (truncated, garbage, empty):
+        w = load_audio_window(p, sample_rate=16000, max_duration=10,
+                              chunk_duration=1.0)
+        assert isinstance(w, np.ndarray)
+    # Truncated FLAC may decode a prefix, and libav may false-probe byte
+    # soup as some audio format (same permissiveness as the reference's
+    # audioread path) — so garbage only guarantees "never raise". A truly
+    # unparseable (empty) file must come back empty.
+    assert load_audio_window(empty, sample_rate=16000).size == 0
+
+
 def test_mixed_format_loader_batches(tmp_path):
     """AudioLoader yields training batches from a wav+flac+ogg dataset."""
     from birdnet_stm32_tpu.audio.io import save_wav
