@@ -108,6 +108,44 @@ def test_corrupt_compressed_file_degrades_to_empty(tmp_path):
     assert load_audio_window(empty, sample_rate=16000).size == 0
 
 
+@pytest.mark.slow
+@pytest.mark.integration
+def test_evaluate_cli_on_compressed_dataset(tmp_path, capsys):
+    """The evaluate verb runs end-to-end over a flac/ogg test set — the
+    discovery, decode, chunking, and metrics paths all off-WAV."""
+    import jax
+
+    from birdnet_stm32_tpu.__main__ import main as dispatch
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    for cls, ext, f in [("bird_a", "flac", 900.0), ("bird_b", "ogg", 500.0)]:
+        native.codec_encode(tmp_path / "data" / cls / f"x.{ext}",
+                            _tone(2.0, f), SR)
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=2, class_names=["bird_a", "bird_b"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    model = build_dscnn(cfg, class_activation="softmax")
+    x = inputs_for_config(np.zeros((1, int(cfg.sample_rate * cfg.chunk_duration)),
+                                   np.float32), cfg)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    run_dir = tmp_path / "run"
+    save_checkpoint(run_dir, variables, cfg)
+
+    assert dispatch([
+        "evaluate", "--model_path", str(run_dir),
+        "--data_path_test", str(tmp_path / "data"),
+        "--output_dir", str(tmp_path / "eval"), "--save_csv",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "roc-auc" in out
+    rows = (tmp_path / "eval" / "predictions.csv").read_text().splitlines()
+    assert len(rows) == 3  # header + one row per compressed file
+
+
 def test_mixed_format_loader_batches(tmp_path):
     """AudioLoader yields training batches from a wav+flac+ogg dataset."""
     from birdnet_stm32_tpu.audio.io import save_wav
