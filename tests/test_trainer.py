@@ -108,6 +108,45 @@ def test_train_loop_learns_and_checkpoints(tmp_path, monkeypatch):
     assert acc > 0.7
 
 
+@pytest.mark.slow
+@pytest.mark.integration
+def test_train_raw_frontend_se_ir_attention(tmp_path, monkeypatch):
+    """BASELINE.json config #3: raw waveform frontend (learned conv
+    filterbank) + SE + inverted residuals + attention pooling trains
+    end-to-end and learns the toy separation."""
+    import birdnet_stm32_tpu.models.blocks as blocks
+
+    monkeypatch.setattr(blocks, "BN_MOMENTUM", 0.7)
+    cfg = tiny_cfg(audio_frontend="raw", mag_scale="none",
+                   use_se=True, use_inverted_residual=True,
+                   use_attention_pooling=True, frontend_trainable=True)
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    val_set = [make_batch() for _ in range(2)]
+    best, history = train_model(
+        model, variables, cfg,
+        train_batches=train_iter(), val_batches=lambda: val_set,
+        run_dir=tmp_path / "run", epochs=4, steps_per_epoch=8,
+        learning_rate=3e-3, patience=10, multilabel=False, seed=0,
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert history[-1]["val_roc_auc"] > 0.9
+    # The learned filterbank actually moved from its init.
+    model2, vars2, _ = load_checkpoint(tmp_path / "run", class_activation="none")
+    fb0 = init_model(model2, cfg)["params"]["audio_frontend"]
+    fb1 = vars2["params"]["audio_frontend"]
+    leaves0 = jax.tree_util.tree_leaves(fb0)
+    leaves1 = jax.tree_util.tree_leaves(fb1)
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+               for a, b in zip(leaves0, leaves1))
+
+
 @pytest.mark.integration
 def test_resume_continues_epoch_counter(tmp_path):
     cfg = tiny_cfg()
