@@ -162,6 +162,8 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
         "--output_dir", str(out_dir), "--save_csv", "--save_benchmark_json",
         "--optimize_thresholds", "--max_files", "8", "--n_bootstrap", "20",
         "--bootstrap_ci", "--save_embeddings", str(tmp_path / "emb.npz"),
+        "--pooling", "lme",  # BASELINE config #5: LME-pooled eval
+
     ]) == 0
     out = capsys.readouterr().out
     assert "roc-auc" in out and "cmAP" in out
