@@ -42,6 +42,9 @@ def get_args(argv=None):
                    help="serve float checkpoints in bfloat16")
     p.add_argument("--device_resample", action="store_true",
                    help="decode at native rate, resample on device")
+    p.add_argument("--decode_threads", type=int, default=0,
+                   help="decode N files ahead on threads, overlapping host "
+                        "decode with device compute (0 = serial)")
     p.add_argument("--once", action="store_true",
                    help="process the current directory contents and exit")
     return p.parse_args(argv)
@@ -66,8 +69,14 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                poll_interval: float = 2.0, batch_size: int = 64, top_k: int = 3,
                score_threshold: float = 0.01, overlap: float = 0.0,
                device_resample: bool = False, once: bool = False,
-               max_polls: int | None = None) -> int:
-    """Watch `audio_dir`; classify + record new WAVs. Returns files served."""
+               max_polls: int | None = None, decode_threads: int = 0) -> int:
+    """Watch `audio_dir`; classify + record new files. Returns files served.
+
+    With decode_threads > 0 the next files decode on host threads while
+    the device classifies the current one (the serve-side analog of
+    `benchmark --pipeline`; decode releases the GIL in the native paths).
+    Results stay in deterministic directory order either way.
+    """
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
     from birdnet_stm32_tpu.models.serving import (
         classify_in_batches,
@@ -86,15 +95,41 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
     print(f"[serve] watching {audio_dir} (poll {poll_interval:.1f}s); "
           f"results -> {results_file}")
 
+    def decode(path: Path):
+        """(rel, chunks, src_rate, error) — runs on a worker thread when
+        decode_threads > 0, so it must not touch shared state."""
+        rel = str(path.relative_to(audio_dir))
+        src_rate = cfg.sample_rate
+        if device_resample:
+            try:
+                from birdnet_stm32_tpu.audio.io import audio_info
+
+                src_rate = audio_info(path).sample_rate
+            except Exception:
+                pass
+        try:
+            chunks = chunks_for_file(str(path), cfg, overlap,
+                                     max_duration=None, sample_rate=src_rate)
+        except Exception as e:
+            return rel, None, src_rate, e
+        return rel, chunks, src_rate, None
+
     served = 0
     polls = 0
     pending: dict[str, int] = {}  # rel -> size at last poll (copy-in-progress guard)
+    pool = None
+    if decode_threads > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=decode_threads,
+                                  thread_name_prefix="serve-decode")
     try:
         while True:
             new = sorted(
                 p for p in audio_dir.rglob("*")
                 if p.suffix.lower() in exts
                 and str(p.relative_to(audio_dir)) not in done)
+            ready = []
             for path in new:
                 # Key by path relative to the watched dir: bare filenames
                 # collide across class subfolders.
@@ -111,21 +146,18 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                         pending[rel] = size
                         continue
                     pending.pop(rel, None)
+                ready.append(path)
+            if pool is not None:
+                # Decode ahead: futures resolve while earlier files are on
+                # the device; consume in order for deterministic results.
+                decoded = (f.result() for f in [pool.submit(decode, p)
+                                                for p in ready])
+            else:
+                decoded = (decode(p) for p in ready)
+            for rel, chunks, src_rate, err in decoded:
                 t0 = time.perf_counter()
-                src_rate = cfg.sample_rate
-                if device_resample:
-                    try:
-                        from birdnet_stm32_tpu.audio.io import audio_info
-
-                        src_rate = audio_info(path).sample_rate
-                    except Exception:
-                        pass
-                try:
-                    chunks = chunks_for_file(str(path), cfg, overlap,
-                                             max_duration=None,
-                                             sample_rate=src_rate)
-                except Exception as e:
-                    print(f"[serve] {rel}: decode failed ({e}); skipped")
+                if err is not None:
+                    print(f"[serve] {rel}: decode failed ({err}); skipped")
                     done.add(rel)
                     continue
                 if chunks.shape[0] == 0:
@@ -149,6 +181,9 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
             time.sleep(poll_interval)
     except KeyboardInterrupt:
         print("\n[serve] interrupted")
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
     print(f"=== DONE ===\nfiles served: {served}  results: {results_file}")
     return served
 
@@ -185,7 +220,8 @@ def main(argv=None) -> int:
                poll_interval=args.poll_interval, batch_size=args.batch_size,
                top_k=args.top_k, score_threshold=args.score_threshold,
                overlap=args.chunk_overlap,
-               device_resample=args.device_resample, once=args.once)
+               device_resample=args.device_resample, once=args.once,
+               decode_threads=args.decode_threads)
     return 0
 
 

@@ -370,6 +370,37 @@ def test_serve_once_and_resume(wav_dataset, tmp_path, capsys):
     assert len(keys) == len(set(keys)) == n_wavs + 2
 
 
+def test_serve_decode_threads_matches_serial(wav_dataset, tmp_path, capsys):
+    """--decode_threads overlaps host decode with device compute but must
+    produce the exact same TSV (same order, same scores) as serial."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+
+    serial, threaded = tmp_path / "serial.txt", tmp_path / "threaded.txt"
+    for results, extra in [(serial, []),
+                           (threaded, ["--decode_threads", "4"])]:
+        assert dispatch(["serve", "--model_path", str(run_dir),
+                         "--audio_dir", str(root), "--results_file",
+                         str(results), "--batch_size", "4", "--once",
+                         *extra]) == 0
+    capsys.readouterr()
+    assert serial.read_text() == threaded.read_text()
+    assert len(serial.read_text().splitlines()) == len(
+        list(Path(root).rglob("*.wav")))
+
+
 def test_serve_waits_for_stable_file_size(wav_dataset, tmp_path, capsys):
     """In polling mode a file is classified only once its size is stable
     across two polls (copy-in-progress guard); --once skips the guard."""
