@@ -84,6 +84,40 @@ def test_discovery_includes_compressed_formats(tmp_path):
     assert class_names == ["bird_a", "bird_b"]
 
 
+def test_offset_decode_is_sample_exact_on_flac(tmp_path):
+    """codec_decode(offset, n) must equal the same slice of a full decode
+    — validates the coarse-seek + PTS-skip path in audio_codec.cc (FLAC
+    is lossless, so equality is exact)."""
+    y = _tone(5.0)
+    p = tmp_path / "t.flac"
+    native.codec_encode(p, y, SR)
+    full, sr = native.codec_decode(p)
+    assert sr == SR
+    for start in (0, 1000, SR // 2, 2 * SR + 7, 4 * SR):  # pre/post seek knee
+        n = SR // 3
+        win, _ = native.codec_decode(p, offset_frames=start, max_frames=n)
+        ref = full[start:start + n]
+        assert win.shape == ref.shape, f"offset {start}"
+        np.testing.assert_array_equal(win, ref, err_msg=f"offset {start}")
+
+
+def test_codec_wav_decode_matches_riff_reader(tmp_path):
+    """The codec's WAV path and the in-repo RIFF reader agree (PCM16
+    quantization is the only difference, bounded by 1/32768)."""
+    from birdnet_stm32_tpu.audio.io import save_wav, wav_info
+
+    y = _tone(2.0)
+    p = tmp_path / "t.wav"
+    save_wav(y, p, SR)  # 16-bit PCM
+    got, sr = native.codec_decode(p)
+    assert sr == SR
+    info = wav_info(p)
+    assert info.frames == len(got)
+    riff = native.wav_read(p) if native.available() else None
+    if riff is not None:
+        assert np.abs(got - riff).max() <= 1.0 / 32768.0
+
+
 def test_corrupt_compressed_file_degrades_to_empty(tmp_path):
     """Crash-tolerant loads (reference generator.py:101-103): a truncated
     or garbage compressed file must yield an empty window, which the
