@@ -54,6 +54,13 @@ def get_args(argv=None):
     p.add_argument("--save_det_plot", default=None, metavar="PNG",
                    help="DET curve plot path (reference --save_det_plot)")
     p.add_argument("--save_html", action="store_true")
+    p.add_argument("--report_html", default=None, metavar="HTML",
+                   help="write the HTML report to this path (reference "
+                        "evaluate.py --report_html spelling)")
+    p.add_argument("--species_report", default=None, metavar="CSV",
+                   help="write the per-species AP CSV to this path "
+                        "(reference evaluate.py --species_report spelling; "
+                        "--save_csv also writes one into --output_dir)")
     p.add_argument("--save_plots", action="store_true",
                    help="confusion-matrix PNG (and DET PNG with --det_curve)")
     p.add_argument("--save_benchmark_json", nargs="?", const=True, default=False,
@@ -141,7 +148,8 @@ def main(argv=None) -> int:
         (out_dir / "thresholds.json").write_text(json.dumps(th, indent=2))
         print(f"[evaluate] per-class thresholds -> {out_dir / 'thresholds.json'}")
     species_data = None
-    if args.bootstrap_ci or args.save_csv:
+    if (args.bootstrap_ci or args.save_csv or args.species_report
+            or args.report_html or args.save_benchmark_json):
         species_data = M.bootstrap_ap_ci(
             y_true, y_scores, classes,
             n_bootstrap=args.n_bootstrap if args.bootstrap_ci else 50)
@@ -160,6 +168,8 @@ def main(argv=None) -> int:
                     else out_dir / "predictions.csv")
         R.save_predictions_csv(per_file, classes, csv_path)
         R.save_species_report_csv(species_data, out_dir / "species_report.csv")
+    if args.species_report:
+        R.save_species_report_csv(species_data, Path(args.species_report))
     if args.save_benchmark_json:
         json_path = (Path(args.save_benchmark_json)
                      if isinstance(args.save_benchmark_json, str)
@@ -200,11 +210,13 @@ def main(argv=None) -> int:
                          embeddings=np.stack(embs).astype(np.float32))
                 print(f"[evaluate] embeddings [{len(names)}, {embs[0].shape[0]}] "
                       f"-> {args.save_embeddings}")
-    if args.save_html:
+    if args.save_html or args.report_html:
+        html_path = (Path(args.report_html) if args.report_html
+                     else out_dir / "report.html")
         R.save_html_report(results, classes, y_true, y_scores, str(model_path),
-                           out_dir / "report.html",
+                           html_path,
                            species_data=species_data, config=cfg.to_dict())
-        print(f"[evaluate] HTML report -> {out_dir / 'report.html'}")
+        print(f"[evaluate] HTML report -> {html_path}")
     return 0
 
 

@@ -163,7 +163,10 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
         "--optimize_thresholds", "--max_files", "8", "--n_bootstrap", "20",
         "--bootstrap_ci", "--save_embeddings", str(tmp_path / "emb.npz"),
         "--pooling", "lme",  # BASELINE config #5: LME-pooled eval
-
+        # Reference evaluate.py path-taking spellings (--species_report /
+        # --report_html) alongside our --save_csv/--save_html toggles.
+        "--species_report", str(tmp_path / "species.csv"),
+        "--report_html", str(tmp_path / "report.html"),
     ]) == 0
     out = capsys.readouterr().out
     assert "roc-auc" in out and "cmAP" in out
@@ -174,6 +177,9 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert (out_dir / "species_report.csv").exists()
     assert (out_dir / "benchmark.json").exists()
     assert (out_dir / "thresholds.json").exists()
+    assert (tmp_path / "species.csv").exists()
+    html = (tmp_path / "report.html").read_text()
+    assert "<html" in html.lower()
 
     # Benchmark driver ([BENCH] protocol).
     csv_path = tmp_path / "bench.csv"
