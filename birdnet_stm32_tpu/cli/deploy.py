@@ -50,7 +50,8 @@ def get_args(argv=None):
     # reference invocations parse; TPU deployment builds a self-contained
     # bundle and shells out to no vendor tools.
     for flag in ("--stedgeai_path", "--x_cube_ai_path", "--cubeide_path",
-                 "--arm_toolchain_path", "--workspace_dir"):
+                 "--arm_toolchain_path", "--workspace_dir",
+                 "--n6_loader_config"):
         p.add_argument(flag, default="", help=argparse.SUPPRESS)
     p.add_argument("--skip_validate", action="store_true",
                    help="skip the on-device validation step")
