@@ -247,14 +247,22 @@ def codec_decode(path: str | os.PathLike, offset_frames: int = 0,
         raise RuntimeError("codec library unavailable")
     sr, ch, fr = codec_info(path)
     cap = int(max_frames) if max_frames and max_frames > 0 else max(fr, sr) + sr
-    out = np.empty(cap + 4096, np.float32)
     sro = ctypes.c_int()
-    n = lib.codec_decode_f32(str(path).encode(), int(offset_frames),
-                             int(max_frames), _fptr(out), len(out),
-                             ctypes.byref(sro))
-    if n < 0:
-        raise ValueError(f"decode failed for {path}")
-    return out[:n].copy(), sro.value
+    while True:
+        out = np.empty(cap + 4096, np.float32)
+        n = lib.codec_decode_f32(str(path).encode(), int(offset_frames),
+                                 int(max_frames), _fptr(out), len(out),
+                                 ctypes.byref(sro))
+        if n < 0:
+            raise ValueError(f"decode failed for {path}")
+        # Container duration estimates (codec_audio_info) can undercount —
+        # e.g. VBR mp3 without a Xing header. A decode that fills the buffer
+        # exactly may be truncated: retry with doubled capacity until the
+        # decoder stops short of it (full-file mode only; with max_frames
+        # the caller asked for exactly that many).
+        if n < len(out) or (max_frames and max_frames > 0):
+            return out[:n].copy(), sro.value
+        cap *= 2
 
 
 def codec_encode(path: str | os.PathLike, data: np.ndarray, sample_rate: int) -> None:

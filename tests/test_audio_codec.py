@@ -199,3 +199,27 @@ def test_mixed_format_loader_batches(tmp_path):
     wave, lab = next(iter(loader))
     assert wave.shape == (3, 4000) and lab.shape == (3, 2)
     assert np.isfinite(wave).all() and np.abs(wave).max() > 0.1
+
+
+def test_decode_survives_undercounted_duration(tmp_path, monkeypatch):
+    """Full-file decode must not truncate when the container's duration
+    estimate undercounts (e.g. VBR mp3 without a Xing header): codec_decode
+    grows the buffer and retries until the decoder stops short of capacity."""
+    p = tmp_path / "long.flac"
+    y = _tone(3.0)
+    native.codec_encode(p, y, SR)
+
+    real_info = native.codec_info
+
+    def tiny_estimate(path):
+        sr, ch, fr = real_info(path)
+        return sr, ch, 16  # wildly undercounted frame estimate
+
+    monkeypatch.setattr(native, "codec_info", tiny_estimate)
+    decoded, sr = native.codec_decode(p)
+    assert sr == SR
+    # FLAC is lossless: the full signal must be present, not just the
+    # estimate-sized prefix.
+    assert abs(decoded.shape[0] - y.shape[0]) <= 16
+    n = min(decoded.shape[0], y.shape[0])
+    assert np.allclose(decoded[:n], y[:n], atol=1e-4)
