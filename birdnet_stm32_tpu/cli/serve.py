@@ -129,6 +129,11 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                 p for p in audio_dir.rglob("*")
                 if p.suffix.lower() in exts
                 and str(p.relative_to(audio_dir)) not in done)
+            # Prune copy-in-progress entries for files that vanished, so a
+            # long-running service doesn't accumulate state for transients.
+            live = {str(p.relative_to(audio_dir)) for p in new}
+            for gone in [r for r in pending if r not in live]:
+                del pending[gone]
             ready = []
             for path in new:
                 # Key by path relative to the watched dir: bare filenames
