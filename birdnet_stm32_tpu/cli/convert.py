@@ -58,7 +58,17 @@ def main(argv=None) -> int:
     if args.quantize == "ptq":
         args.quantize = "int8"
     model_path = Path(args.model_path)
-    if model_path.suffix == ".keras":
+    if model_path.suffix == ".keras" and not model_path.exists() and (
+            model_path.parent / "model_config.json").exists():
+        # The documented flow passes train's --checkpoint_path verbatim
+        # (reference docs/getting-started.md); our train maps that .keras
+        # name to a run DIRECTORY, so resolve the same way here.
+        from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
+
+        model, variables, cfg = load_checkpoint(model_path.parent)
+        stem = model_path.stem
+        out_default = model_path.parent
+    elif model_path.suffix == ".keras":
         from birdnet_stm32_tpu.models.transplant import load_reference_model
 
         config_path = Path(args.model_config) if args.model_config else (

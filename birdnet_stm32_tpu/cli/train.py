@@ -205,9 +205,14 @@ def main(argv=None) -> int:
     set_global_seed(args.seed)
     args.audio_frontend = normalize_frontend_name(args.audio_frontend)
     run_dir = Path(args.run_dir)
+    keras_stem = None
     if run_dir.suffix == ".keras":
         # Reference --checkpoint_path names a .keras FILE; this framework's
-        # runs are directories — use the file's directory.
+        # runs are directories — use the file's directory, and remember the
+        # stem so reference-named sidecars (<stem>_model_config.json,
+        # <stem>_labels.txt — reference cli/train.py:466,526) are written
+        # too, keeping the documented train->convert->evaluate flow intact.
+        keras_stem = run_dir.stem
         run_dir = run_dir.parent
         info("train", f"--checkpoint_path file mapped to run dir {run_dir}")
 
@@ -317,6 +322,9 @@ def main(argv=None) -> int:
     run_dir.mkdir(parents=True, exist_ok=True)
     cfg.save(run_dir / "model_config.json")
     save_species_list(class_names, run_dir / "labels.txt")
+    if keras_stem:
+        cfg.save(run_dir / f"{keras_stem}_model_config.json")
+        save_species_list(class_names, run_dir / f"{keras_stem}_labels.txt")
 
     train_model(
         model, variables, cfg, iter(train_loader), lambda: iter(val_loader), run_dir,

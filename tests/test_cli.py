@@ -233,6 +233,45 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert len(rows) > 1
 
 
+@pytest.mark.integration
+def test_documented_keras_checkpoint_flow(wav_dataset, tmp_path, capsys):
+    """The reference's documented 3-step flow works verbatim with a .keras
+    --checkpoint_path spelling (reference docs/getting-started.md:62-87):
+    train maps the file to a run dir + writes <stem>_model_config.json /
+    <stem>_labels.txt sidecars, and convert/evaluate resolve the same
+    .keras name back to that run dir."""
+    root, sr = wav_dataset
+    keras_path = tmp_path / "ckpt" / "my_model.keras"
+
+    assert dispatch([
+        "train", "--data_path_train", str(root),
+        "--checkpoint_path", str(keras_path),
+        "--sample_rate", "4000", "--chunk_duration", "1.0",
+        "--fft_length", "128", "--num_mels", "16", "--spec_width", "32",
+        "--alpha", "0.25", "--embeddings_size", "32",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--num_workers", "0", "--no_mesh", "--max_chunks_per_file", "1",
+        "--seed", "0",
+    ]) == 0
+    run_dir = keras_path.parent
+    assert (run_dir / "my_model_model_config.json").exists()
+    assert (run_dir / "my_model_labels.txt").exists()
+
+    assert dispatch([
+        "convert", "--checkpoint_path", str(keras_path),
+        "--model_config", str(run_dir / "my_model_model_config.json"),
+        "--data_path_train", str(root),
+        "--quantize", "dynamic", "--num_calibration_samples", "4",
+    ]) == 0
+    assert (run_dir / "my_model_quantized.tflite").exists()
+
+    assert dispatch([
+        "evaluate", "--model_path", str(keras_path),
+        "--data_path_test", str(root), "--max_files", "4",
+    ]) == 0
+    assert "cmAP" in capsys.readouterr().out
+
+
 @pytest.mark.slow
 @pytest.mark.integration
 def test_evaluate_tflite_runners(wav_dataset, tmp_path, capsys):
