@@ -57,15 +57,17 @@ def main(argv=None) -> int:
 
     if args.quantize == "ptq":
         args.quantize = "int8"
+    from birdnet_stm32_tpu.training.checkpoint import keras_run_dir
+
     model_path = Path(args.model_path)
-    if model_path.suffix == ".keras" and not model_path.exists() and (
-            model_path.parent / "model_config.json").exists():
+    run_equiv = keras_run_dir(model_path)
+    if run_equiv is not None:
         # The documented flow passes train's --checkpoint_path verbatim
         # (reference docs/getting-started.md); our train maps that .keras
         # name to a run DIRECTORY, so resolve the same way here.
         from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
 
-        model, variables, cfg = load_checkpoint(model_path.parent)
+        model, variables, cfg = load_checkpoint(run_equiv)
         stem = model_path.stem
         out_default = model_path.parent
     elif model_path.suffix == ".keras":

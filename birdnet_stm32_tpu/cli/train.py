@@ -101,7 +101,9 @@ def get_args(argv=None):
     p.add_argument("--no_mesh", action="store_true", help="single-device (skip data-parallel mesh)")
     # Mode dispatch (reference cli/train.py:303-321)
     p.add_argument("--qat", action="store_true", help="QAT fine-tune an existing run_dir checkpoint")
-    p.add_argument("--qat_learning_rate", type=float, default=1e-5)
+    p.add_argument("--qat_learning_rate", type=float, default=None,
+                   help="QAT fine-tune LR (default: --learning_rate when "
+                        "given, else 1e-5)")
     p.add_argument("--linear_probe", action="store_true", help="retrain only the head on the new data")
     p.add_argument("--find_lr", action="store_true", help="run the LR finder and exit")
     p.add_argument("--tune", type=int, nargs="?", const=-1, default=0, metavar="N",
@@ -225,11 +227,17 @@ def main(argv=None) -> int:
             setattr(args, f, getattr(cfg, f))
         train_loader, val_loader, class_names, _ = build_loaders(args, for_qat=True)
         mesh = None if args.no_mesh else make_mesh()
+        # Reference QAT takes the plain --learning_rate (qat.py:287-293
+        # there); --qat_learning_rate stays as an explicit override.
+        qat_lr = args.qat_learning_rate
+        if qat_lr is None:
+            qat_lr = args.learning_rate if args.learning_rate != 1e-3 else 1e-5
         run_qat(run_dir, iter(train_loader), lambda: iter(val_loader),
                 epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 100,
-                learning_rate=args.qat_learning_rate,
+                learning_rate=qat_lr,
                 multilabel=args.multilabel, mesh=mesh,
-                num_classes=len(class_names), seed=args.seed)
+                num_classes=len(class_names), seed=args.seed,
+                out_dir=(run_dir / f"{keras_stem}_qat") if keras_stem else None)
         return 0
 
     cfg_kwargs = dict(
@@ -292,7 +300,8 @@ def main(argv=None) -> int:
         run_linear_probe(
             base_model, base_vars, base_cfg, class_names,
             to_inputs(iter(train_loader)), lambda: to_inputs(iter(val_loader)),
-            run_dir.with_name(run_dir.name + "_probe"),
+            (run_dir / f"{keras_stem}_probe") if keras_stem
+            else run_dir.with_name(run_dir.name + "_probe"),
             epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 50,
             learning_rate=args.learning_rate, multilabel=args.multilabel, seed=args.seed)
         return 0

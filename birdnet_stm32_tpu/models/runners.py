@@ -167,13 +167,16 @@ def load_model_runner(model_path: str | Path, config_path: str | Path | None = N
             return sim
         return TFLiteInterpreterRunner(p)
     if p.suffix == ".keras":
-        if not p.exists() and (p.parent / "model_config.json").exists():
+        from birdnet_stm32_tpu.training.checkpoint import keras_run_dir
+
+        run_equiv = keras_run_dir(p)
+        if run_equiv is not None:
             # Train's --checkpoint_path .keras name maps to a run directory
             # (cli/train.py); accept the same spelling here so the
             # documented train->evaluate flow works verbatim.
             from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
 
-            model, variables, cfg = load_checkpoint(p.parent)
+            model, variables, cfg = load_checkpoint(run_equiv)
             return FlaxRunner(model, variables, cfg, dtype=dtype)
         from birdnet_stm32_tpu.models.transplant import load_reference_model
 

@@ -39,6 +39,21 @@ def save_checkpoint(run_dir: str | Path, variables: dict, cfg: ModelConfig) -> N
         (run_dir / "labels.txt").write_text("".join(f"{c}\n" for c in cfg.class_names))
 
 
+def keras_run_dir(path: str | Path) -> Path | None:
+    """Resolve a reference-style .keras path that does not exist on disk to
+    the run directory this framework trained into (cli/train.py maps
+    --checkpoint_path ckpt/name.keras to the ckpt/ run dir; QAT/probe runs
+    land in ckpt/name_qat/ etc.). Returns None when `path` is a real file
+    or no run dir matches."""
+    p = Path(path)
+    if p.suffix != ".keras" or p.exists():
+        return None
+    for cand in (p.with_suffix(""), p.parent):
+        if (cand / "model_config.json").exists():
+            return cand
+    return None
+
+
 def load_checkpoint(run_dir: str | Path, class_activation: str | None = None):
     """Load (model, variables, cfg) from a run directory."""
     from birdnet_stm32_tpu.models.dscnn import build_dscnn, shape_init

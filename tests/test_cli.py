@@ -271,6 +271,24 @@ def test_documented_keras_checkpoint_flow(wav_dataset, tmp_path, capsys):
     ]) == 0
     assert "cmAP" in capsys.readouterr().out
 
+    # Documented QAT flow (reference docs/training.md:157-169): fine-tune
+    # via the same .keras spelling, then convert <stem>_qat.keras — which
+    # must resolve to the QAT run dir, not the base checkpoint.
+    assert dispatch([
+        "train", "--data_path_train", str(root), "--qat",
+        "--checkpoint_path", str(keras_path),
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--learning_rate", "0.0001",
+        "--num_workers", "0", "--no_mesh", "--seed", "0",
+    ]) == 0
+    assert (run_dir / "my_model_qat" / "best").exists()
+    assert dispatch([
+        "convert", "--checkpoint_path", str(run_dir / "my_model_qat.keras"),
+        "--data_path_train", str(root),
+        "--quantize", "dynamic", "--num_calibration_samples", "4",
+    ]) == 0
+    assert (run_dir / "my_model_qat_quantized.tflite").exists()
+
 
 @pytest.mark.slow
 @pytest.mark.integration
