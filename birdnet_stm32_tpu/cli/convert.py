@@ -15,8 +15,10 @@ def get_args(argv=None):
     p = argparse.ArgumentParser("birdnet_stm32_tpu convert")
     p.add_argument("--model_path", "--checkpoint_path", required=True,
                    help="checkpoint directory (or reference .keras file)")
-    p.add_argument("--data_path", "--data_path_train", required=True,
-                   help="calibration audio directory")
+    p.add_argument("--data_path", "--data_path_train", default=None,
+                   help="calibration audio directory (omitted: random "
+                        "representative dataset, reference "
+                        "cli/convert.py:124-144)")
     p.add_argument("--model_config", default=None,
                    help="config JSON override for .keras inputs (reference "
                         "cli/convert.py:29; checkpoint dirs carry their own)")
@@ -88,8 +90,11 @@ def main(argv=None) -> int:
     out_path = Path(args.output_path) if args.output_path else (
         out_default / f"{stem}_quantized.tflite")
 
-    paths, labels, _ = load_file_paths_from_directory(args.data_path,
-                                                      classes=cfg.class_names)
+    if args.data_path:
+        paths, labels, _ = load_file_paths_from_directory(
+            args.data_path, classes=cfg.class_names)
+    else:
+        paths, labels = None, None
     # Export with the activation the checkpoint was trained for (multilabel
     # checkpoints serve sigmoid; the float validation runner matches).
     class_activation = getattr(model, "class_activation", "softmax")

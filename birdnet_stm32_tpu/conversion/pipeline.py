@@ -20,7 +20,11 @@ import numpy as np
 from birdnet_stm32_tpu.config import ModelConfig
 from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
 from birdnet_stm32_tpu.models.runners import FlaxRunner, TFLiteSimRunner
-from birdnet_stm32_tpu.quant.calibrate import representative_inputs, stratified_sample_paths
+from birdnet_stm32_tpu.quant.calibrate import (
+    random_representative_inputs,
+    representative_inputs,
+    stratified_sample_paths,
+)
 from birdnet_stm32_tpu.quant.validate import validate_runners
 from birdnet_stm32_tpu.utils.logging import info, ok, warn
 
@@ -75,12 +79,20 @@ def convert_model(
         # Calibration is only consumed by full-INT8 PTQ; 'dynamic'/'float'
         # modes skip the decode + device-frontend cost entirely.
         if not calibration_paths:
-            raise ValueError("need calibration_paths or calibration_inputs")
-        if calibration_labels is not None:
-            calibration_paths = stratified_sample_paths(
-                calibration_paths, calibration_labels, calibration_per_class, seed)
-        calibration_inputs = representative_inputs(
-            calibration_paths, cfg, num_samples=num_calibration_samples, seed=seed)
+            # Reference cli/convert.py:124-144: no data directory falls
+            # back to a random representative dataset.
+            warn("convert", "no calibration audio provided; generating a "
+                            "random representative dataset")
+            calibration_inputs = random_representative_inputs(
+                cfg, num_samples=num_calibration_samples, seed=seed)
+        else:
+            if calibration_labels is not None:
+                calibration_paths = stratified_sample_paths(
+                    calibration_paths, calibration_labels,
+                    calibration_per_class, seed)
+            calibration_inputs = representative_inputs(
+                calibration_paths, cfg, num_samples=num_calibration_samples,
+                seed=seed)
     if calibration_inputs is not None:
         info("convert", f"{len(calibration_inputs)} calibration samples, mode={quantize}")
 

@@ -17,6 +17,21 @@ from birdnet_stm32_tpu.config import ModelConfig
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 
+def random_representative_inputs(
+    cfg: ModelConfig,
+    num_samples: int = 100,
+    seed: int = 0,
+) -> np.ndarray:
+    """[N, ...] random model-input tensors for calibration/validation when
+    no audio is available (reference cli/convert.py:124-144: uniform [0,1)
+    for spectrogram-shaped frontends, normal for raw waveforms)."""
+    rng = np.random.default_rng(seed)
+    shape = (num_samples, *cfg.input_shape())
+    if cfg.audio_frontend == "raw":
+        return rng.standard_normal(shape).astype(np.float32)
+    return rng.random(shape, dtype=np.float32)
+
+
 def representative_inputs(
     file_paths: list[str],
     cfg: ModelConfig,

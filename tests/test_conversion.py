@@ -83,6 +83,35 @@ def test_convert_model_int8_gate_and_report(tmp_path):
     assert npz["float_outputs"].shape == npz["quant_outputs"].shape
 
 
+@pytest.mark.slow
+def test_convert_model_no_data_random_calibration(tmp_path):
+    """Without calibration audio, full INT8 conversion falls back to a
+    random representative dataset (reference cli/convert.py:124-144)."""
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg)
+    v = init_model(model, cfg, jax.random.key(1))
+    out = tmp_path / "model_quantized.tflite"
+    report = convert_model(model, v, cfg, out, min_cosine_sim=0.80,
+                           num_calibration_samples=16,
+                           num_validation_samples=8)
+    assert out.exists()
+    assert report["validation"]["cosine_mean"] >= 0.80
+
+
+def test_random_representative_inputs_shapes():
+    from birdnet_stm32_tpu.quant.calibrate import random_representative_inputs
+
+    spec = random_representative_inputs(tiny_cfg(), num_samples=5, seed=0)
+    assert spec.shape == (5, *tiny_cfg().input_shape())
+    assert spec.dtype == np.float32
+    assert spec.min() >= 0.0 and spec.max() <= 1.0  # uniform, like the ref
+    raw = random_representative_inputs(
+        tiny_cfg(audio_frontend="raw", mag_scale="none"), num_samples=3, seed=0)
+    assert raw.shape[1:] == tiny_cfg(audio_frontend="raw",
+                                     mag_scale="none").input_shape()
+    assert raw.min() < 0.0  # normal-distributed waveforms
+
+
 def test_convert_model_gate_fails(tmp_path):
     """An impossible gate must raise (reference convert.py:187-195)."""
     cfg = tiny_cfg()
