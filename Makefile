@@ -1,6 +1,7 @@
 # Developer entry points (reference Makefile parity).
-.PHONY: help install install-dev lint format format-check typecheck \
-        test test-unit test-integration native bench docs clean
+.PHONY: help install install-dev install-docs lint format format-check \
+        typecheck test test-unit test-integration test-cov native bench \
+        train convert evaluate deploy docs docs-serve clean
 
 help: ## Show this help
 	@grep -E '^[a-z-]+:.*##' $(MAKEFILE_LIST) | \
@@ -11,6 +12,9 @@ install: ## Install the package
 
 install-dev: ## Install with test + dev tooling extras
 	pip install -e ".[test,interop,dev]"
+
+install-docs: ## Install docs extras only
+	pip install -e ".[docs]"
 
 lint: ## Run ruff linter
 	python -m ruff check birdnet_stm32_tpu tests
@@ -33,14 +37,32 @@ test-unit: ## Run unit tests only
 test-integration: ## Run integration + slow tests
 	python -m pytest tests/ -q -m "integration or slow"
 
+test-cov: ## Run tests with coverage report
+	python -m pytest tests/ -v --cov=birdnet_stm32_tpu --cov-report=term-missing
+
 native: ## Build the C++ audio library
 	$(MAKE) -C native
 
 bench: ## Run the headline benchmark
 	python bench.py
 
+train: ## Train a model (pass ARGS="..." for extra arguments)
+	python train.py $(ARGS)
+
+convert: ## Convert model to TFLite (pass ARGS="..." for extra arguments)
+	python convert.py $(ARGS)
+
+evaluate: ## Evaluate a model (pass ARGS="..." for extra arguments)
+	python test.py $(ARGS)
+
+deploy: ## Build a deployment bundle (pass ARGS="..." for extra arguments)
+	python -m birdnet_stm32_tpu deploy $(ARGS)
+
 docs: ## Build the documentation site
 	mkdocs build --strict
+
+docs-serve: ## Serve documentation locally
+	mkdocs serve
 
 clean: ## Remove build and cache artifacts
 	$(MAKE) -C native clean
