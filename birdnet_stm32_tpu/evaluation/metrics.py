@@ -56,6 +56,7 @@ def evaluate(
     profile_memory: bool = False,
     label_fn=None,
     decode_workers: int = 0,
+    max_duration: float = 60.0,
 ) -> tuple[dict, list[dict], np.ndarray, np.ndarray]:
     """Per-chunk inference -> pooled file scores -> metrics.
 
@@ -74,6 +75,8 @@ def evaluate(
         decode_workers: >0 prefetches file decode on that many threads,
             overlapping host decode with device inference (chunk batching
             and results are unchanged).
+        max_duration: Per-file decode cap in seconds (reference
+            metrics.py:45 hardcodes 60).
 
     Returns:
         (metrics dict, per_file list, y_true [N,C], y_scores [N,C]).
@@ -148,19 +151,22 @@ def evaluate(
         with ThreadPoolExecutor(max_workers=decode_workers) as ex:
             # Bounded decode-ahead window (RAM-safe on large test sets).
             window = max(2 * decode_workers, 4)
-            futs = deque((p, lb, ex.submit(chunks_for_file, p, cfg, overlap))
-                         for p, lb in labeled[:window])
+            futs = deque(
+                (p, lb, ex.submit(chunks_for_file, p, cfg, overlap, max_duration))
+                for p, lb in labeled[:window])
             nxt = window
             while futs:
                 path, label, fut = futs.popleft()
                 if nxt < len(labeled):
                     p, lb = labeled[nxt]
-                    futs.append((p, lb, ex.submit(chunks_for_file, p, cfg, overlap)))
+                    futs.append((p, lb, ex.submit(
+                        chunks_for_file, p, cfg, overlap, max_duration)))
                     nxt += 1
                 consume(path, label, fut.result())
     else:
         for path, label in labeled:
-            consume(path, label, chunks_for_file(path, cfg, overlap))
+            consume(path, label,
+                    chunks_for_file(path, cfg, overlap, max_duration))
     flush(force=True)
 
     for fi, (path, label, target) in enumerate(file_records):

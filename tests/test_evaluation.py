@@ -91,6 +91,25 @@ def test_evaluate_end_to_end(wav_dataset):
         assert key in metrics
 
 
+def test_evaluate_max_duration_caps_chunks(wav_dataset):
+    """max_duration bounds per-file decode: 1 s cap on 3 s files yields one
+    1-s chunk per file (reference metrics.py:45 semantics, CLI-tunable)."""
+    root, sr = wav_dataset
+    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
+
+    paths, labels, class_names = load_file_paths_from_directory(root)
+    real = [p for p, l in zip(paths, labels) if l in class_names]
+    cfg = ModelConfig(sample_rate=sr, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                      class_names=class_names, audio_frontend="librosa", mag_scale="none")
+    capped, _, _, _ = evaluate(FakeRunner(2), real, class_names, cfg,
+                               batch_size=4, max_duration=1.0)
+    full, _, _, _ = evaluate(FakeRunner(2), real, class_names, cfg,
+                             batch_size=4, max_duration=60.0)
+    assert capped["total_chunks"] == len(real)  # one chunk per file
+    assert full["total_chunks"] > capped["total_chunks"]
+
+
 def test_evaluate_threaded_decode_matches_serial(wav_dataset):
     """decode_workers>0 (prefetch threads) must not change any result."""
     from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
