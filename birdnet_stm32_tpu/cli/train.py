@@ -216,6 +216,7 @@ def main(argv=None) -> int:
         # too, keeping the documented train->convert->evaluate flow intact.
         keras_stem = run_dir.stem
         run_dir = run_dir.parent
+        args.run_dir = str(run_dir)  # downstream branches (tuning) use args
         info("train", f"--checkpoint_path file mapped to run dir {run_dir}")
 
     if args.qat:
