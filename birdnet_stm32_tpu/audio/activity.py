@@ -86,6 +86,12 @@ def get_s2n(x: np.ndarray) -> float:
     return float(np.mean(x) / (np.std(x) + 1e-10))
 
 
+# The reference spells the identical computation twice, by input kind
+# (activity.py:130-156); keep both names importable.
+get_s2n_from_spectrogram = get_s2n
+get_s2n_from_audio = get_s2n
+
+
 def sort_by_s2n(samples: list[np.ndarray], threshold: float = 0.1) -> list[np.ndarray]:
     """Sort by normalized SNR proxy, filter below threshold, keep >= 1
     (reference activity.py:160-185)."""

@@ -58,6 +58,10 @@ def registered_frontends() -> list[str]:
     return sorted(_REGISTRY)
 
 
+# Reference-spelled alias (registry.py:66 there).
+list_frontends = registered_frontends
+
+
 # Built-ins (reference registry.py:96-140).
 for _info in (
     FrontendInfo("librosa", "precomputed", True, True),

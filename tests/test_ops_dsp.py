@@ -157,3 +157,29 @@ def test_spectrogram_short_audio_no_zero_hop():
     S = np.asarray(spectrogram_batch(y, sample_rate=4000, n_fft=64, mel_bins=16,
                                      spec_width=256, mag_scale="none", mode="mel"))
     assert S.shape[0] == 1 and np.all(np.isfinite(S))
+
+
+def test_host_compat_spectrogram_api(sine_wave):
+    """The reference-import-path shim (audio/spectrogram.py there) returns
+    the single-sample slice of the batched device op, and normalize matches
+    the reference's min-max formula (reference audio/spectrogram.py:12-21)."""
+    from birdnet_stm32_tpu.audio.spectrogram import (
+        get_spectrogram_from_audio,
+        normalize,
+    )
+
+    audio, _sr = sine_wave
+    one = get_spectrogram_from_audio(audio, sample_rate=22050,
+                                     mel_bins=32, spec_width=64)
+    batched = np.asarray(spectrogram_batch(jnp.asarray(audio)[None],
+                                           sample_rate=22050, mel_bins=32,
+                                           spec_width=64))[0]
+    np.testing.assert_array_equal(one, batched)
+    assert one.shape == (32, 64)
+
+    S = np.array([[1.0, 3.0], [5.0, 2.0]])
+    np.testing.assert_allclose(normalize(S),
+                               (S - S.min()) / (S.max() - S.min() + 1e-10))
+
+    with pytest.raises(ValueError):
+        get_spectrogram_from_audio(np.zeros((2, 100), np.float32))
