@@ -140,6 +140,7 @@ def load_audio_window(
     chunk_duration: float = 3.0,
     random_offset: bool = False,
     rng: np.random.Generator | None = None,
+    cache_dir: str | Path | None = None,
 ) -> np.ndarray:
     """One contiguous mono window: read -> downmix -> resample -> peak-norm.
 
@@ -147,8 +148,20 @@ def load_audio_window(
     returning an empty array on any error). Non-WAV formats (mp3/flac/ogg/
     m4a — the reference's SUPPORTED_AUDIO_EXTS) decode through the native
     libav codec when available.
+
+    cache_dir enables the decoded-waveform cache: the FULL file is decoded,
+    downmixed, and resampled to `sample_rate` once, stored as an .npy, and
+    every later call serves its window as a memmap slice (same offset/
+    duration/peak-norm policy). Epoch 2+ of training then costs a file-system
+    read instead of a decode+resample — the host-side hot loop the reference
+    re-runs every epoch (generator.py:49-175). The random-offset crop stays
+    a fresh draw per call; only the decode is cached.
     """
     try:
+        if cache_dir is not None:
+            return _load_window_cached(path, sample_rate, max_duration,
+                                       chunk_duration, random_offset, rng,
+                                       cache_dir)
         if Path(path).suffix.lower() != ".wav":
             return _load_window_codec(path, sample_rate, max_duration,
                                       chunk_duration, random_offset, rng)
@@ -224,6 +237,118 @@ def _load_window_codec(path, sample_rate, max_duration, chunk_duration,
     if peak > 0.0:
         y = y / peak
     return y.astype(np.float32, copy=False)
+
+
+def _cache_key(path: Path, sample_rate: int) -> str:
+    """Content-addressed cache name: path identity + mtime + size + rate.
+
+    mtime_ns/size in the key make a rewritten file a cache MISS (the stale
+    entry is simply never referenced again), so no invalidation pass is
+    needed.
+    """
+    import hashlib
+
+    st = path.stat()
+    raw = f"{path.resolve()}|{st.st_mtime_ns}|{st.st_size}|{sample_rate}"
+    return hashlib.sha1(raw.encode()).hexdigest()
+
+
+def cached_waveform(path: str | Path, sample_rate: int,
+                    cache_dir: str | Path) -> np.ndarray:
+    """Full decoded mono waveform at `sample_rate`, through the .npy cache.
+
+    Cache hits return a read-only memmap (the OS page cache makes repeated
+    window slices nearly free). Misses decode the whole file — WAV via the
+    RIFF/native reader, compressed formats via the libav codec — resample,
+    and publish the entry with an atomic rename so concurrent workers never
+    observe a torn file. Decode failures are negative-cached as an empty
+    array (keyed by mtime, so a repaired file re-decodes).
+    """
+    path = Path(path)
+    cache_dir = Path(cache_dir)
+    entry = cache_dir / f"{_cache_key(path, sample_rate)}.npy"
+    if entry.exists():
+        try:
+            return np.load(entry, mmap_mode="r")
+        except Exception:
+            pass  # torn/corrupt entry: fall through and rebuild it
+
+    if path.suffix.lower() == ".wav":
+        y = np.empty((0,), np.float32)
+        try:
+            info = wav_info(path)
+            if info.frames > 0 and info.sample_rate > 0:
+                from birdnet_stm32_tpu.audio import native
+
+                if native.available():
+                    y = native.wav_read(path, start_frame=0,
+                                        n_frames=info.frames, downmix=True)
+                else:
+                    frames = _decode_frames(info, 0, info.frames)
+                    y = frames.mean(axis=1).astype(np.float32, copy=False)
+                if y.size and info.sample_rate != sample_rate:
+                    y = fast_resample(y, info.sample_rate, sample_rate)
+        except Exception:
+            y = np.empty((0,), np.float32)
+    else:
+        from birdnet_stm32_tpu.audio import native
+
+        y = np.empty((0,), np.float32)
+        if native.codec_available():
+            try:
+                data, sr0 = native.codec_decode(path, offset_frames=0, max_frames=0)
+                if data.size and sr0 > 0:
+                    y = fast_resample(data, sr0, sample_rate) if sr0 != sample_rate else data
+            except Exception:
+                y = np.empty((0,), np.float32)
+
+    y = np.ascontiguousarray(y, dtype=np.float32)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    import os
+
+    tmp = cache_dir / f"{entry.stem}.{os.getpid()}.tmp.npy"
+    try:
+        with open(tmp, "wb") as f:
+            np.save(f, y)
+        os.replace(tmp, entry)
+    except Exception:
+        tmp.unlink(missing_ok=True)
+    return y
+
+
+def _load_window_cached(path, sample_rate, max_duration, chunk_duration,
+                        random_offset, rng, cache_dir) -> np.ndarray:
+    """load_audio_window over the decoded-waveform cache.
+
+    Identical offset/read-duration policy to the direct path, applied at the
+    target rate: offset is drawn in [0, total - max(chunk, read)], the slice
+    spans read_duration, and peak normalization is computed ON THE WINDOW
+    (reference io.py:63-130). The only numerical difference from the direct
+    path is that resampling ran over the whole file instead of the window,
+    which moves a few samples at the window edges (polyphase filter ramp-in).
+    """
+    y_full = cached_waveform(path, sample_rate, cache_dir)
+    total_frames = int(y_full.shape[0])
+    if total_frames <= 0:
+        return np.empty((0,), np.float32)
+    total_duration = total_frames / float(sample_rate)
+    read_duration = (min(float(max_duration), total_duration)
+                     if max_duration and max_duration > 0 else total_duration)
+    offset_sec = 0.0
+    if random_offset:
+        max_start = max(0.0, total_duration - max(chunk_duration, read_duration))
+        if max_start > 0:
+            r = rng.uniform(0.0, max_start) if rng is not None else np.random.uniform(0.0, max_start)
+            offset_sec = float(r)
+    start = min(int(offset_sec * sample_rate), total_frames)
+    n = int(min(total_frames - start, read_duration * sample_rate))
+    if n <= 0:
+        return np.empty((0,), np.float32)
+    y = np.asarray(y_full[start:start + n], dtype=np.float32)
+    peak = float(np.max(np.abs(y))) if y.size else 0.0
+    if peak > 0.0:
+        y = y / peak
+    return y
 
 
 def audio_info(path: str | Path):

@@ -89,6 +89,12 @@ def get_args(argv=None):
                    help="override the auto-selected loss (reference --loss)")
     p.add_argument("--max_duration", type=float, default=30.0,
                    help="max seconds decoded per file during loading")
+    p.add_argument("--cache_dir", default=None,
+                   help="decoded-waveform cache directory: files decode + "
+                        "resample once (epoch 1); later epochs memmap-slice "
+                        "their random-offset windows (~5 MB/min of audio on "
+                        "disk). Off by default (reference re-decodes every "
+                        "epoch)")
     p.add_argument("--n_mfcc", type=int, default=20,
                    help="MFCC coefficient count (mfcc frontend)")
     # Run control
@@ -156,6 +162,7 @@ def build_loaders(args, for_qat: bool = False):
         num_classes=len(class_names), max_chunks_per_file=args.max_chunks_per_file,
         snr_threshold=args.snr_threshold, seed=args.seed,
         load_duration=getattr(args, "max_duration", 30.0),
+        cache_dir=getattr(args, "cache_dir", None),
     )
     from birdnet_stm32_tpu.parallel.distributed import host_shard
 

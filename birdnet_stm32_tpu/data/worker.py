@@ -37,6 +37,11 @@ class LoaderConfig:
     random_offset: bool = True
     load_duration: float | None = 30.0
     seed: int = 0
+    # Decoded-waveform cache directory (audio/io.cached_waveform): epoch 1
+    # decodes + resamples each file once into an .npy; later epochs serve
+    # their random-offset windows as memmap slices. None = decode per epoch
+    # (reference behavior).
+    cache_dir: str | None = None
 
     def resolved_candidates(self) -> int:
         if self.candidate_chunks_per_file is not None:
@@ -56,6 +61,7 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
         audio = load_audio_window(
             path, sample_rate=cfg.sample_rate, max_duration=cfg.load_duration,
             chunk_duration=cfg.chunk_duration, random_offset=cfg.random_offset, rng=rng,
+            cache_dir=cfg.cache_dir,
         )
     except Exception:
         audio = np.empty((0,), np.float32)  # same noise fallback as empty loads

@@ -133,3 +133,114 @@ def test_other_bit_depths(tmp_path, rng, bits, fmt):
     z = load_audio_window(p, sample_rate=sr, max_duration=None)
     assert len(z) == sr
     assert np.corrcoef(z, y)[0, 1] > 0.99
+
+
+class TestDecodedWaveformCache:
+    """audio/io.cached_waveform + load_audio_window(cache_dir=...)."""
+
+    def test_same_rate_window_bit_exact(self, tmp_path, rng):
+        from birdnet_stm32_tpu.audio.io import cached_waveform
+
+        sr = 16000
+        y = rng.uniform(-0.9, 0.9, sr * 4).astype(np.float32)
+        p = tmp_path / "x.wav"
+        save_wav(y, p, sr)
+        cache = tmp_path / "cache"
+        direct = load_audio_window(p, sample_rate=sr, max_duration=None)
+        via_cache = load_audio_window(p, sample_rate=sr, max_duration=None,
+                                      cache_dir=cache)
+        # No resampling involved: the cached slice is the same bytes.
+        np.testing.assert_array_equal(direct, via_cache)
+        entries = list(cache.glob("*.npy"))
+        assert len(entries) == 1
+        # Second read serves from the entry (memmap) and matches.
+        again = load_audio_window(p, sample_rate=sr, max_duration=None,
+                                  cache_dir=cache)
+        np.testing.assert_array_equal(direct, again)
+        full = cached_waveform(p, sr, cache)
+        assert full.shape[0] == sr * 4
+
+    def test_resampled_window_close_to_direct(self, tmp_path):
+        sr0, sr1 = 16000, 8000
+        t = np.arange(sr0 * 3) / sr0
+        y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        p = tmp_path / "tone.wav"
+        save_wav(y, p, sr0)
+        direct = load_audio_window(p, sample_rate=sr1, max_duration=2.0)
+        cached = load_audio_window(p, sample_rate=sr1, max_duration=2.0,
+                                   cache_dir=tmp_path / "cache")
+        assert cached.shape == direct.shape
+        # Full-file resample vs window resample: identical except the
+        # polyphase ramp at the slice edges.
+        interior = slice(64, -64)
+        np.testing.assert_allclose(cached[interior], direct[interior],
+                                   atol=2e-3)
+
+    def test_random_offset_still_varies(self, tmp_path, rng):
+        sr = 8000
+        y = rng.normal(0, 0.5, sr * 20).astype(np.float32)
+        p = tmp_path / "long.wav"
+        save_wav(y, p, sr)
+        cache = tmp_path / "cache"
+        w1 = load_audio_window(p, sample_rate=sr, max_duration=2.0,
+                               random_offset=True,
+                               rng=np.random.default_rng(1), cache_dir=cache)
+        w2 = load_audio_window(p, sample_rate=sr, max_duration=2.0,
+                               random_offset=True,
+                               rng=np.random.default_rng(2), cache_dir=cache)
+        assert len(w1) == len(w2) == sr * 2
+        assert not np.array_equal(w1, w2)  # crop augmentation survives caching
+        # One decode, two windows: still a single cache entry.
+        assert len(list(cache.glob("*.npy"))) == 1
+
+    def test_corrupt_entry_rebuilt(self, tmp_path, rng):
+        sr = 8000
+        y = rng.uniform(-0.5, 0.5, sr).astype(np.float32)
+        p = tmp_path / "x.wav"
+        save_wav(y, p, sr)
+        cache = tmp_path / "cache"
+        ref = load_audio_window(p, sample_rate=sr, cache_dir=cache)
+        entry = next(cache.glob("*.npy"))
+        entry.write_bytes(b"not an npy file")
+        out = load_audio_window(p, sample_rate=sr, cache_dir=cache)
+        np.testing.assert_array_equal(out, ref)
+        assert np.load(entry, mmap_mode="r").shape[0] == sr  # rebuilt
+
+    def test_rewritten_file_is_cache_miss(self, tmp_path, rng):
+        import os
+
+        sr = 8000
+        p = tmp_path / "x.wav"
+        cache = tmp_path / "cache"
+        y1 = rng.uniform(-0.5, 0.5, sr).astype(np.float32)
+        save_wav(y1, p, sr)
+        out1 = load_audio_window(p, sample_rate=sr, cache_dir=cache)
+        y2 = rng.uniform(-0.5, 0.5, sr * 2).astype(np.float32)
+        save_wav(y2, p, sr)
+        os.utime(p, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+        out2 = load_audio_window(p, sample_rate=sr, cache_dir=cache)
+        assert out2.shape[0] == sr * 2
+        assert out1.shape[0] == sr
+
+    def test_failed_decode_negative_cached(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"RIFFgarbage!")
+        cache = tmp_path / "cache"
+        out = load_audio_window(p, sample_rate=8000, cache_dir=cache)
+        assert out.size == 0
+        entry = next(cache.glob("*.npy"))
+        assert np.load(entry).size == 0  # negative entry, no re-decode
+
+    def test_loader_pipeline_uses_cache(self, tmp_path, rng):
+        from birdnet_stm32_tpu.data.worker import LoaderConfig, process_file
+
+        sr = 8000
+        p = tmp_path / "a.wav"
+        save_wav(rng.normal(0, 0.3, sr * 5).astype(np.float32), p, sr)
+        cache = tmp_path / "cache"
+        cfg = LoaderConfig(sample_rate=sr, chunk_duration=1.0, num_classes=3,
+                           cache_dir=str(cache))
+        label = np.eye(3, dtype=np.float32)[0]
+        out = process_file((str(p), label, cfg, 0))
+        assert out and out[0][0].shape == (sr,)
+        assert len(list(cache.glob("*.npy"))) == 1
