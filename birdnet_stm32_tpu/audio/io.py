@@ -133,6 +133,30 @@ def estimate_num_chunks(num_samples: int, sample_rate: int, chunk_duration: floa
     return int(n_full + int(has_tail))
 
 
+def _window_bounds(total_frames: int, sr: int, max_duration, chunk_duration,
+                   random_offset, rng) -> tuple[int, int]:
+    """(start_frame, n_frames) of the read window — THE offset/read-duration
+    policy (reference io.py:63-130), shared by the direct WAV, codec, and
+    cached paths so reference parity is structural, not per-copy.
+
+    read_duration = min(max_duration, total); a random offset is drawn in
+    [0, total - max(chunk_duration, read_duration)] seconds. Returns n <= 0
+    when there is nothing to read.
+    """
+    total_duration = total_frames / float(sr)
+    read_duration = (min(float(max_duration), total_duration)
+                     if max_duration and max_duration > 0 else total_duration)
+    offset_sec = 0.0
+    if random_offset:
+        max_start = max(0.0, total_duration - max(chunk_duration, read_duration))
+        if max_start > 0:
+            r = rng.uniform(0.0, max_start) if rng is not None else np.random.uniform(0.0, max_start)
+            offset_sec = float(r)
+    start = min(int(offset_sec * sr), total_frames)
+    n = int(min(total_frames - start, read_duration * sr))
+    return start, n
+
+
 def load_audio_window(
     path: str | Path,
     sample_rate: int = 24000,
@@ -169,18 +193,8 @@ def load_audio_window(
         if info.frames <= 0 or info.sample_rate <= 0:
             return np.empty((0,), np.float32)
         sr0 = info.sample_rate
-        total_duration = info.duration
-        read_duration = (
-            min(float(max_duration), total_duration) if max_duration and max_duration > 0 else total_duration
-        )
-        offset_sec = 0.0
-        if random_offset:
-            max_start = max(0.0, total_duration - max(chunk_duration, read_duration))
-            if max_start > 0:
-                r = rng.uniform(0.0, max_start) if rng is not None else np.random.uniform(0.0, max_start)
-                offset_sec = float(r)
-        start = min(int(offset_sec * sr0), info.frames)
-        n = int(min(info.frames - start, read_duration * sr0))
+        start, n = _window_bounds(info.frames, sr0, max_duration,
+                                  chunk_duration, random_offset, rng)
         if n <= 0:
             return np.empty((0,), np.float32)
         from birdnet_stm32_tpu.audio import native
@@ -215,17 +229,8 @@ def _load_window_codec(path, sample_rate, max_duration, chunk_duration,
     sr0, _ch, total_frames = native.codec_info(path)
     if total_frames <= 0 or sr0 <= 0:
         return np.empty((0,), np.float32)
-    total_duration = total_frames / float(sr0)
-    read_duration = (min(float(max_duration), total_duration)
-                     if max_duration and max_duration > 0 else total_duration)
-    offset_sec = 0.0
-    if random_offset:
-        max_start = max(0.0, total_duration - max(chunk_duration, read_duration))
-        if max_start > 0:
-            r = rng.uniform(0.0, max_start) if rng is not None else np.random.uniform(0.0, max_start)
-            offset_sec = float(r)
-    start = min(int(offset_sec * sr0), total_frames)
-    n = int(min(total_frames - start, read_duration * sr0))
+    start, n = _window_bounds(total_frames, sr0, max_duration,
+                              chunk_duration, random_offset, rng)
     if n <= 0:
         return np.empty((0,), np.float32)
     y, sr0 = native.codec_decode(path, offset_frames=start, max_frames=n)
@@ -261,8 +266,14 @@ def cached_waveform(path: str | Path, sample_rate: int,
     window slices nearly free). Misses decode the whole file — WAV via the
     RIFF/native reader, compressed formats via the libav codec — resample,
     and publish the entry with an atomic rename so concurrent workers never
-    observe a torn file. Decode failures are negative-cached as an empty
-    array (keyed by mtime, so a repaired file re-decodes).
+    observe a torn file.
+
+    Content failures (unparseable/empty file) are negative-cached as an
+    empty array (keyed by mtime+size, so a repaired file re-decodes).
+    ENVIRONMENTAL failures are never persisted: codec library not built,
+    OSError (e.g. EMFILE under a large worker pool), MemoryError — those
+    return empty for this call but retry on the next one, so building the
+    codec or freeing resources recovers without wiping the cache.
     """
     path = Path(path)
     cache_dir = Path(cache_dir)
@@ -273,6 +284,7 @@ def cached_waveform(path: str | Path, sample_rate: int,
         except Exception:
             pass  # torn/corrupt entry: fall through and rebuild it
 
+    persist = True  # False for environmental failures (retry next call)
     if path.suffix.lower() == ".wav":
         y = np.empty((0,), np.float32)
         try:
@@ -288,21 +300,29 @@ def cached_waveform(path: str | Path, sample_rate: int,
                     y = frames.mean(axis=1).astype(np.float32, copy=False)
                 if y.size and info.sample_rate != sample_rate:
                     y = fast_resample(y, info.sample_rate, sample_rate)
+        except (OSError, MemoryError):
+            y, persist = np.empty((0,), np.float32), False
         except Exception:
             y = np.empty((0,), np.float32)
     else:
         from birdnet_stm32_tpu.audio import native
 
         y = np.empty((0,), np.float32)
-        if native.codec_available():
+        if not native.codec_available():
+            persist = False  # codec not built: retry once it is
+        else:
             try:
                 data, sr0 = native.codec_decode(path, offset_frames=0, max_frames=0)
                 if data.size and sr0 > 0:
                     y = fast_resample(data, sr0, sample_rate) if sr0 != sample_rate else data
+            except (OSError, MemoryError):
+                persist = False
             except Exception:
                 y = np.empty((0,), np.float32)
 
     y = np.ascontiguousarray(y, dtype=np.float32)
+    if not persist:
+        return y
     cache_dir.mkdir(parents=True, exist_ok=True)
     import os
 
@@ -316,38 +336,52 @@ def cached_waveform(path: str | Path, sample_rate: int,
     return y
 
 
+# Files whose full decoded mono f32 waveform would exceed this many bytes
+# (at source OR target rate) are served by the direct window path instead of
+# being cached: a 3-hour 48 kHz soundscape is ~2 GB decoded, and one copy per
+# pool worker would swap the host. 512 MB ~= 100 min at 22.05 kHz.
+CACHE_MAX_DECODED_BYTES = 512 * 1024 * 1024
+
+
 def _load_window_cached(path, sample_rate, max_duration, chunk_duration,
                         random_offset, rng, cache_dir) -> np.ndarray:
     """load_audio_window over the decoded-waveform cache.
 
-    Identical offset/read-duration policy to the direct path, applied at the
-    target rate: offset is drawn in [0, total - max(chunk, read)], the slice
-    spans read_duration, and peak normalization is computed ON THE WINDOW
-    (reference io.py:63-130). The only numerical difference from the direct
-    path is that resampling ran over the whole file instead of the window,
-    which moves a few samples at the window edges (polyphase filter ramp-in).
+    Same offset/read-duration/peak-norm policy as the direct path
+    (_window_bounds — reference io.py:63-130), applied at the target rate.
+    The only numerical difference from the direct path is that resampling
+    ran over the whole file instead of the window, which moves a few samples
+    at the window edges (polyphase filter ramp-in).
+
+    Files whose full decode exceeds CACHE_MAX_DECODED_BYTES fall back to the
+    direct (window-only) path so epoch-1 worker RSS stays bounded no matter
+    how long individual recordings are.
     """
+    entry = Path(cache_dir) / f"{_cache_key(Path(path), sample_rate)}.npy"
+    if not entry.exists():
+        # Probe before the full decode: too-long files are not cached.
+        try:
+            info = audio_info(path)
+            frames_at_target = info.frames / max(info.sample_rate, 1) * sample_rate
+            if 4 * max(info.frames, frames_at_target) > CACHE_MAX_DECODED_BYTES:
+                return load_audio_window(path, sample_rate, max_duration,
+                                         chunk_duration, random_offset, rng)
+        except Exception:
+            pass  # unparseable: let cached_waveform negative-cache it
     y_full = cached_waveform(path, sample_rate, cache_dir)
     total_frames = int(y_full.shape[0])
     if total_frames <= 0:
         return np.empty((0,), np.float32)
-    total_duration = total_frames / float(sample_rate)
-    read_duration = (min(float(max_duration), total_duration)
-                     if max_duration and max_duration > 0 else total_duration)
-    offset_sec = 0.0
-    if random_offset:
-        max_start = max(0.0, total_duration - max(chunk_duration, read_duration))
-        if max_start > 0:
-            r = rng.uniform(0.0, max_start) if rng is not None else np.random.uniform(0.0, max_start)
-            offset_sec = float(r)
-    start = min(int(offset_sec * sample_rate), total_frames)
-    n = int(min(total_frames - start, read_duration * sample_rate))
+    start, n = _window_bounds(total_frames, sample_rate, max_duration,
+                              chunk_duration, random_offset, rng)
     if n <= 0:
         return np.empty((0,), np.float32)
-    y = np.asarray(y_full[start:start + n], dtype=np.float32)
+    # np.array copies: callers get a writable array even on a memmap hit
+    # (the direct path always returns writable buffers).
+    y = np.array(y_full[start:start + n], dtype=np.float32)
     peak = float(np.max(np.abs(y))) if y.size else 0.0
     if peak > 0.0:
-        y = y / peak
+        y /= peak
     return y
 
 

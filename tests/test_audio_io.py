@@ -244,3 +244,44 @@ class TestDecodedWaveformCache:
         out = process_file((str(p), label, cfg, 0))
         assert out and out[0][0].shape == (sr,)
         assert len(list(cache.glob("*.npy"))) == 1
+
+    def test_cached_window_is_writable(self, tmp_path):
+        # A silent window skips the peak-divide copy; the cached path must
+        # still hand back a writable array, not a read-only memmap view.
+        sr = 8000
+        y = np.zeros(sr * 2, np.float32)
+        p = tmp_path / "silent.wav"
+        save_wav(y, p, sr)
+        cache = tmp_path / "cache"
+        load_audio_window(p, sample_rate=sr, cache_dir=cache)  # build entry
+        w = load_audio_window(p, sample_rate=sr, cache_dir=cache)  # memmap hit
+        w += 1.0  # in-place augmentation must not raise
+        assert w.flags.writeable and float(w[0]) == 1.0
+
+    def test_codec_unavailable_not_negative_cached(self, tmp_path, rng, monkeypatch):
+        # Environmental failure (codec library not built) must NOT persist:
+        # once the codec exists the same cache_dir serves real audio.
+        from birdnet_stm32_tpu.audio import native
+
+        p = tmp_path / "x.mp3"
+        p.write_bytes(b"\xff\xfb\x90\x00" + bytes(1000))
+        cache = tmp_path / "cache"
+        monkeypatch.setattr(native, "codec_available", lambda: False)
+        out = load_audio_window(p, sample_rate=8000, cache_dir=cache)
+        assert out.size == 0
+        assert list(cache.glob("*.npy")) == []  # no poisoned entry
+
+    def test_oversize_file_bypasses_cache(self, tmp_path, rng, monkeypatch):
+        import birdnet_stm32_tpu.audio.io as aio
+
+        sr = 8000
+        y = rng.uniform(-0.5, 0.5, sr * 4).astype(np.float32)
+        p = tmp_path / "big.wav"
+        save_wav(y, p, sr)
+        cache = tmp_path / "cache"
+        monkeypatch.setattr(aio, "CACHE_MAX_DECODED_BYTES", sr * 4 * 2)  # < file
+        direct = load_audio_window(p, sample_rate=sr, max_duration=1.0)
+        out = load_audio_window(p, sample_rate=sr, max_duration=1.0,
+                                cache_dir=cache)
+        np.testing.assert_array_equal(out, direct)  # direct path, same bytes
+        assert not cache.exists() or list(cache.glob("*.npy")) == []
