@@ -103,6 +103,12 @@ def get_args(argv=None):
                    help="Run directory (reference --checkpoint_path: a .keras "
                         "file path is accepted and mapped to its directory)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume_weights_only", action="store_true",
+                   help="with --resume: restore best weights + epoch only "
+                        "and restart the optimizer (the reference's resume "
+                        "semantics). Default resume also restores optimizer "
+                        "state from the per-epoch last/ checkpoint, so a "
+                        "preempted run continues mid-schedule")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_mesh", action="store_true", help="single-device (skip data-parallel mesh)")
     # Mode dispatch (reference cli/train.py:303-321)
@@ -351,7 +357,8 @@ def main(argv=None) -> int:
         patience=args.patience, multilabel=args.multilabel,
         focal_gamma=args.focal_gamma, label_smoothing=args.label_smoothing,
         class_weights=class_weights, batcher=batcher, mesh=mesh,
-        resume=args.resume, seed=args.seed,
+        resume=args.resume, resume_weights_only=args.resume_weights_only,
+        seed=args.seed,
         loader_tuner=AdaptiveLoaderTuner(train_loader.loader_control),
         loss_fn_override=loss_fn_override,
         mixed_precision=args.mixed_precision)

@@ -8,9 +8,13 @@ A run directory holds:
     train_state.json      {"epoch": N} for resume (trainer.py:135-140)
     history.csv           per-epoch metrics (trainer.py:142-162)
 
-Resume semantics match the reference (trainer.py:96-116): model weights and
-epoch counter are restored; the optimizer restarts with a fresh cosine
-schedule.
+Resume semantics are a superset of the reference's (trainer.py:96-116
+there restores model weights + epoch only, with a fresh cosine schedule):
+when a `last/` full-state checkpoint exists, --resume also restores the
+optimizer state (adam moments, schedule position) — the orbax params/
+opt-state checkpointing SURVEY §5.4 calls for, which makes training
+preemption-safe on TPU. Without `last/` (or with --resume_weights_only)
+resume falls back to the reference's exact semantics.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -37,6 +42,34 @@ def save_checkpoint(run_dir: str | Path, variables: dict, cfg: ModelConfig) -> N
     cfg.save(run_dir / "model_config.json")
     if cfg.class_names:
         (run_dir / "labels.txt").write_text("".join(f"{c}\n" for c in cfg.class_names))
+
+
+def save_full_state(run_dir: str | Path, state) -> None:
+    """Preemption-safe FULL training state under run_dir/last: step, params,
+    BN stats, and optimizer state (adam moments + the schedule's step count),
+    written after every epoch. A preempted/killed run resumed with --resume
+    continues mid-schedule instead of cold-restarting the optimizer (the
+    reference restores weights only, trainer.py:96-116)."""
+    run_dir = Path(run_dir).absolute()
+    run_dir.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(run_dir / "last", jax.device_get(state), force=True)
+
+
+def restore_full_state(run_dir: str | Path, template):
+    """Restore the TrainState saved by save_full_state into `template` (a
+    freshly created TrainState with the identical tree structure — same
+    model arch and optimizer). Returns None when no last/ checkpoint
+    exists or it doesn't match the template (e.g. the optimizer changed
+    between runs), so callers can fall back to weights-only resume."""
+    last = Path(run_dir).absolute() / "last"
+    if not last.exists():
+        return None
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(last, jax.device_get(template))
+    except Exception:
+        return None
 
 
 def keras_run_dir(path: str | Path) -> Path | None:

@@ -91,6 +91,7 @@ def train_model(
     batcher=None,
     mesh=None,
     resume: bool = False,
+    resume_weights_only: bool = False,
     seed: int = 0,
     loader_tuner: AdaptiveLoaderTuner | None = None,
     qat: bool = False,
@@ -165,6 +166,17 @@ def train_model(
     if multihost:
         from birdnet_stm32_tpu.parallel.distributed import globalize_batch
     state = TrainState.create(variables, tx)
+    resumed_step = 0
+    if resume and initial_epoch > 0 and not resume_weights_only:
+        restored = ckpt.restore_full_state(run_dir, state)
+        if restored is not None:
+            state = restored
+            resumed_step = int(jax.device_get(state.step))
+            info("resume", f"optimizer state restored (step {resumed_step}: "
+                           "adam moments + schedule position continue)")
+        else:
+            info("resume", "no full-state checkpoint; optimizer restarts "
+                           "fresh (reference semantics)")
     if mesh is not None:
         from birdnet_stm32_tpu.parallel.mesh import replicated
 
@@ -175,7 +187,9 @@ def train_model(
             return inputs_for_config(jnp.asarray(wave), cfg), jnp.asarray(labels)
 
     root_key = jax.random.key(seed)
-    host_step = 0  # host-side twin of state.step: no device read in the hot loop
+    # Host-side twin of state.step: no device read in the hot loop. Starts at
+    # the restored step so batcher RNG keys don't repeat epoch-1 draws.
+    host_step = resumed_step
     history: list[dict] = []
     best_val = resumed_best_val
     best_variables = variables
@@ -247,6 +261,7 @@ def train_model(
             run_dir, epoch + 1, multilabel=multilabel,
             best_val=None if not np.isfinite(min(best_val, val_loss))
             else min(best_val, val_loss))
+        ckpt.save_full_state(run_dir, state)  # preemption-safe resume point
         info("train", f"epoch {epoch + 1}/{epochs} loss={train_loss:.4f} "
                       f"val_loss={val_loss:.4f} val_auc={auc:.4f}")
 

@@ -213,3 +213,52 @@ def test_resume_preserves_best_val_watermark(tmp_path):
     state = load_train_state(run_dir)
     assert state.get("best_val") is not None
     assert np.isfinite(state["best_val"])
+
+
+@pytest.mark.integration
+def test_resume_restores_optimizer_state(tmp_path):
+    """Full-state resume: the per-epoch last/ checkpoint carries the
+    optimizer (adam moments + schedule step), so a resumed run continues
+    mid-schedule instead of cold-restarting (superset of the reference's
+    weights-only resume, trainer.py:96-116 there)."""
+    from birdnet_stm32_tpu.parallel.steps import TrainState
+    from birdnet_stm32_tpu.training.checkpoint import restore_full_state
+    from birdnet_stm32_tpu.training.trainer import build_optimizer, cosine_schedule
+
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    val_set = [make_batch()]
+    run_dir = tmp_path / "run"
+    train_model(model, variables, cfg, train_iter(), lambda: val_set, run_dir,
+                epochs=2, steps_per_epoch=4, learning_rate=1e-3)
+
+    # last/ holds the full state at step 8 (2 epochs x 4 steps). The train
+    # step donates its state, so build the template from fresh arrays.
+    tx = build_optimizer("adam", cosine_schedule(1e-3, 4, 4), 0.0, 1.0)
+    template = TrainState.create(init_model(model, cfg), tx)
+    saved = restore_full_state(run_dir, template)
+    assert saved is not None and int(saved.step) == 8
+    # Adam moments are non-trivial (a cold restart would zero them).
+    mu_leaves = jax.tree_util.tree_leaves(saved.opt_state)
+    assert any(np.abs(np.asarray(leaf)).max() > 0 for leaf in mu_leaves
+               if hasattr(leaf, "shape") and getattr(leaf, "size", 0) > 1)
+
+    # Resume 2 more epochs: the step counter continues from 8 -> 16.
+    train_model(model, init_model(model, cfg), cfg, train_iter(), lambda: val_set,
+                run_dir, epochs=4, steps_per_epoch=4, learning_rate=1e-3, resume=True)
+    resumed = restore_full_state(run_dir, template)
+    assert int(resumed.step) == 16
+
+    # Weights-only mode restarts the optimizer (reference semantics).
+    train_model(model, init_model(model, cfg), cfg, train_iter(), lambda: val_set,
+                run_dir, epochs=5, steps_per_epoch=4, learning_rate=1e-3,
+                resume=True, resume_weights_only=True)
+    fresh = restore_full_state(run_dir, template)
+    assert int(fresh.step) == 4  # one epoch from a step-0 optimizer
