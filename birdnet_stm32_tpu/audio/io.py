@@ -429,11 +429,17 @@ def load_audio_file(
     chunk_duration: float = 3.0,
     chunk_overlap: float = 0.0,
     random_offset: bool = False,
+    cache_dir: str | Path | None = None,
 ) -> np.ndarray:
-    """Load + resample + normalize + chunk (reference io.py:177-213)."""
+    """Load + resample + normalize + chunk (reference io.py:177-213).
+
+    cache_dir routes the decode through the decoded-waveform cache
+    (cached_waveform) — repeated evaluations/conversions over the same
+    test set skip decode+resample after the first pass."""
     audio = load_audio_window(
         path, sample_rate=sample_rate, max_duration=max_duration,
         chunk_duration=chunk_duration, random_offset=random_offset,
+        cache_dir=cache_dir,
     )
     if audio.size == 0:
         return np.empty((0, int(sample_rate * chunk_duration)), np.float32)

@@ -27,6 +27,10 @@ def get_args(argv=None):
     p.add_argument("--max_duration", type=float, default=60.0,
                    help="per-file decode cap in seconds (reference "
                         "evaluation/metrics.py:45)")
+    p.add_argument("--cache_dir", default=None,
+                   help="decoded-waveform cache directory: repeated "
+                        "evaluations of the same test set (keras vs tflite, "
+                        "threshold sweeps) decode each file only once")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--bf16", action="store_true",
                    help="serve float checkpoints in bfloat16 (fastest TPU "
@@ -116,7 +120,8 @@ def main(argv=None) -> int:
         pooling=args.pooling, batch_size=args.batch_size,
         overlap=args.chunk_overlap, mep_beta=args.lme_beta,
         measure_latency=args.benchmark_latency, profile_memory=args.profile_memory,
-        decode_workers=args.decode_workers, max_duration=args.max_duration)
+        decode_workers=args.decode_workers, max_duration=args.max_duration,
+        cache_dir=args.cache_dir)
 
     print("\n=== Evaluation ===")
     for k in ("roc-auc", "cmAP", "mAP", "precision", "recall", "f1",

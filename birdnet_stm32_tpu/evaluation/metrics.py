@@ -28,7 +28,8 @@ from birdnet_stm32_tpu.evaluation.pooling import pool_scores
 
 def chunks_for_file(path: str, cfg: ModelConfig, overlap: float = 0.0,
                     max_duration: float = 60.0,
-                    sample_rate: int | None = None) -> np.ndarray:
+                    sample_rate: int | None = None,
+                    cache_dir: str | None = None) -> np.ndarray:
     """[n_chunks, T] waveform chunks for one file (metrics.py:18-72 analog;
     feature extraction happens later, batched on device).
 
@@ -39,7 +40,8 @@ def chunks_for_file(path: str, cfg: ModelConfig, overlap: float = 0.0,
     return load_audio_file(
         path, sample_rate=sample_rate or cfg.sample_rate,
         max_duration=max_duration,
-        chunk_duration=cfg.chunk_duration, chunk_overlap=overlap, random_offset=False,
+        chunk_duration=cfg.chunk_duration, chunk_overlap=overlap,
+        random_offset=False, cache_dir=cache_dir,
     )
 
 
@@ -57,6 +59,7 @@ def evaluate(
     label_fn=None,
     decode_workers: int = 0,
     max_duration: float = 60.0,
+    cache_dir: str | None = None,
 ) -> tuple[dict, list[dict], np.ndarray, np.ndarray]:
     """Per-chunk inference -> pooled file scores -> metrics.
 
@@ -152,7 +155,7 @@ def evaluate(
             # Bounded decode-ahead window (RAM-safe on large test sets).
             window = max(2 * decode_workers, 4)
             futs = deque(
-                (p, lb, ex.submit(chunks_for_file, p, cfg, overlap, max_duration))
+                (p, lb, ex.submit(chunks_for_file, p, cfg, overlap, max_duration, None, cache_dir))
                 for p, lb in labeled[:window])
             nxt = window
             while futs:
@@ -160,13 +163,13 @@ def evaluate(
                 if nxt < len(labeled):
                     p, lb = labeled[nxt]
                     futs.append((p, lb, ex.submit(
-                        chunks_for_file, p, cfg, overlap, max_duration)))
+                        chunks_for_file, p, cfg, overlap, max_duration, None, cache_dir)))
                     nxt += 1
                 consume(path, label, fut.result())
     else:
         for path, label in labeled:
             consume(path, label,
-                    chunks_for_file(path, cfg, overlap, max_duration))
+                    chunks_for_file(path, cfg, overlap, max_duration, None, cache_dir))
     flush(force=True)
 
     for fi, (path, label, target) in enumerate(file_records):

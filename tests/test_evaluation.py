@@ -223,3 +223,29 @@ def test_reports_written(tmp_path):
                      species_data=species, config={"k": 1})
     html = (tmp_path / "r.html").read_text()
     assert "Evaluation report" in html and "data:image/png;base64" in html
+
+
+def test_evaluate_with_cache_dir(tmp_path, wav_dataset):
+    """evaluate(cache_dir=...) builds one entry per file and returns the
+    same metrics as the direct path (same bytes at the same rate)."""
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.evaluation.metrics import evaluate
+
+    root, _sr = wav_dataset
+    classes = ["bird_a", "bird_b", "noise"]
+    files = sorted(str(p) for c in classes for p in (root / c).glob("*.wav"))
+    cfg = ModelConfig(sample_rate=8000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, num_classes=len(classes),
+                      class_names=classes)
+
+    class FakeRunner:
+        def predict(self, x):
+            return np.tile(np.eye(len(classes), dtype=np.float32)[0], (x.shape[0], 1))
+
+    cache = tmp_path / "cache"
+    m1, _, y1, s1 = evaluate(FakeRunner(), files, list(classes), cfg)
+    m2, _, y2, s2 = evaluate(FakeRunner(), files, list(classes), cfg,
+                             cache_dir=str(cache))
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_allclose(s1, s2)
+    assert len(list(cache.glob("*.npy"))) == len(files)
