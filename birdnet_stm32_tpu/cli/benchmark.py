@@ -46,15 +46,38 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def _warmup(classify, cfg, batch_size) -> None:
+def _warmup(classify, n_samples, batch_size) -> None:
     """One dummy dispatch before the clock starts: compile + executable
     load (7-130 s through a tunnel, docs/troubleshooting.md) are one-time
     process costs a serving deployment pays once, not per-file work."""
     t0 = time.perf_counter()
-    np.asarray(classify(np.zeros((batch_size, cfg.chunk_samples), np.float32)))
+    np.asarray(classify(np.zeros((batch_size, n_samples), np.float32)))
     dt = time.perf_counter() - t0
     if dt > 1.0:
         print(f"[info] warmup {dt:.1f} s (compile/load, excluded from timings)")
+
+
+def _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample):
+    """Warm every classifier the run will need BEFORE the clock starts.
+
+    With --device_resample one classifier compiles per distinct source
+    rate; warming only cfg.sample_rate would land the first new rate's
+    compile + tunnel executable load (minutes) inside that file's [BENCH]
+    model time and the headline RTF. Probing headers is cheap (one read
+    per file) and happens outside the timed region."""
+    rates = {cfg.sample_rate}
+    if device_resample:
+        from birdnet_stm32_tpu.audio.io import audio_info
+
+        for f in files:
+            try:
+                sr = int(audio_info(f).sample_rate)
+                if sr > 0:
+                    rates.add(sr)
+            except Exception:
+                pass
+    for r in sorted(rates):
+        _warmup(classifier_for(r), int(r * cfg.chunk_duration), batch_size)
 
 
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
@@ -67,9 +90,9 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     (ops/resample.py) — one classifier is compiled per distinct source
     rate encountered.
     """
-    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
     from birdnet_stm32_tpu.models.serving import (
         classify_in_batches,
+        decode_for_classify,
         make_classifier_cache,
         top_predictions,
     )
@@ -78,7 +101,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
 
     print("[info] frontend+model fused into one device dispatch; "
           "[BENCH] 'model' covers both, 'frontend' reads 0.0")
-    _warmup(classifier_for(cfg.sample_rate), cfg, batch_size)
+    _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample)
 
     per_file_rows = []
     t_read = t_frontend = t_model = 0.0
@@ -95,36 +118,20 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
                   f"{len(per_file_rows)} of {len(files)} files processed")
             timed_out = True
             break
-        t0 = time.perf_counter()
-        src_rate = cfg.sample_rate
-        if device_resample:
-            try:
-                from birdnet_stm32_tpu.audio.io import audio_info
-
-                src_rate = audio_info(path).sample_rate
-            except Exception:
-                src_rate = cfg.sample_rate
-        classify = classifier_for(src_rate)
         # Whole file (the evaluate path's default truncates at 60 s; the
-        # board-test loop processes every chunk).
-        chunks = chunks_for_file(str(path), cfg, overlap, max_duration=None,
-                                 sample_rate=src_rate)
-        t1 = time.perf_counter()
+        # board-test loop processes every chunk). One probe + one decode.
+        chunks, src_rate, dur_s, read_ms = decode_for_classify(
+            path, cfg, overlap, max_duration=None,
+            device_resample=device_resample)
         if chunks.shape[0] == 0:
             print(f"file: {Path(path).name}  SKIP (no audio)")
             continue
+        classify = classifier_for(src_rate)
         fe_s = 0.0
         scores, mdl_s = classify_in_batches(classify, chunks, batch_size)
         total_chunks += len(chunks)
-        # True audio seconds (with overlap, chunks double-count time).
-        try:
-            from birdnet_stm32_tpu.audio.io import audio_info
-
-            audio_s += audio_info(path).duration
-        except Exception:
-            audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
+        audio_s += dur_s
         pooled = scores.mean(axis=0)
-        read_ms = (t1 - t0) * 1000.0
         fe_ms, mdl_ms = fe_s * 1000.0, mdl_s * 1000.0
         total_ms = read_ms + fe_ms + mdl_ms
         t_read += read_ms
@@ -186,28 +193,22 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
-    from birdnet_stm32_tpu.models.serving import make_classifier_cache, top_predictions
+    from birdnet_stm32_tpu.models.serving import (
+        decode_for_classify,
+        make_classifier_cache,
+        top_predictions,
+    )
 
     classifier_for = make_classifier_cache(runner, cfg, as_numpy=False)
 
     def decode(path):
-        t0 = time.perf_counter()
-        src_rate = cfg.sample_rate
-        if device_resample:
-            try:
-                from birdnet_stm32_tpu.audio.io import audio_info
-
-                src_rate = audio_info(path).sample_rate
-            except Exception:
-                pass
-        chunks = chunks_for_file(str(path), cfg, overlap, max_duration=None,
-                                 sample_rate=src_rate)
-        return chunks, src_rate, (time.perf_counter() - t0) * 1000.0
+        return decode_for_classify(path, cfg, overlap, max_duration=None,
+                                   device_resample=device_resample)
 
     print(f"[info] pipelined serving: {decode_workers} decode threads, "
           f"<= {max_outstanding} device batches in flight")
-    _warmup(lambda w: classifier_for(cfg.sample_rate)(w), cfg, batch_size)
+    _warmup_all_rates(lambda r: (lambda w: np.asarray(classifier_for(r)(w))),
+                      cfg, batch_size, files, device_resample)
 
     per_file_rows = []
     total_chunks = 0
@@ -262,10 +263,11 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
             if next_file < len(files):
                 futures.append((files[next_file], ex.submit(decode, files[next_file])))
                 next_file += 1
-            chunks, src_rate, read_ms = fut.result()
+            chunks, src_rate, dur_s, read_ms = fut.result()
             if chunks.shape[0] == 0:
                 print(f"file: {Path(path).name}  SKIP (no audio)")
                 continue
+            audio_s += dur_s
             bufs.setdefault(src_rate, [])
             buf_n.setdefault(src_rate, 0)
             pos.setdefault(src_rate, 0)
@@ -277,12 +279,6 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
             bufs[src_rate].append(chunks)
             buf_n[src_rate] += len(chunks)
             total_chunks += len(chunks)
-            try:
-                from birdnet_stm32_tpu.audio.io import audio_info
-
-                audio_s += audio_info(path).duration
-            except Exception:
-                audio_s += len(chunks) * (cfg.chunk_duration - overlap) + overlap
             flush_rate(src_rate)
         for rate in list(bufs):
             flush_rate(rate, pad=True)
@@ -346,6 +342,7 @@ def main(argv=None) -> int:
         cfg = ModelConfig.load(args.config_path)
     classes = (open_species_list(args.labels_path) if args.labels_path
                else cfg.class_names)
+    classes = _resolve_classes(classes, cfg)
 
     files = sorted(str(p) for p in Path(args.audio_dir).rglob("*")
                    if p.suffix.lower() in supported_audio_extensions())
@@ -375,5 +372,22 @@ def main(argv=None) -> int:
     return 0
 
 
+def _resolve_classes(classes, cfg) -> list[str]:
+    """Validate class names BEFORE the minutes-long warmup: an empty list
+    (sidecar without class_names, no --labels_path) gets placeholder names;
+    a count mismatch fails fast instead of IndexError-ing on file one."""
+    if not classes:
+        print(f"[warn] no class names (config class_names empty, no "
+              f"--labels_path); using class_0..class_{cfg.num_classes - 1}")
+        return [f"class_{i}" for i in range(cfg.num_classes)]
+    if len(classes) < cfg.num_classes:
+        raise SystemExit(f"labels list has {len(classes)} names but the "
+                         f"model outputs {cfg.num_classes} classes")
+    return list(classes)
+
+
 if __name__ == "__main__":
+    from birdnet_stm32_tpu.__main__ import _enable_compilation_cache
+
+    _enable_compilation_cache()
     raise SystemExit(main())

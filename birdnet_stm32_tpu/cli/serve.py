@@ -77,9 +77,9 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
     `benchmark --pipeline`; decode releases the GIL in the native paths).
     Results stay in deterministic directory order either way.
     """
-    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
     from birdnet_stm32_tpu.models.serving import (
         classify_in_batches,
+        decode_for_classify,
         make_classifier_cache,
         top_predictions,
     )
@@ -97,21 +97,15 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
 
     def decode(path: Path):
         """(rel, chunks, src_rate, error) — runs on a worker thread when
-        decode_threads > 0, so it must not touch shared state."""
+        decode_threads > 0, so it must not touch shared state. Decode
+        policy is shared with the benchmark driver (decode_for_classify)."""
         rel = str(path.relative_to(audio_dir))
-        src_rate = cfg.sample_rate
-        if device_resample:
-            try:
-                from birdnet_stm32_tpu.audio.io import audio_info
-
-                src_rate = audio_info(path).sample_rate
-            except Exception:
-                pass
         try:
-            chunks = chunks_for_file(str(path), cfg, overlap,
-                                     max_duration=None, sample_rate=src_rate)
+            chunks, src_rate, _dur, _ms = decode_for_classify(
+                path, cfg, overlap, max_duration=None,
+                device_resample=device_resample)
         except Exception as e:
-            return rel, None, src_rate, e
+            return rel, None, cfg.sample_rate, e
         return rel, chunks, src_rate, None
 
     served = 0
@@ -153,10 +147,26 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                     pending.pop(rel, None)
                 ready.append(path)
             if pool is not None:
-                # Decode ahead: futures resolve while earlier files are on
-                # the device; consume in order for deterministic results.
-                decoded = (f.result() for f in [pool.submit(decode, p)
-                                                for p in ready])
+                # Decode ahead through a BOUNDED sliding window (same bound
+                # as benchmark --pipeline): submitting a whole backlog at
+                # once would buffer every decoded waveform in RAM when the
+                # device is the slower stage. Consumption stays in
+                # directory order for deterministic results.
+                def bounded_decode(paths, window=max(2 * decode_threads, 4)):
+                    from collections import deque
+
+                    it = iter(paths)
+                    # range first: zip pulls left-to-right, so `it` must be
+                    # second or the (window+1)th path gets consumed and lost.
+                    q = deque(pool.submit(decode, p)
+                              for _, p in zip(range(window), it))
+                    while q:
+                        yield q.popleft().result()
+                        for p in it:
+                            q.append(pool.submit(decode, p))
+                            break
+
+                decoded = bounded_decode(ready)
             else:
                 decoded = (decode(p) for p in ready)
             for rel, chunks, src_rate, err in decoded:
@@ -212,8 +222,11 @@ def main(argv=None) -> int:
         if args.config_path is None:
             raise SystemExit("--config_path required for .tflite models")
         cfg = ModelConfig.load(args.config_path)
+    from birdnet_stm32_tpu.cli.benchmark import _resolve_classes
+
     classes = (open_species_list(args.labels_path) if args.labels_path
                else cfg.class_names)
+    classes = _resolve_classes(classes, cfg)
 
     audio_dir = Path(args.audio_dir)
     if not audio_dir.is_dir():
@@ -231,4 +244,7 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
+    from birdnet_stm32_tpu.__main__ import _enable_compilation_cache
+
+    _enable_compilation_cache()
     raise SystemExit(main())

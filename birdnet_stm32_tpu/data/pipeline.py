@@ -244,10 +244,23 @@ class AudioLoader:
                         if exhausted:
                             break
                         time.sleep(0.05)  # paused via loader_control inflight=0
+                        # A deliberate pause is not worker death: keep the
+                        # watchdog clock fresh so resuming after a long pause
+                        # doesn't trip the timeout below.
+                        last_progress = time.monotonic()
                         continue
                     done, still = [], []
-                    for p in pending:
-                        (done if p.ready() else still).append(p)
+                    if self.shuffle:
+                        for p in pending:
+                            (done if p.ready() else still).append(p)
+                    else:
+                        # Deterministic loaders (validation) consume in
+                        # SUBMISSION order, not completion order — same
+                        # invariant as the thread executor path — so batch
+                        # composition doesn't vary with worker timing.
+                        while pending and pending[0].ready():
+                            done.append(pending.pop(0))
+                        still = pending
                     if not done:
                         pending[0].wait(0.05)
                         # Liveness watchdog: if workers die during bootstrap

@@ -109,6 +109,10 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
 
         return classify
 
+    if not as_numpy:
+        print("[warn] runner has no device-side graph (TFLite interpreter): "
+              "async dispatch unavailable, classify calls block — pipelined "
+              "serving degrades to serial for this artifact")
     frontend = jax.jit(lambda w: _inputs(w, cfg))
 
     def classify(wave: np.ndarray) -> np.ndarray:
@@ -155,6 +159,40 @@ def make_embedder(runner, cfg, stft_precision: str | None = None):
         return np.asarray(fused(v_in, jnp.asarray(wave)))
 
     return embed
+
+
+def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
+                        device_resample: bool = False):
+    """One probe + one decode for the serving drivers (cli/benchmark.py,
+    cli/serve.py): (chunks [N, T], src_rate, audio_seconds, read_ms).
+
+    The native-rate probe, audio-duration read, and fallback policy live
+    here so the two drivers can't drift — and duration comes from the same
+    header probe, not a second file open on the coordination thread.
+    Thread-safe (no shared state): pipelined/threaded decode runs it on
+    worker threads.
+    """
+    from birdnet_stm32_tpu.audio.io import audio_info
+    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
+
+    t0 = time.perf_counter()
+    src_rate = cfg.sample_rate
+    duration = 0.0
+    try:
+        info = audio_info(path)
+        if info.sample_rate > 0:
+            duration = info.frames / float(info.sample_rate)
+            if device_resample:
+                src_rate = int(info.sample_rate)
+    except Exception:
+        pass  # unparseable header: decode below yields 0 chunks
+    chunks = chunks_for_file(str(path), cfg, overlap, max_duration=max_duration,
+                             sample_rate=src_rate)
+    if duration <= 0.0 and len(chunks):
+        # No header duration (e.g. stream estimate failed): approximate
+        # from the chunk count (overlapped chunks double-count time).
+        duration = len(chunks) * (cfg.chunk_duration - overlap) + overlap
+    return chunks, src_rate, duration, (time.perf_counter() - t0) * 1000.0
 
 
 def classify_in_batches(classify, chunks: np.ndarray, batch_size: int):

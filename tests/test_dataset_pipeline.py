@@ -155,3 +155,52 @@ def test_loader_host_sharding(wav_dataset):
         seen.append(n)
     assert sum(seen) == len(paths)
     assert all(n > 0 for n in seen)
+
+
+@pytest.mark.integration
+def test_process_pool_fifo_when_not_shuffled(wav_dataset):
+    """shuffle=False + executor='process' must yield in SUBMISSION order
+    regardless of worker completion order (deterministic validation
+    loaders) — byte-identical to the thread executor's output."""
+    root, sr = wav_dataset
+    paths, labels, class_names = load_file_paths_from_directory(root)
+    y = one_hot_labels(labels, class_names)
+    cfg = LoaderConfig(sample_rate=sr, chunk_duration=1.0, num_classes=2,
+                       max_chunks_per_file=2, random_offset=False, seed=1)
+
+    def run(executor):
+        loader = AudioLoader(paths, y, cfg, batch_size=2, num_workers=4,
+                             shuffle=False, infinite=False, executor=executor,
+                             files_per_task=1)
+        xs = [xb for xb, _ in loader]
+        return np.concatenate(xs)
+
+    np.testing.assert_array_equal(run("process"), run("thread"))
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+def test_process_pool_pause_does_not_trip_watchdog(wav_dataset):
+    """Pausing via loader_control max_inflight_files=0 for longer than
+    worker_timeout, then resuming, must not raise the workers-dead
+    RuntimeError (the pause is deliberate, not a hang)."""
+    import threading
+    import time as _time
+
+    root, sr = wav_dataset
+    paths, labels, class_names = load_file_paths_from_directory(root)
+    y = one_hot_labels(labels, class_names)
+    cfg = LoaderConfig(sample_rate=sr, chunk_duration=1.0, num_classes=2,
+                       max_chunks_per_file=2, random_offset=False, seed=1)
+    control = {"max_inflight_files": 0}  # start paused
+    loader = AudioLoader(paths, y, cfg, batch_size=4, num_workers=2,
+                         shuffle=False, infinite=False, executor="process",
+                         worker_timeout=6.0, loader_control=control)
+
+    def unpause():
+        _time.sleep(8.0)  # pause strictly longer than worker_timeout
+        control["max_inflight_files"] = 64
+
+    threading.Thread(target=unpause, daemon=True).start()
+    xb, yb = next(iter(loader))  # must not raise
+    assert xb.shape == (4, sr)
