@@ -66,11 +66,19 @@ def detect_arch(layers: list[dict]) -> dict[str, Any]:
     checkpoint's sidecar lacks them while its graph is plain-DS), so the
     graph is the source of truth.
     """
+    import re
+
     names = [l["name"] for l in layers]
-    has = lambda frag: any(frag in n for n in names)  # noqa: E731
+    # Match the builder's exact block-name patterns (dscnn.py stage naming),
+    # not bare substrings: a user-chosen layer name that merely CONTAINS
+    # '_se' or '_ir1' (e.g. 'probe_sep') must not toggle whole block types.
+    has = lambda pat: any(re.search(pat, n) for n in names)  # noqa: E731
     out: dict[str, Any] = {
-        "use_inverted_residual": has("_ir1"),
-        "use_se": has("_se"),
+        # reference dscnn.py:214-246 block names: stage{i}_ir{b}_<sublayer>,
+        # stage{i}_se{b}_<squeeze|reduce|expand|scale> (plain-DS + SE), and
+        # stage{i}_ir{b}_se_<...> (IR + SE, blocks.py:113).
+        "use_inverted_residual": has(r"^stage\d+_ir\d+_"),
+        "use_se": has(r"^stage\d+_(ir\d+_)?se\d*_(squeeze|reduce|expand|scale)$"),
         "use_attention_pooling": any(l["class_name"] == "AttentionPooling" for l in layers),
     }
     for l in layers:
@@ -132,6 +140,17 @@ def _frontend_params(h5, group: str, mag_scale: str, fft_bins: int) -> dict:
             return None
         return np.asarray(node["1"]).reshape(-1)
 
+    def require(key: str, value, what: str):
+        """Sibling sublayers must all be present once the prefix resolved:
+        a None here would otherwise surface as an opaque jnp.asarray(None)
+        TypeError long after the cause."""
+        if value is None:
+            raise KeyError(
+                f"checkpoint frontend is missing the '{what}' weights "
+                f"expected for mag_scale={mag_scale!r} (found its siblings "
+                "under the same prefix — renamed or partially-saved layer?)")
+        mag[key] = value
+
     if mag_scale == "pwl":
         # Older checkpoints keep pwl weights on the frontend itself
         # (_pwl_*); newer ones nest them under the mag layer.
@@ -141,9 +160,12 @@ def _frontend_params(h5, group: str, mag_scale: str, fft_bins: int) -> dict:
                 continue
             mag["pwl_k0"] = k0
             for i, sub in enumerate(["depthwise_conv2d", "depthwise_conv2d_1", "depthwise_conv2d_2"], start=1):
-                mag[f"pwl_k{i}"] = dw_vec(f"{prefix}_pwl_k_dws/{sub}/vars")
-                mag[f"pwl_shift{i}_w"] = dw_vec(f"{prefix}_pwl_shift_dws/{sub}/vars")
-                mag[f"pwl_shift{i}_b"] = dw_bias(f"{prefix}_pwl_shift_dws/{sub}/vars")
+                require(f"pwl_k{i}", dw_vec(f"{prefix}_pwl_k_dws/{sub}/vars"),
+                        f"_pwl_k_dws/{sub}")
+                require(f"pwl_shift{i}_w", dw_vec(f"{prefix}_pwl_shift_dws/{sub}/vars"),
+                        f"_pwl_shift_dws/{sub} kernel")
+                require(f"pwl_shift{i}_b", dw_bias(f"{prefix}_pwl_shift_dws/{sub}/vars"),
+                        f"_pwl_shift_dws/{sub} bias")
             break
     elif mag_scale == "pcen":
         for prefix in ("", "mag_layer/"):
@@ -151,10 +173,12 @@ def _frontend_params(h5, group: str, mag_scale: str, fft_bins: int) -> dict:
             if agc is None:
                 continue
             mag["pcen_agc"] = agc
-            mag["pcen_k1"] = dw_vec(f"{prefix}_pcen_k1_dw/vars")
-            mag["pcen_shift_w"] = dw_vec(f"{prefix}_pcen_shift_dw/vars")
-            mag["pcen_shift_b"] = dw_bias(f"{prefix}_pcen_shift_dw/vars")
-            mag["pcen_k2mk1"] = dw_vec(f"{prefix}_pcen_k2mk1_dw/vars")
+            require("pcen_k1", dw_vec(f"{prefix}_pcen_k1_dw/vars"), "_pcen_k1_dw")
+            require("pcen_shift_w", dw_vec(f"{prefix}_pcen_shift_dw/vars"),
+                    "_pcen_shift_dw kernel")
+            require("pcen_shift_b", dw_bias(f"{prefix}_pcen_shift_dw/vars"),
+                    "_pcen_shift_dw bias")
+            require("pcen_k2mk1", dw_vec(f"{prefix}_pcen_k2mk1_dw/vars"), "_pcen_k2mk1_dw")
             break
 
     if mag:
@@ -192,6 +216,14 @@ def transplant_params(keras_path: str | Path, cfg: ModelConfig) -> tuple[dict, d
             params[name] = entry
         elif cls == "DepthwiseConv2D":
             (k,) = _vars(h5, group)
+            if k.shape[3] != 1:
+                # The (0,1,3,2) transpose below is only valid for
+                # depth_multiplier=1; flax grouped convs want group-major
+                # [kh,kw,1,C*m] which this mapping does not produce.
+                raise NotImplementedError(
+                    f"DepthwiseConv2D '{name}' has depth_multiplier="
+                    f"{k.shape[3]}; transplant supports multiplier 1 only "
+                    "(the reference builder never emits more)")
             params[name] = {"kernel": np.transpose(k, (0, 1, 3, 2))}  # [kh,kw,C,1]->[kh,kw,1,C]
         elif cls == "BatchNormalization":
             gamma, beta, mean, var = _vars(h5, group)

@@ -102,7 +102,11 @@ def _options(op, name):
     if name == "FULLY_CONNECTED":
         o = init(fb.FullyConnectedOptions)
         return {"activation": o.FusedActivationFunction(),
-                "weights_format": o.WeightsFormat()}
+                "weights_format": o.WeightsFormat(),
+                "keep_num_dims": bool(o.KeepNumDims())}
+    if name == "SOFTMAX":
+        o = init(fb.SoftmaxOptions)
+        return {"beta": float(o.Beta())}
     if name == "CONCATENATION":
         o = init(fb.ConcatenationOptions)
         return {"axis": o.Axis(), "activation": o.FusedActivationFunction()}
@@ -194,6 +198,18 @@ class TFLiteGraph:
             )
         self.inputs = [int(x) for x in sg.InputsAsNumpy()]
         self.outputs = [int(x) for x in sg.OutputsAsNumpy()]
+
+        # This executor implements int8 arithmetic ([-128,127] clamps, int8
+        # casts) throughout. uint8 (pre-TF-2.3 writers) and int16-activation
+        # graphs would parse but compute garbage — reject them loudly.
+        used = {i for op in self.ops for i in (*op.inputs, *op.outputs) if i >= 0}
+        bad = sorted({self.tensors[i].dtype for i in used
+                      if self.tensors[i].dtype in ("uint8", "int16")})
+        if bad:
+            raise NotImplementedError(
+                f"graph uses {bad} tensors: this executor implements the "
+                "int8 quantization scheme only (uint8/int16 graphs would be "
+                "silently corrupted, not approximated)")
 
 
 def _round_away(x):
@@ -725,6 +741,17 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                         "(weights would be consumed as row-major garbage)")
                 xin = get(ins[0])
                 w = get_host(ins[1])  # [out, in]
+                if xin.ndim > 2 and len(T[o].shape) < xin.ndim:
+                    # TFLite flattens rank>2 inputs to [prod(leading), in];
+                    # when the graph DECLARES the flattened (lower-rank)
+                    # output, the broadcast dot below would silently produce
+                    # a different shape than the interpreter. (Keras-exported
+                    # graphs keep the leading dims — KeepNumDims semantics —
+                    # where the broadcast dot is bit-identical, fuzz-tested.)
+                    raise NotImplementedError(
+                        f"FULLY_CONNECTED flattens rank-{xin.ndim} input to "
+                        f"rank-{len(T[o].shape)} output; that reshape is not "
+                        "replicated")
                 bias = get_host(ins[2]).astype(np.int64) if len(ins) > 2 and ins[2] >= 0 else 0
                 si, zi, _ = q_params(ins[0])
                 sw, _, _ = q_params(ins[1])
@@ -838,11 +865,12 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 vals[o] = jnp.reshape(src, new_shape)
 
             elif name == "SOFTMAX":
-                # Float-faithful softmax; int8 output scale is fixed 1/256.
+                # Float-faithful softmax(beta*x); int8 output scale is 1/256.
                 si, zi, _ = q_params(ins[0])
                 so, zo, _ = q_params(o)
+                beta = float(op.options.get("beta", 1.0))
                 f = (get(ins[0]).astype(jnp.float32) - int(zi[0])) * float(si[0])
-                p = jax.nn.softmax(f, axis=-1)
+                p = jax.nn.softmax(beta * f, axis=-1)
                 q = _round_away(p / float(so[0])) + int(zo[0])
                 vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
 

@@ -69,3 +69,22 @@ def test_float_forward_matches_tf_golden(loaded):
         cos = float(np.dot(ours[i], golden[i]) / (np.linalg.norm(ours[i]) * np.linalg.norm(golden[i])))
         assert cos > 0.99999, f"sample {i} cosine {cos}"
     np.testing.assert_allclose(ours, golden, atol=5e-4)
+
+
+def test_detect_arch_ignores_lookalike_names():
+    """Substring lookalikes ('probe_sep', 'mixer_ir10n') must not toggle
+    SE/IR; real stage block names must."""
+    from birdnet_stm32_tpu.models.transplant import detect_arch
+
+    mk = lambda *names: [{"class_name": "Conv2D", "name": n, "config": {}}
+                         for n in names]
+    plain = detect_arch(mk("stem_conv", "probe_sep", "mixer_ir10n",
+                           "stage1_ds1_dw", "pred"))
+    assert not plain["use_se"] and not plain["use_inverted_residual"]
+
+    se = detect_arch(mk("stage1_ds1_dw", "stage1_se1_squeeze",
+                        "stage1_se1_reduce"))
+    assert se["use_se"] and not se["use_inverted_residual"]
+
+    ir_se = detect_arch(mk("stage2_ir3_expand", "stage2_ir3_se_squeeze"))
+    assert ir_se["use_se"] and ir_se["use_inverted_residual"]
