@@ -312,7 +312,7 @@ def main(argv=None) -> int:
                 yield np.asarray(inputs_for_config(jnp.asarray(wave), base_cfg)), labels
 
         run_linear_probe(
-            base_model, base_vars, base_cfg, class_names,
+            base_vars, base_cfg, class_names,
             to_inputs(iter(train_loader)), lambda: to_inputs(iter(val_loader)),
             (run_dir / f"{keras_stem}_probe") if keras_stem
             else run_dir.with_name(run_dir.name + "_probe"),
@@ -396,6 +396,15 @@ def _run_tuning(args, cfg_kwargs: dict, class_names: list[str]) -> int:
         batcher = make_train_batcher(cfg, mixup_probability=p["mixup_probability"],
                                      label_smoothing=p["label_smoothing"])
         info("tune", f"trial {trial.number}: {p}")
+
+        def report_epoch(epoch_i, metrics):
+            # Median pruning (reference tuner.py MedianPruner parity):
+            # hopeless trials stop at the epoch boundary instead of
+            # burning their full budget.
+            auc = metrics.get("val_roc_auc", float("nan"))
+            if not np.isnan(auc):
+                trial.report(auc, epoch_i)
+
         _, history = train_model(
             model, variables, cfg, iter(train_loader), lambda: iter(val_loader),
             Path(args.run_dir) / f"trial_{trial.number}",
@@ -403,7 +412,7 @@ def _run_tuning(args, cfg_kwargs: dict, class_names: list[str]) -> int:
             learning_rate=p["learning_rate"], optimizer=p["optimizer"],
             weight_decay=p["weight_decay"], gradient_clip_norm=p["gradient_clip_norm"],
             multilabel=args.multilabel, label_smoothing=p["label_smoothing"],
-            batcher=batcher, seed=args.seed)
+            batcher=batcher, seed=args.seed, on_epoch_end=report_epoch)
         return max((h["val_roc_auc"] for h in history
                     if not np.isnan(h["val_roc_auc"])), default=0.0)
 

@@ -93,7 +93,7 @@ def build_tf_forward(variables: dict, cfg: ModelConfig,
         s = tf.math.sigmoid(tf.linalg.matmul(s, const(P[f"{name}_expand"]["kernel"])))
         return x * s
 
-    def mag_scale(y, method, prefix="audio_frontend/mag"):
+    def mag_scale(y, method):
         m = P["audio_frontend"]["mag"] if "audio_frontend" in P and "mag" in P["audio_frontend"] else {}
         if method == "none":
             return y
@@ -226,6 +226,13 @@ def convert_to_tflite(
         (reference quantize.py:154-163).
     """
     import tensorflow as tf
+
+    if quantize not in ("int8", "dynamic", "float"):
+        # An unknown mode must not silently export an unquantized,
+        # ungated float model (the reference spelling 'ptq' maps to
+        # 'int8' in cli/convert.py, not here).
+        raise ValueError(f"quantize={quantize!r}: expected 'int8', "
+                         "'dynamic', or 'float'")
 
     forward = build_tf_forward(variables, cfg, class_activation)
     spec = tf.TensorSpec((1, *cfg.input_shape()), tf.float32, name="input")

@@ -46,7 +46,7 @@ def convert_model(
     num_validation_seeds: int = 1,  # clamped to >= 1
     num_validation_samples: int = 64,
     save_npz: bool = True,
-    class_activation: str = "softmax",
+    class_activation: str | None = None,
     seed: int = 0,
 ) -> dict:
     """Convert a trained model to TFLite with the reference's quality gates.
@@ -74,6 +74,12 @@ def convert_model(
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
+
+    if class_activation is None:
+        # Default from the model itself (cli/convert.py does the same):
+        # exporting softmax onto a sigmoid (multilabel) model would gate
+        # mismatched output spaces AND ship wrong serving probabilities.
+        class_activation = getattr(model, "class_activation", "softmax")
 
     if calibration_inputs is None and quantize == "int8":
         # Calibration is only consumed by full-INT8 PTQ; 'dynamic'/'float'
@@ -129,12 +135,19 @@ def convert_model(
         report["validation"] = worst
 
         if save_npz:
+            # Pad 25 -> a batch shape validation already compiled (it chunks
+            # at 32): a fresh batch-25 INT8 executor costs a full XLA
+            # compile (minutes cold, 7-130 s executable load via a tunnel).
             keep = validation_inputs[:25]
+            b = min(32, num_validation_samples, len(validation_inputs))
+            padded = np.concatenate(
+                [keep, np.zeros((max(0, b - len(keep)), *keep.shape[1:]),
+                                keep.dtype)]) if len(keep) < b else keep
             npz_path = out_path.with_name(out_path.stem + "_validation_data.npz")
             np.savez_compressed(
                 npz_path, inputs=keep,
-                float_outputs=float_runner.predict(keep),
-                quant_outputs=quant_runner.predict(keep))
+                float_outputs=float_runner.predict(padded)[: len(keep)],
+                quant_outputs=quant_runner.predict(padded)[: len(keep)])
             report["validation_npz"] = str(npz_path)
 
         if worst["cosine_mean"] < min_cosine_sim:

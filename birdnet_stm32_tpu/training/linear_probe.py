@@ -45,10 +45,9 @@ def make_probe(variables: dict, cfg: ModelConfig, new_classes: list[str],
 
     emb = variables["params"]["pred"]["kernel"].shape[0]
     c = len(new_classes)
-    k1, k2 = jax.random.split(key)
     params = dict(variables["params"])
     params["pred"] = {
-        "kernel": jax.nn.initializers.lecun_normal()(k1, (emb, c), jnp.float32),
+        "kernel": jax.nn.initializers.lecun_normal()(key, (emb, c), jnp.float32),
         "bias": jnp.zeros((c,), jnp.float32),
     }
     new_vars = {"params": params}
@@ -81,7 +80,6 @@ def head_only_optimizer(tx: optax.GradientTransformation, params) -> optax.Gradi
 
 
 def run_linear_probe(
-    model,
     variables: dict,
     cfg: ModelConfig,
     new_classes: list[str],
@@ -97,6 +95,9 @@ def run_linear_probe(
     """Fine-tune a fresh head; backbone gradients are zeroed.
 
     train_batches / val_batches supply (model_inputs, labels-[B, len(new_classes)]).
+
+    The probe model is built from cfg + new_classes (the head shape changes,
+    so a caller-supplied model could not be honored anyway).
 
     Returns:
         (best variables, history).
@@ -142,7 +143,8 @@ def run_linear_probe(
             state, loss = step(state, jnp.asarray(x), jnp.asarray(y),
                                jax.random.fold_in(key, host_step))
             host_step += 1
-            losses.append(float(loss))
+            losses.append(loss)  # device array: convert once per epoch
+        losses = [float(l) for l in losses]
         vals = [float(eval_loss(state, jnp.asarray(x), jnp.asarray(y))) for x, y in val_batches()]
         val_loss = float(np.mean(vals)) if vals else float("nan")
         history.append({"loss": float(np.mean(losses)), "val_loss": val_loss})
@@ -151,6 +153,16 @@ def run_linear_probe(
             best_val = val_loss
             best_vars = jax.device_get(state.variables())
             ckpt.save_checkpoint(run_dir, best_vars, probe_cfg)
+    if not np.isfinite(best_val):
+        # No finite val loss ever seen (empty val iterable / NaN losses):
+        # returning the random-init head and writing NO checkpoint would
+        # silently discard the whole run. Keep the final trained state.
+        from birdnet_stm32_tpu.utils.logging import warn
+
+        warn("probe", "no finite validation loss; saving the FINAL epoch "
+                      "state instead of a best-val checkpoint")
+        best_vars = jax.device_get(state.variables())
+        ckpt.save_checkpoint(run_dir, best_vars, probe_cfg)
     return best_vars, history
 
 

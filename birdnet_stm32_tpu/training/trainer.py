@@ -98,6 +98,7 @@ def train_model(
     loss_fn_override=None,
     kernel_l2: float = 1e-4,
     mixed_precision: bool = False,
+    on_epoch_end=None,
 ) -> tuple[dict, list[dict]]:
     """Run the full training loop.
 
@@ -113,6 +114,9 @@ def train_model(
         qat: Use the QAT step (STE fake-quant, frozen BN).
         loss_fn_override: Replace the auto-selected loss (distillation uses
             this with [B, 2C] concatenated hard+teacher targets).
+        on_epoch_end: Optional callback (epoch_index, metrics dict) invoked
+            after each epoch's bookkeeping; exceptions propagate (the tuner
+            raises Pruned through here to stop hopeless trials early).
         Other args mirror the reference trainer's surface.
 
     Returns:
@@ -262,6 +266,8 @@ def train_model(
             best_val=None if not np.isfinite(min(best_val, val_loss))
             else min(best_val, val_loss))
         ckpt.save_full_state(run_dir, state)  # preemption-safe resume point
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, epoch_metrics)
         info("train", f"epoch {epoch + 1}/{epochs} loss={train_loss:.4f} "
                       f"val_loss={val_loss:.4f} val_auc={auc:.4f}")
 

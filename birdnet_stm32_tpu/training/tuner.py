@@ -162,18 +162,26 @@ def tpe_propose(rng: np.random.Generator, completed: list["Trial"],
                 continue
             if name == "expansion_factor" and not cand.get("use_inverted_residual"):
                 continue
+            # Conditional params are SAMPLED from the good-set model but
+            # NOT scored: candidates with different active-dimension sets
+            # must compare over a common set of terms, or every SE-on
+            # candidate eats se_reduction's (often negative) log-ratio and
+            # the sampler drifts toward use_se=False regardless of data.
+            scored = name in SPACE
             kind, a, b = _param_domain(name)
             g_obs, b_obs = observations(good, name), observations(bad, name)
             if kind in ("float", "logfloat", "int"):
                 gi = np.array([_to_internal(name, v) for v in g_obs])
                 bi = np.array([_to_internal(name, v) for v in b_obs])
                 xi = _numeric_sample(rng, gi, a, b)
-                score += _numeric_logpdf(xi, gi, a, b) - _numeric_logpdf(xi, bi, a, b)
+                if scored:
+                    score += _numeric_logpdf(xi, gi, a, b) - _numeric_logpdf(xi, bi, a, b)
                 cand[name] = _from_internal(name, xi)
             else:  # choice
                 pg, pb = _cat_probs(a, g_obs), _cat_probs(a, b_obs)
                 idx = int(rng.choice(len(a), p=pg))
-                score += float(np.log(pg[idx]) - np.log(pb[idx]))
+                if scored:
+                    score += float(np.log(pg[idx]) - np.log(pb[idx]))
                 cand[name] = a[idx]
         if score > best_score:
             best_params, best_score = cand, score
@@ -187,10 +195,15 @@ class Trial:
     intermediate: list[float] = field(default_factory=list)
     value: float | None = None
     pruned: bool = False
+    study: "Study | None" = None  # backref set by Study.optimize
 
-    def report(self, value: float, step: int, study: "Study") -> None:
+    def report(self, value: float, step: int, study: "Study | None" = None) -> None:
+        """Report an intermediate value; raises Pruned when the median
+        pruner says stop (Optuna trial.report + should_prune in one).
+        The study argument is optional once Study.optimize set the backref."""
+        study = study or self.study
         self.intermediate.append(float(value))
-        if study.should_prune(step, value):
+        if study is not None and study.should_prune(step, value):
             self.pruned = True
             raise Pruned()
 
@@ -235,7 +248,8 @@ class Study:
 
     def optimize(self, objective: Callable[[Trial], float], n_trials: int) -> None:
         for i in range(n_trials):
-            trial = Trial(number=len(self.trials), params=self._propose())
+            trial = Trial(number=len(self.trials), params=self._propose(),
+                          study=self)
             self.trials.append(trial)
             try:
                 trial.value = float(objective(trial))

@@ -308,7 +308,7 @@ def test_linear_probe_trains_head_only(tmp_path):
     batches = _toy_model_batches(cfg, batch=8)
     val = [next(batches) for _ in range(2)]
     best, history = run_linear_probe(
-        model, variables, cfg, ["lo", "hi"], batches, lambda: iter(val),
+        variables, cfg, ["lo", "hi"], batches, lambda: iter(val),
         tmp_path, epochs=2, steps_per_epoch=5)
     assert len(history) == 2
     probe_before, _, _ = make_probe(variables, cfg, ["lo", "hi"])
@@ -331,3 +331,31 @@ def test_stratified_sample_paths():
         i = int(p[1:-4])
         got[labels[i]] += 1
     assert got == {"a": 3, "b": 3, "c": 3}
+
+
+def test_study_prunes_through_trial_backref():
+    """Trial.report works without an explicit study arg (Study.optimize
+    sets the backref) and bad trials actually stop early."""
+    from birdnet_stm32_tpu.training.tuner import Study
+
+    calls = []
+
+    def objective(trial):
+        # Trials alternate good (rising AUC) and bad (flat zero).
+        good = trial.number % 2 == 0
+        for epoch in range(5):
+            v = 0.5 + 0.1 * epoch if good else 0.0
+            trial.report(v, epoch)  # no study argument: backref path
+            calls.append((trial.number, epoch))
+        return v
+
+    study = Study(seed=0, n_warmup_trials=2, n_warmup_steps=1, sampler="random")
+    study.optimize(objective, n_trials=8)
+    pruned = [t for t in study.trials if t.pruned]
+    completed = [t for t in study.trials if t.value is not None]
+    assert pruned, "flat-zero trials should be pruned below the median"
+    assert all(t.number % 2 == 1 for t in pruned)
+    assert study.best_trial.value == max(t.value for t in completed)
+    # Pruned trials stopped early: fewer reports than 5 epochs.
+    worst = max(t.number for t in pruned)
+    assert len([c for c in calls if c[0] == worst]) < 5
