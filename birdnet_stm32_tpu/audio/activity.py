@@ -12,17 +12,21 @@ import numpy as np
 
 
 def short_time_energy(audio: np.ndarray, frame_length: int = 1024, hop_length: int = 512) -> np.ndarray:
-    """Per-frame mean-square energy (reference activity.py:12-30), vectorized."""
+    """Per-frame mean-square energy (reference activity.py:12-30), via a
+    prefix sum of squares: O(n) memory. (A gathered [n_frames, frame_length]
+    index matrix costs ~GBs per decode worker on hour-long soundscapes —
+    exactly the recordings smart_crop exists for.)"""
     n = audio.shape[0]
-    n_frames = max(1, 1 + (n - frame_length) // hop_length)
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
-    idx = np.minimum(idx, max(n - 1, 0))
-    frames = audio[idx]
+    n_frames = max(1, 1 + max(0, n - frame_length) // hop_length)
+    # cs[i] = sum of audio[:i]**2 in float64 (f32 cumsum loses ~2-3 digits
+    # over 10^8 samples, enough to flip percentile thresholds).
+    cs = np.concatenate([[0.0], np.cumsum(np.square(audio, dtype=np.float64))])
+    starts = np.arange(n_frames) * hop_length
+    ends = np.minimum(starts + frame_length, n)
     # Frames that run past the end are shorter in the reference (mean over
-    # fewer samples); replicate by masking the out-of-range tail.
-    valid = (np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]) < n
-    counts = valid.sum(axis=1).clip(min=1)
-    return ((frames**2) * valid).sum(axis=1).astype(np.float32) / counts
+    # fewer samples).
+    counts = np.maximum(ends - starts, 1)
+    return ((cs[ends] - cs[starts]) / counts).astype(np.float32)
 
 
 def smart_crop(

@@ -90,11 +90,21 @@ def build_bundle(model_path: Path, config_path: Path, labels_path: Path | None,
     cfg = ModelConfig.load(config_path)
     labels = None
     if labels_path is not None and labels_path.exists():
-        from birdnet_stm32_tpu.data.species import open_species_list
+        # Raw line order, NO dedupe/sort (open_species_list would): label i
+        # must stay aligned with model output i, and the header pair below
+        # must agree on the class count.
+        from birdnet_stm32_tpu.data.species import load_species_list
 
-        labels = open_species_list(labels_path)
+        labels = load_species_list(labels_path)
     elif cfg.class_names:
         labels = list(cfg.class_names)
+    if labels is not None and cfg.num_classes and len(labels) != cfg.num_classes:
+        # APP_NUM_CLASSES (config) and the APP_LABELS table (file) disagreeing
+        # would make the firmware index past the label array on device.
+        raise SystemExit(
+            f"labels file has {len(labels)} entries but the model outputs "
+            f"{cfg.num_classes} classes — refusing to generate mismatched "
+            "firmware headers")
 
     plan = [
         ("copy", model_path, out_dir / model_path.name),

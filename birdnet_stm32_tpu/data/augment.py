@@ -46,6 +46,11 @@ def apply_mixup(
     Returns:
         (mixed batch, mixed labels), same shapes.
     """
+    if not 2 <= max_sources <= 3:
+        # The distinct-partner draw below produces exactly two offsets;
+        # a larger max_sources would mismatch the gain/source shapes at
+        # trace time (and the reference mixes 2-3 sources only).
+        raise ValueError(f"max_sources={max_sources}: supported range is [2, 3]")
     B = batch.shape[0]
     num_mix = int(round(B * probability))
     if alpha <= 0 or num_mix <= 0:
@@ -110,6 +115,12 @@ def apply_spec_augment(
     Matches the reference's per-sample mask law (augmentation.py:74-120):
     width ~ U[0, min(mask_max, dim)), start ~ U[0, max(1, dim - width)).
     """
+    if spec.ndim == 4 and spec.shape[-1] != 1:
+        # The reference squeezes only single-channel features
+        # (augmentation.py:100-103); spec[..., 0] on C>1 would silently
+        # drop channels and change the output shape.
+        raise ValueError(f"spec_augment expects [B, F, T] or [B, F, T, 1]; "
+                         f"got trailing channel dim {spec.shape[-1]}")
     squeeze = spec.ndim == 4
     x = spec[..., 0] if squeeze else spec
     B, F, T = x.shape

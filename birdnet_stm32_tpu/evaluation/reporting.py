@@ -113,7 +113,13 @@ def save_benchmark_json(metrics: dict, classes: list[str], model_path: str,
     for k, v in metrics.items():
         if k == "ap_per_class":
             continue
-        core[k] = round(v, 6) if isinstance(v, float) else v
+        if isinstance(v, float):
+            # NaN (e.g. roc-auc on a single-class test set) must land as
+            # null: json.dumps would emit a bare NaN token that every
+            # non-Python JSON parser rejects.
+            core[k] = None if not np.isfinite(v) else round(v, 6)
+        else:
+            core[k] = v
     report["metrics"] = core
     if species_data:
         report["species"] = species_data

@@ -38,19 +38,14 @@ def kaiser_poly_filter(up: int, down: int) -> np.ndarray:
     Returns:
         float32 taps of length 2*10*max(up, down) + 1 (zero-phase center).
     """
-    max_rate = max(up, down)
-    f_c = 1.0 / max_rate  # cutoff in Nyquist units
-    half_len = 10 * max_rate
-    n_taps = 2 * half_len + 1
+    from scipy.signal import firwin
 
-    m = np.arange(n_taps, dtype=np.float64) - half_len
-    sinc = np.where(m == 0.0, f_c, np.sin(np.pi * f_c * m) / (np.pi * np.where(m == 0, 1.0, m)))
-    r = 2.0 * np.arange(n_taps, dtype=np.float64) / (n_taps - 1) - 1.0
-    beta = 5.0
-    window = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - r * r))) / np.i0(beta)
-    taps = sinc * window
-    # firwin normalizes DC gain to 1; resample_poly scales by up.
-    taps *= up / taps.sum()
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    # The exact filter resample_poly designs (scipy is already a runtime
+    # dependency via the host fallback in audio/io.fast_resample), scaled
+    # by up per its polyphase convention.
+    taps = firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0)) * up
     return taps.astype(np.float32)
 
 

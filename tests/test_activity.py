@@ -83,3 +83,19 @@ def test_pick_random_samples(rng):
     assert pick_random_samples([], 2) == []
     capped = pick_random_samples(samples, 99, rng=g)
     assert len(capped) == 6
+
+
+def test_short_time_energy_matches_reference_loop():
+    """The O(n) prefix-sum STE equals the reference's per-frame loop
+    (activity.py:12-30 there), including the short tail frame."""
+    rng = np.random.default_rng(3)
+    for n in (100, 1024, 5000, 4096 + 17):
+        y = rng.normal(0, 0.5, n).astype(np.float32)
+        fl, hop = 1024, 512
+        ours = short_time_energy(y, fl, hop)
+        n_frames = max(1, 1 + max(0, n - fl) // hop)
+        ref = []
+        for i in range(n_frames):
+            fr = y[i * hop : i * hop + fl]
+            ref.append(np.mean(fr.astype(np.float64) ** 2))
+        np.testing.assert_allclose(ours, np.asarray(ref, np.float32), rtol=1e-5)

@@ -55,3 +55,18 @@ def test_write_headers(tmp_path):
     p1, p2 = write_headers(cfg(), ["a", "b", "c"], tmp_path)
     assert p1.read_text().startswith("/* Auto-generated")
     assert "APP_LABELS[]" in p2.read_text()
+
+
+def test_undeployable_frontend_rejected():
+    """mfcc/log_mel have no firmware mode (the device would feed plain mel
+    to a DCT/log1p-trained model) — header generation must fail loudly."""
+    import pytest
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.deploy.headers import generate_app_config_h
+
+    for fe in ("mfcc", "log_mel"):
+        cfg = ModelConfig(num_classes=3, class_names=list("abc"),
+                          audio_frontend=fe)
+        with pytest.raises(ValueError, match="no firmware mode"):
+            generate_app_config_h(cfg)

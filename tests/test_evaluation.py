@@ -249,3 +249,17 @@ def test_evaluate_with_cache_dir(tmp_path, wav_dataset):
     np.testing.assert_array_equal(y1, y2)
     np.testing.assert_allclose(s1, s2)
     assert len(list(cache.glob("*.npy"))) == len(files)
+
+
+def test_benchmark_json_nan_is_null(tmp_path):
+    """NaN metrics must serialize as null, not a bare NaN token."""
+    import json
+
+    from birdnet_stm32_tpu.evaluation.reporting import save_benchmark_json
+
+    out = tmp_path / "bench.json"
+    save_benchmark_json({"roc-auc": float("nan"), "cmAP": 0.5},
+                        ["a", "b"], "m.tflite", out)
+    parsed = json.loads(out.read_text())  # strict parse must succeed
+    assert parsed["metrics"]["roc-auc"] is None
+    assert parsed["metrics"]["cmAP"] == 0.5
