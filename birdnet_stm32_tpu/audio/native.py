@@ -24,22 +24,28 @@ _load_failed = False
 _load_lock = threading.Lock()
 
 
-def _build_locked():
+def _build_locked(target: Path | None = None):
     """Build the library under an exclusive cross-process file lock.
 
     Loader threads AND spawn-pool workers can hit the first use
     concurrently; without the lock, two `make` runs link to the same
     output path and a reader can CDLL a partially-written .so (latching
     _load_failed for the process lifetime).
+
+    `target` is the .so this caller needs (default: the base library).
+    Guarding `make` on the BASE library alone would skip the build when
+    the codec .so is the missing one (e.g. base built before libav-dev
+    was installed), permanently latching codec_available() False.
     """
     import fcntl
 
+    target = target or _SO_PATH
     build_dir = _SO_PATH.parent
     build_dir.mkdir(parents=True, exist_ok=True)
     with open(build_dir / ".build.lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
-            if not _SO_PATH.exists():  # another process may have built it
+            if not target.exists():  # another process may have built it
                 subprocess.run(["make", "-C", str(_REPO_ROOT / "native")],
                                check=True, capture_output=True, timeout=120)
         finally:
@@ -81,13 +87,6 @@ def _try_load_locked():
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
     lib.resample_poly_native.restype = ctypes.c_long
-    lib.peak_normalize_native.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_long]
-    lib.peak_normalize_native.restype = ctypes.c_float
-    lib.short_time_energy_native.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float)]
-    lib.short_time_energy_native.restype = ctypes.c_long
     _lib = lib
     return _lib
 
@@ -149,27 +148,6 @@ def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return out[:got]
 
 
-def peak_normalize(x: np.ndarray) -> np.ndarray:
-    """In-place peak normalization; returns the (possibly same) array."""
-    lib = _try_load()
-    if lib is None:
-        raise RuntimeError("native library unavailable")
-    x = np.ascontiguousarray(x, np.float32)
-    lib.peak_normalize_native(_fptr(x), len(x))
-    return x
-
-
-def short_time_energy(x: np.ndarray, frame_len: int) -> np.ndarray:
-    """Mean-square energy of non-overlapping frames."""
-    lib = _try_load()
-    if lib is None:
-        raise RuntimeError("native library unavailable")
-    x = np.ascontiguousarray(x, np.float32)
-    out = np.empty(len(x) // frame_len, np.float32)
-    lib.short_time_energy_native(_fptr(x), len(x), frame_len, _fptr(out))
-    return out
-
-
 # --- Multi-format codec library (libaudio_codec.so, optional) --------------
 #
 # Decode/encode mp3/flac/ogg/m4a via FFmpeg's libav* (the reference reaches
@@ -195,7 +173,7 @@ def _try_load_codec():
             return _codec
         try:
             if not _CODEC_PATH.exists():
-                _build_locked()  # builds the codec too when libav is present
+                _build_locked(_CODEC_PATH)  # builds the codec when libav is present
             lib = ctypes.CDLL(str(_CODEC_PATH))
         except Exception:
             _codec_failed = True
@@ -245,8 +223,14 @@ def codec_decode(path: str | os.PathLike, offset_frames: int = 0,
     lib = _try_load_codec()
     if lib is None:
         raise RuntimeError("codec library unavailable")
-    sr, ch, fr = codec_info(path)
-    cap = int(max_frames) if max_frames and max_frames > 0 else max(fr, sr) + sr
+    if max_frames and max_frames > 0:
+        # Hot path (per-window reads): the cap is the caller's request —
+        # skip the container probe codec_info would pay (the decoder call
+        # below opens the file itself).
+        cap = int(max_frames)
+    else:
+        _sr, _ch, fr = codec_info(path)
+        cap = max(fr, _sr) + _sr
     sro = ctypes.c_int()
     while True:
         out = np.empty(cap + 4096, np.float32)

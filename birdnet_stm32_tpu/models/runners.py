@@ -47,14 +47,13 @@ class FlaxRunner:
             from birdnet_stm32_tpu.parallel.steps import make_infer_fn
 
             self._infer = make_infer_fn(model, variables, mesh=mesh, dtype=dtype)
-        else:
+        elif dtype is None:
             fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
-            if dtype is None:
-                self._infer = lambda x: fn(self.variables, x)
-            else:
-                fn16 = jax.jit(lambda v, x: model.apply(
-                    v, x.astype(dtype), train=False).astype(jnp.float32))
-                self._infer = lambda x: fn16(self.variables, x)
+            self._infer = lambda x: fn(self.variables, x)
+        else:  # bf16 serving: cast features in, float32 scores out
+            fn16 = jax.jit(lambda v, x: model.apply(
+                v, x.astype(dtype), train=False).astype(jnp.float32))
+            self._infer = lambda x: fn16(self.variables, x)
 
     def predict(self, x_batch: np.ndarray) -> np.ndarray:
         return np.asarray(self._infer(jnp.asarray(x_batch)))
@@ -107,7 +106,6 @@ class TFLiteInterpreterRunner:
         self._tf = tf
         self._interp = self._make_interp()
         self._interp.allocate_tensors()
-        self._batch = self._interp.get_input_details()[0]["shape"][0]
 
     def _make_interp(self):
         # No delegates (reference runners.py:48-95): XNNPack refuses to

@@ -19,9 +19,13 @@ def initialize_distributed(coordinator_address: str | None = None,
     """Initialize jax.distributed when running multi-host; no-op otherwise.
 
     Resolution: explicit args > JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID env vars > single-process (returns False). On TPU pods
-    with default runtime metadata, `jax.distributed.initialize()` needs no
-    arguments; call this before any other JAX API.
+    JAX_PROCESS_ID env vars > TPU-pod auto-detect (no-arg
+    `jax.distributed.initialize()` when pod runtime metadata is present) >
+    single-process (returns False). Call this before any other JAX API.
+
+    Without the auto-detect, launching on a real pod with default metadata
+    would leave every host at process_count()==1 — each training on the
+    FULL dataset and racing writes to the same run_dir.
 
     Returns:
         True when a multi-process runtime was initialized.
@@ -30,7 +34,15 @@ def initialize_distributed(coordinator_address: str | None = None,
     n = num_processes if num_processes is not None else _int_env("JAX_NUM_PROCESSES")
     pid = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
     if addr is None and n is None and pid is None:
-        return False
+        # TPU pods export per-worker metadata the no-arg initializer reads;
+        # none of these exist on single-host setups (incl. tunneled chips),
+        # so this never hijacks a local run.
+        pod_markers = ("TPU_PROCESS_BOUNDS", "TPU_WORKER_HOSTNAMES",
+                       "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS")
+        if not any(os.environ.get(m) for m in pod_markers):
+            return False
+        jax.distributed.initialize()
+        return jax.process_count() > 1
     jax.distributed.initialize(coordinator_address=addr, num_processes=n,
                                process_id=pid)
     return True

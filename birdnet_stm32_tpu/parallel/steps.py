@@ -142,7 +142,12 @@ def make_train_step(
         def compute_loss(params):
             p, bs, xx = params, state.batch_stats, x
             if compute_dtype is not None:
-                p, bs, xx = (_cast(t, compute_dtype) for t in (p, bs, xx))
+                # Params and inputs cast to bf16; batch_stats stay f32 so
+                # the running-average EMA accumulates at full precision
+                # (Keras mixed_bfloat16 keeps BN in f32 — an EMA increment
+                # below the bf16 ULP would otherwise be dropped and the
+                # stats would stall at ~0.4% resolution).
+                p, xx = (_cast(t, compute_dtype) for t in (p, xx))
             out, updates = model.apply(
                 {"params": p, "batch_stats": bs},
                 xx, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],

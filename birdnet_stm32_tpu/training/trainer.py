@@ -243,7 +243,18 @@ def train_model(
             val_num += float(loss) * b
             val_den += b
             y_true.append(np.asarray(labels))
-            y_score.append(np.asarray(scores))
+            if multihost:
+                # `scores` is a data-sharded GLOBAL array: np.asarray on
+                # non-addressable shards raises. Fetch this host's shards
+                # (in batch order) — they align with the host-local
+                # `labels` because make_array_from_process_local_data puts
+                # each process's rows on its own devices. Every host then
+                # computes AUC over its local slice.
+                local = sorted(scores.addressable_shards,
+                               key=lambda s: s.index[0].start or 0)
+                y_score.append(np.concatenate([np.asarray(s.data) for s in local]))
+            else:
+                y_score.append(np.asarray(scores))
 
         train_loss = float(np.mean([float(x) for x in train_losses]))
         val_loss = val_num / val_den if val_den else float("nan")

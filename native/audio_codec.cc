@@ -134,10 +134,12 @@ long codec_decode_f32(const char* path, long offset_frames, long max_frames,
   const AVStream* st = ctx.fmt->streams[ctx.stream_index];
 
   long skip = offset_frames > 0 ? offset_frames : 0;
+  long seek_target = 0;  // samples the coarse seek aimed at (BACKWARD)
   // Coarse seek for large offsets (audio packets are all keyframes in
   // most codecs); the remainder is discarded sample-exactly below.
   if (skip > static_cast<long>(ctx.dec->sample_rate)) {
-    const int64_t ts = av_rescale(skip - ctx.dec->sample_rate / 4,
+    seek_target = skip - ctx.dec->sample_rate / 4;
+    const int64_t ts = av_rescale(seek_target,
                                   st->time_base.den,
                                   static_cast<int64_t>(st->time_base.num) *
                                       ctx.dec->sample_rate);
@@ -171,7 +173,10 @@ long codec_decode_f32(const char* path, long offset_frames, long max_frames,
     }
     while (avcodec_receive_frame(ctx.dec, frame) == 0) {
       if (skip_from_pts) {
-        long landed = 0;
+        // No PTS on the first post-seek frame: assume the BACKWARD seek
+        // landed at its target. Assuming 0 would re-skip the full offset
+        // and return audio from ~2x the requested position.
+        long landed = seek_target;
         if (frame->pts != AV_NOPTS_VALUE && st->time_base.num > 0) {
           landed = static_cast<long>(av_rescale(
               frame->pts, static_cast<int64_t>(st->time_base.num) *

@@ -113,6 +113,16 @@ long wav_native_read(const char* path, long start_frame, long n_frames,
     fclose(f);
     return -2;
   }
+  // Reject combos the loop below has no branch for (a-law/mu-law, 48/64-bit
+  // PCM, 16-bit float): falling through would emit silence/garbage with no
+  // error, diverging from the numpy twin which raises and skips the file.
+  const bool supported =
+      (h.format == 3 && (h.bits == 32 || h.bits == 64)) ||
+      (h.format == 1 && (h.bits == 8 || h.bits == 16 || h.bits == 24 || h.bits == 32));
+  if (!supported) {
+    fclose(f);
+    return -4;
+  }
   const int bytes_per_sample = h.bits / 8;
   const uint64_t frame_bytes = (uint64_t)h.channels * bytes_per_sample;
   const long total = (long)(h.data_bytes / frame_bytes);
@@ -222,32 +232,6 @@ long resample_poly_native(const float* x, long n_in, int up, int down,
     out[j] = acc;
   }
   return n_out;
-}
-
-// Peak-normalize in place to max |x| = 1 (reference io.py peak normalize);
-// returns the peak. No-op for silent buffers.
-float peak_normalize_native(float* x, long n) {
-  float peak = 0.0f;
-  for (long i = 0; i < n; ++i) peak = std::max(peak, std::fabs(x[i]));
-  if (peak > 1e-12f) {
-    const float inv = 1.0f / peak;
-    for (long i = 0; i < n; ++i) x[i] *= inv;
-  }
-  return peak;
-}
-
-// Short-time energy over non-overlapping frames (activity detection hot
-// loop, reference audio/activity.py:12-30). Returns number of frames.
-long short_time_energy_native(const float* x, long n, int frame_len,
-                              float* out) {
-  const long n_frames = n / frame_len;
-  for (long i = 0; i < n_frames; ++i) {
-    float acc = 0.0f;
-    const float* p = x + i * frame_len;
-    for (int k = 0; k < frame_len; ++k) acc += p[k] * p[k];
-    out[i] = acc / frame_len;
-  }
-  return n_frames;
 }
 
 }  // extern "C"

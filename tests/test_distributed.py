@@ -79,7 +79,32 @@ state, metrics = step(state, x, y, jax.random.key(1))
 loss = float(metrics["loss"])
 assert np.isfinite(loss)
 leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[:3]
-print(f"RESULT pid={{pid}} loss={{loss:.6f}} leaf={{leaf[0]:.6f}},{{leaf[1]:.6f}},{{leaf[2]:.6f}}")
+
+# Full trainer loop under multi-process: exercises the validation path
+# (globalize_batch on val batches, per-host score fetch from the sharded
+# eval output) and the collective orbax checkpoint save.
+from birdnet_stm32_tpu.training.trainer import train_model
+
+def waves(seed):
+    r = np.random.default_rng(seed)  # same seed both hosts -> same global set
+    w = r.uniform(-1, 1, (B_global, cfg.chunk_samples)).astype(np.float32)
+    l = np.eye(2, dtype=np.float32)[r.integers(0, 2, B_global)]
+    return w[shard * half:(shard + 1) * half], l[shard * half:(shard + 1) * half]
+
+def train_iter():
+    i = 0
+    while True:
+        yield waves(i)
+        i += 1
+
+run_dir = {run_dir!r}
+_, history = train_model(model, init_model(model, cfg, jax.random.key(0)), cfg,
+                         train_iter(), lambda: [waves(100), waves(101)],
+                         run_dir, epochs=1, steps_per_epoch=2,
+                         learning_rate=1e-3, mesh=mesh, seed=0)
+val_loss, val_auc = history[0]["val_loss"], history[0]["val_roc_auc"]
+assert np.isfinite(val_loss), history
+print(f"RESULT pid={{pid}} loss={{loss:.6f}} leaf={{leaf[0]:.6f}},{{leaf[1]:.6f}},{{leaf[2]:.6f}} vloss={{val_loss:.6f}}")
 '''
 
 
@@ -92,7 +117,8 @@ def _free_port() -> int:
 def test_two_process_data_parallel_train_step(tmp_path):
     repo_root = str(Path(__file__).resolve().parent.parent)
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER.format(repo_root=repo_root))
+    worker.write_text(_WORKER.format(repo_root=repo_root,
+                                     run_dir=str(tmp_path / "run")))
     port = _free_port()
 
     procs = [subprocess.Popen([sys.executable, str(worker), str(pid), str(port)],

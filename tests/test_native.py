@@ -74,21 +74,6 @@ def test_resample_matches_scipy(sr_in, sr_out, rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_peak_normalize(rng):
-    x = rng.normal(0, 0.1, 1000).astype(np.float32)
-    y = native.peak_normalize(x.copy())
-    assert np.abs(y).max() == pytest.approx(1.0, abs=1e-6)
-    z = native.peak_normalize(np.zeros(16, np.float32))
-    assert np.all(z == 0)
-
-
-def test_short_time_energy(rng):
-    x = rng.normal(0, 0.5, 4096).astype(np.float32)
-    got = native.short_time_energy(x, 256)
-    ref = (x[: 16 * 256].reshape(16, 256) ** 2).mean(axis=1)
-    np.testing.assert_allclose(got, ref, rtol=1e-5)
-
-
 def test_load_audio_window_uses_native(wav16):
     """End-to-end load path gives the same result with and without native."""
     import birdnet_stm32_tpu.audio.native as nat
