@@ -64,7 +64,11 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
             cache_dir=cfg.cache_dir,
         )
     except Exception:
-        audio = np.empty((0,), np.float32)  # same noise fallback as empty loads
+        # Effective reference parity: its load_audio_window also swallows
+        # every exception to an empty array (io.py:129-130), so a corrupt
+        # file becomes the empty->noise-chunk case there too (its
+        # return-None except branch is unreachable in practice).
+        audio = np.empty((0,), np.float32)
 
     if audio.size == 0:
         chunk = rng.uniform(-1.0, 1.0, T).astype(np.float32)

@@ -62,7 +62,7 @@ class DSCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_embeddings: bool = False,
-                 freeze_bn: bool = False):
+                 freeze_bn: bool = False, freeze_frontend_bn: bool = False):
         """Forward pass.
 
         Args:
@@ -70,6 +70,11 @@ class DSCNN(nn.Module):
             train: Enables BN batch stats + dropout.
             return_embeddings: Also return the pooled embedding vector.
             freeze_bn: Run BN on running stats even when train=True (QAT).
+            freeze_frontend_bn: Freeze ONLY the frontend's BN (raw
+                filterbank): with frontend_trainable=False the reference
+                builds those sublayers trainable=False, which in Keras runs
+                BN in inference mode with no stat updates — masking the
+                gradients alone would still drift the running statistics.
 
         Returns:
             [B, num_classes] scores (activation per `class_activation`),
@@ -95,7 +100,7 @@ class DSCNN(nn.Module):
             mag_scale=self.mag_scale if frontend_mode != "precomputed" else "none",
             learn_mel_scale=self.learn_mel_scale,
             name="audio_frontend",
-        )(x, train=train, freeze_bn=freeze_bn)
+        )(x, train=train, freeze_bn=freeze_bn or freeze_frontend_bn)
 
         stem_ch = make_divisible(16 * self.alpha, 8)
         x = conv_bn(x, stem_ch, (3, 3), (1, 2), name="stem", train=train, freeze_bn=freeze_bn)

@@ -55,7 +55,9 @@ class MagnitudeScaling(nn.Module):
         if self.method == "none":
             return x
         if self.method == "db":
-            return 10.0 * jnp.log10(jnp.maximum(x, 1e-6))
+            from birdnet_stm32_tpu.ops.magnitude import db_compress
+
+            return db_compress(x)  # one dB curve for in-graph + host paths
 
         c = self.channels
         if self.method == "pwl":

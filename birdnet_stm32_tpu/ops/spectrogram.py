@@ -65,7 +65,8 @@ def spectrogram_batch(
         raise ValueError("mfcc mode needs mel_bins > 0 (DCT runs over mel bands)")
     # hop = T // spec_width (reference spectrogram.py:61); max(1, .) guards
     # T < spec_width like config.hop_length. spec_width <= 0 means "all
-    # frames" at the librosa default hop.
+    # frames" at n_fft//2 — the REFERENCE's explicit fallback
+    # (spectrogram.py:63), not librosa's default (which is n_fft//4).
     hop = max(1, T // spec_width) if spec_width > 0 else n_fft // 2
     sample_axes = (1, 2)
 

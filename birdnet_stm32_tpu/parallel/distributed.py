@@ -34,14 +34,19 @@ def initialize_distributed(coordinator_address: str | None = None,
     n = num_processes if num_processes is not None else _int_env("JAX_NUM_PROCESSES")
     pid = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
     if addr is None and n is None and pid is None:
-        # TPU pods export per-worker metadata the no-arg initializer reads;
-        # none of these exist on single-host setups (incl. tunneled chips),
-        # so this never hijacks a local run.
-        pod_markers = ("TPU_PROCESS_BOUNDS", "TPU_WORKER_HOSTNAMES",
-                       "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS")
+        # TPU pods export per-worker metadata the no-arg initializer reads.
+        # (TPU_WORKER_HOSTNAMES is NOT a reliable marker: tunneled
+        # single-chip runtimes set it too.) Fail-soft: on anything that
+        # isn't actually a pod the initializer raises immediately and the
+        # run proceeds single-process.
+        pod_markers = ("TPU_PROCESS_BOUNDS", "CLOUD_TPU_TASK_ID",
+                       "MEGASCALE_COORDINATOR_ADDRESS")
         if not any(os.environ.get(m) for m in pod_markers):
             return False
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return False
         return jax.process_count() > 1
     jax.distributed.initialize(coordinator_address=addr, num_processes=n,
                                process_id=pid)

@@ -58,15 +58,21 @@ def _project_nonneg_mel_mixer(params):
 
 
 def conv_kernel_l2(params, coeff: float):
-    """Keras-parity L2 kernel regularization: coeff * sum ||K||^2 over every
-    conv/dense kernel in the backbone (reference blocks.py:83-121 and
-    dscnn.py:51 attach l2(1e-4) to DW/PW/expand/project/stem/emb kernels;
-    the frontend and the classifier head carry no regularizer)."""
+    """Keras-parity L2 kernel regularization: coeff * sum ||K||^2 over
+    EXACTLY the kernels the reference regularizes — the stage blocks' 1x1
+    pointwise (dscnn.py:71), expand (blocks.py:93), and project
+    (blocks.py:121) convs. Stem, emb, depthwise, SE dense, attention
+    score, frontend, and the head carry NO regularizer there; penalizing
+    them would minimize a systematically different loss."""
+    import re
+
     total = 0.0
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
         last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if last == "kernel" and top not in ("pred", "audio_frontend"):
+        if (last == "kernel" and re.match(r"stage\d+_", top)
+                and "_se_" not in top
+                and top.endswith(("_pw", "_expand", "_project"))):
             total = total + jnp.sum(jnp.square(leaf))
     return coeff * total
 
@@ -151,6 +157,7 @@ def make_train_step(
             out, updates = model.apply(
                 {"params": p, "batch_stats": bs},
                 xx, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+                freeze_frontend_bn=not frontend_trainable,
             )
             new_stats = updates["batch_stats"]
             if compute_dtype is not None:

@@ -179,3 +179,46 @@ def test_bf16_runner_matches_f32():
     np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=0.02)
     # bf16 params really are bf16 (the speed comes from the cast).
     assert r16.variables["params"]["pred"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_tri_mel_matrix_golden():
+    """Golden test vs a pure-numpy twin of the reference's learnable
+    triangle construction (frontend.py:188-245): softplus segment widths
+    over the [hz_to_mel(150), hz_to_mel(sr//2)] range, cumsum breakpoints,
+    triangles at the FFT bins' mel positions, column normalization."""
+    import jax
+    import numpy as np
+
+    from birdnet_stm32_tpu.models.frontend_layer import tri_mel_matrix
+
+    def hz_to_mel_slaney(f):
+        f = np.asarray(f, np.float64)
+        f_sp = 200.0 / 3
+        mels = f / f_sp
+        min_log_hz = 1000.0
+        logstep = np.log(6.4) / 27.0
+        log_t = f >= min_log_hz
+        return np.where(log_t, min_log_hz / f_sp + np.log(np.maximum(f, 1e-12) / min_log_hz) / logstep, mels)
+
+    def numpy_twin(logits, sr, n_fft, M):
+        eps = 1e-6
+        F = n_fft // 2 + 1
+        bins_mel = hz_to_mel_slaney(np.linspace(0.0, sr / 2.0, F))
+        fmin = float(hz_to_mel_slaney(150.0))
+        fmax = float(hz_to_mel_slaney(float(sr // 2)))
+        seg = np.log1p(np.exp(logits)) + 1e-3  # softplus
+        seg = seg / (seg.sum() + eps) * (fmax - fmin)
+        p = fmin + np.concatenate([[0.0], np.cumsum(seg)])
+        left, center, right = p[:M], p[1 : M + 1], p[2 : M + 2]
+        up = (bins_mel[:, None] - left[None, :]) / np.maximum(center - left, eps)
+        dn = (right[None, :] - bins_mel[:, None]) / np.maximum(right - center, eps)
+        tri = np.maximum(np.minimum(up, dn), 0.0)
+        return tri / (tri.sum(axis=0, keepdims=True) + eps)
+
+    rng = np.random.default_rng(0)
+    for sr, n_fft, M in [(22050, 512, 64), (8000, 128, 16)]:
+        for logits in (np.zeros(M + 1, np.float32),
+                       rng.normal(0, 0.5, M + 1).astype(np.float32)):
+            ours = np.asarray(tri_mel_matrix(jax.numpy.asarray(logits), sr, n_fft, M))
+            ref = numpy_twin(logits.astype(np.float64), sr, n_fft, M)
+            np.testing.assert_allclose(ours, ref, atol=2e-5)

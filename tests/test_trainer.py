@@ -262,3 +262,38 @@ def test_resume_restores_optimizer_state(tmp_path):
                 resume=True, resume_weights_only=True)
     fresh = restore_full_state(run_dir, template)
     assert int(fresh.step) == 4  # one epoch from a step-0 optimizer
+
+
+def test_frozen_frontend_bn_stats_do_not_drift(tmp_path):
+    """frontend_trainable=False must freeze the raw filterbank's BN
+    completely: the reference builds those sublayers trainable=False, which
+    runs BN in inference mode with NO stat updates — masking gradients
+    alone would still drift the running statistics every step."""
+    cfg = tiny_cfg(audio_frontend="raw", mag_scale="none",
+                   frontend_trainable=False)
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    # Snapshot BEFORE training: the train step donates its state buffers.
+    fe_stats_before = jax.device_get(variables["batch_stats"]["audio_frontend"])
+    stem_before = np.asarray(
+        jax.device_get(variables["batch_stats"]["stem_bn"]["mean"]))
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    train_model(model, variables, cfg, train_iter(), lambda: [make_batch()],
+                tmp_path / "run", epochs=1, steps_per_epoch=4,
+                learning_rate=1e-3)
+    _, vars2, _ = load_checkpoint(tmp_path / "run", class_activation="none")
+    fe_stats_after = vars2["batch_stats"]["audio_frontend"]
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(fe_stats_before)[0],
+        jax.tree_util.tree_flatten_with_path(fe_stats_after)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"frontend stat {pa} drifted")
+    # Backbone BN stats DID update (the freeze is frontend-scoped).
+    stem_after = np.asarray(vars2["batch_stats"]["stem_bn"]["mean"])
+    assert not np.array_equal(stem_before, stem_after)
