@@ -97,7 +97,9 @@ def main(argv=None) -> int:
         paths, labels = None, None
     # Export with the activation the checkpoint was trained for (multilabel
     # checkpoints serve sigmoid; the float validation runner matches).
-    class_activation = getattr(model, "class_activation", "softmax")
+    # convert_model derives the export activation from the model when
+    # passed None — single source of truth for the defaulting rule.
+    class_activation = None
     report = convert_model(
         model, variables, cfg, out_path,
         calibration_paths=paths, calibration_labels=labels,
@@ -132,8 +134,9 @@ def main(argv=None) -> int:
 
             import tensorflow as tf
 
-            forward = build_tf_forward(variables, cfg,
-                                       class_activation=class_activation)
+            forward = build_tf_forward(
+                variables, cfg,
+                class_activation=report["class_activation"])
             spec = (tf.TensorSpec((None, *cfg.input_shape()), tf.float32),)
             onnx_path = out_path.with_suffix(".onnx")
             tf2onnx.convert.from_function(

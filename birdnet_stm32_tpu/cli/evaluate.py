@@ -148,7 +148,12 @@ def main(argv=None) -> int:
     R.print_ascii_pr_curve(y_true, y_scores)
     R.print_confusion_matrix(y_true, y_scores, classes)
 
-    out_dir = Path(args.output_dir) if args.output_dir else model_path.parent
+    # Default report destination: a checkpoint DIRECTORY is its own run
+    # dir (reports land inside it, like convert does); a file artifact
+    # (.tflite/.keras) writes next to itself. parent-for-directories would
+    # make two runs under ckpt/ overwrite each other's reports.
+    out_dir = (Path(args.output_dir) if args.output_dir
+               else (model_path if model_path.is_dir() else model_path.parent))
     out_dir.mkdir(parents=True, exist_ok=True)
 
     if args.optimize_thresholds:
@@ -157,7 +162,7 @@ def main(argv=None) -> int:
         print(f"[evaluate] per-class thresholds -> {out_dir / 'thresholds.json'}")
     species_data = None
     if (args.bootstrap_ci or args.save_csv or args.species_report
-            or args.report_html or args.save_benchmark_json):
+            or args.report_html or args.save_html or args.save_benchmark_json):
         species_data = M.bootstrap_ap_ci(
             y_true, y_scores, classes,
             n_bootstrap=args.n_bootstrap if args.bootstrap_ci else 50)
@@ -195,7 +200,11 @@ def main(argv=None) -> int:
         else:
             names, embs = [], []
             for rec in per_file:
-                chunks = M.chunks_for_file(rec["file"], cfg, args.chunk_overlap)
+                # Same chunk set the evaluated scores used (respect the
+                # caller's decode cap + cache).
+                chunks = M.chunks_for_file(rec["file"], cfg, args.chunk_overlap,
+                                           args.max_duration, None,
+                                           args.cache_dir)
                 if chunks.shape[0] == 0:
                     continue
                 b = args.batch_size

@@ -322,11 +322,13 @@ def main(argv=None) -> int:
 
     steps = args.steps_per_epoch or max(
         20, train_loader.estimate_samples_per_epoch() // args.batch_size)
+    # Smoothing is applied in the LOSS (reference cli/train.py:475-479 via
+    # the Keras losses); its mixup never smooths (generator.py:410), so
+    # passing label_smoothing to the batcher too would smooth twice.
     batcher = make_train_batcher(
         cfg, spec_augment=not args.no_spec_augment,
         mixup_alpha=args.mixup_alpha,
         mixup_probability=0.0 if args.no_mixup else args.mixup_probability,
-        label_smoothing=args.label_smoothing,
         freq_mask_max=args.freq_mask_max, time_mask_max=args.time_mask_max,
         stft_precision="high" if args.mixed_precision else "highest")
     class_weights = None if args.no_class_weights else balanced_class_weights(
@@ -393,8 +395,7 @@ def _run_tuning(args, cfg_kwargs: dict, class_names: list[str]) -> int:
         train_loader, val_loader, _, _ = build_loaders(args)
         model = build_dscnn(cfg, class_activation="none")
         variables = init_model(model, cfg, jax.random.key(args.seed + trial.number))
-        batcher = make_train_batcher(cfg, mixup_probability=p["mixup_probability"],
-                                     label_smoothing=p["label_smoothing"])
+        batcher = make_train_batcher(cfg, mixup_probability=p["mixup_probability"])
         info("tune", f"trial {trial.number}: {p}")
 
         def report_epoch(epoch_i, metrics):

@@ -116,6 +116,7 @@ def convert_model(
     report: dict = {
         "model_path": str(out_path),
         "quantize": quantize,
+        "class_activation": class_activation,
         "tflite_bytes": len(tflite_bytes),
         "float32_bytes": 4 * sum(int(np.prod(np.shape(p)))
                                  for p in _tree_leaves(variables["params"])),

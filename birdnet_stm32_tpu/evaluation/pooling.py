@@ -65,16 +65,24 @@ def segment_pool(
     instead of the reference's per-file Python loop (metrics.py:75-147).
     """
     method = method.lower()
-    counts = jax.ops.segment_sum(jnp.ones_like(chunk_scores[:, :1]), file_ids, num_files)
-    counts = jnp.maximum(counts, 1.0)
+    raw_counts = jax.ops.segment_sum(jnp.ones_like(chunk_scores[:, :1]),
+                                     file_ids, num_files)
+    empty = raw_counts <= 0  # [num_files, 1]
+    counts = jnp.maximum(raw_counts, 1.0)
     if method in ("avg", "mean", "average"):
         sums = jax.ops.segment_sum(chunk_scores, file_ids, num_files)
         return sums / counts
     if method == "max":
-        return jax.ops.segment_max(chunk_scores, file_ids, num_files)
+        # segment_max fills empty segments with -inf; pool_scores (the host
+        # twin) returns zeros for a chunk-less file — match it so AP/AUC
+        # downstream stay finite.
+        pooled = jax.ops.segment_max(chunk_scores, file_ids, num_files)
+        return jnp.where(empty, 0.0, pooled)
     if method in ("lme", "log_mean_exp", "log_mean_exponential"):
         m = jax.ops.segment_max(beta * chunk_scores, file_ids, num_files)
+        m = jnp.where(empty, 0.0, m)  # keep the empty rows' math finite
         shifted = jnp.exp(beta * chunk_scores - m[file_ids])
         mean = jax.ops.segment_sum(shifted, file_ids, num_files) / counts
-        return (m + jnp.log(mean + 1e-12)) / beta
+        pooled = (m + jnp.log(mean + 1e-12)) / beta
+        return jnp.where(empty, 0.0, pooled)
     raise ValueError(f"Unsupported pooling method: {method}")

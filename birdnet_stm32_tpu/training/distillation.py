@@ -90,7 +90,9 @@ def run_distillation(
 
     return train_model(
         student_model, student_variables, cfg,
-        _map_batches(train_batches, batcher), val_with_teacher, run_dir,
+        _map_batches(train_batches, batcher,
+                     seed=int(train_kwargs.get("seed", 0))),
+        val_with_teacher, run_dir,
         multilabel=multilabel, batcher=_passthrough, loss_fn_override=loss_fn,
         **train_kwargs,
     )
@@ -100,7 +102,9 @@ def _passthrough(key, x, y):
     return x, y
 
 
-def _map_batches(batches, batcher):
-    key = jax.random.key(0)
+def _map_batches(batches, batcher, seed: int = 0):
+    # Keyed by the run's seed: a hardcoded key would hand every
+    # distillation run the identical augmentation stream.
+    key = jax.random.key(seed)
     for i, (wave, labels) in enumerate(batches):
         yield batcher(jax.random.fold_in(key, i), jnp.asarray(wave), jnp.asarray(labels))

@@ -19,10 +19,17 @@ import jax.numpy as jnp
 import optax
 
 
-def smooth_labels(labels: jax.Array, smoothing: float) -> jax.Array:
-    """(1 - eps) * y + eps / C (reference mixup/label smoothing convention)."""
+def smooth_labels(labels: jax.Array, smoothing: float,
+                  binary: bool = False) -> jax.Array:
+    """Keras label smoothing: y*(1-eps) + eps/C for categorical CE,
+    y*(1-eps) + eps/2 for binary CE (tf.keras.losses.BinaryCrossentropy) —
+    the reference reaches both through the Keras losses (cli/train.py:473).
+    Using eps/C for multilabel would smooth ~C/2x weaker than the
+    reference."""
     if smoothing <= 0:
         return labels
+    if binary:
+        return (1.0 - smoothing) * labels + smoothing / 2.0
     C = labels.shape[-1]
     return (1.0 - smoothing) * labels + smoothing / C
 
@@ -53,7 +60,7 @@ def binary_crossentropy(
     label_smoothing: float = 0.0,
 ) -> jax.Array:
     """Mean sigmoid BCE over classes, optional per-class weights."""
-    labels = smooth_labels(labels, label_smoothing)
+    labels = smooth_labels(labels, label_smoothing, binary=True)
     per_class = optax.sigmoid_binary_cross_entropy(logits, labels)  # [B, C]
     if class_weights is not None:
         # Weighted mean over [B, C]: uniform weights reduce exactly to
@@ -113,13 +120,15 @@ def make_loss_fn(
 ):
     """Build the training loss per the reference's auto-selection rules.
 
-    - focal_gamma set  -> binary focal loss (multi-label)
-    - multilabel       -> BCE
-    - otherwise        -> CCE
+    - focal_gamma set  -> binary focal loss (multi-label); label smoothing
+      is IGNORED like the reference (cli/train.py:473-479 selects
+      BinaryFocalLoss(gamma) and never passes label_smoothing to it)
+    - multilabel       -> BCE (Keras eps/2 smoothing)
+    - otherwise        -> CCE (eps/C smoothing)
     """
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     if focal_gamma is not None:
-        return partial(binary_focal_loss, gamma=focal_gamma, label_smoothing=label_smoothing)
+        return partial(binary_focal_loss, gamma=focal_gamma)
     if multilabel:
         return partial(binary_crossentropy, class_weights=cw, label_smoothing=label_smoothing)
     return partial(categorical_crossentropy, class_weights=cw, label_smoothing=label_smoothing)

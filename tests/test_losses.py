@@ -83,3 +83,34 @@ def test_make_loss_fn_selection():
     labels = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]])
     for f in (f1, f2, f3):
         assert np.isfinite(float(f(logits, labels)))
+
+
+def test_binary_smoothing_matches_keras():
+    """Keras BinaryCrossentropy(label_smoothing=eps) smooths y*(1-eps)+eps/2
+    — NOT eps/C. Golden-checked against TF."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(0)
+    B, C = 8, 20
+    logits = rng.normal(0, 2, (B, C)).astype(np.float32)
+    labels = (rng.uniform(size=(B, C)) < 0.1).astype(np.float32)
+    for eps in (0.0, 0.1, 0.3):
+        ours = float(binary_crossentropy(jnp.asarray(logits), jnp.asarray(labels),
+                                         label_smoothing=eps))
+        keras = float(tf.keras.losses.BinaryCrossentropy(
+            from_logits=True, label_smoothing=eps)(labels, logits).numpy())
+        assert ours == pytest.approx(keras, rel=1e-5), f"eps={eps}"
+
+
+def test_categorical_smoothing_matches_keras():
+    """Keras CategoricalCrossentropy(label_smoothing=eps) uses eps/C."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(1)
+    B, C = 8, 10
+    logits = rng.normal(0, 2, (B, C)).astype(np.float32)
+    labels = np.eye(C, dtype=np.float32)[rng.integers(0, C, B)]
+    for eps in (0.0, 0.1):
+        ours = float(categorical_crossentropy(jnp.asarray(logits), jnp.asarray(labels),
+                                              label_smoothing=eps))
+        keras = float(tf.keras.losses.CategoricalCrossentropy(
+            from_logits=True, label_smoothing=eps)(labels, logits).numpy())
+        assert ours == pytest.approx(keras, rel=1e-5), f"eps={eps}"
