@@ -83,7 +83,7 @@ def _sha256(path: Path) -> str:
 
 def build_bundle(model_path: Path, config_path: Path, labels_path: Path | None,
                  out_dir: Path, stablehlo: bool = False,
-                 dry_run: bool = False) -> dict:
+                 dry_run: bool = False, batch_size: int = 64) -> dict:
     """Assemble the deployment bundle; returns the manifest dict."""
     from birdnet_stm32_tpu.config import ModelConfig
 
@@ -157,13 +157,15 @@ def build_bundle(model_path: Path, config_path: Path, labels_path: Path | None,
                 export_int8_serving_fn,
             )
 
-            blob = export_int8_serving_fn(model_path, cfg)
+            blob = export_int8_serving_fn(model_path, cfg,
+                                          batch_size=batch_size)
         else:
             from birdnet_stm32_tpu.conversion.export_stablehlo import export_serving_fn
             from birdnet_stm32_tpu.models.runners import load_model_runner
 
             runner = load_model_runner(model_path, config_path)
-            blob = export_serving_fn(runner.model, runner.variables, cfg)
+            blob = export_serving_fn(runner.model, runner.variables, cfg,
+                                      batch_size=batch_size)
         dst = out_dir / "serving_module.bin"
         dst.write_bytes(blob)
         files[dst.name] = {"sha256": _sha256(dst), "bytes": dst.stat().st_size}
@@ -252,8 +254,12 @@ def main(argv=None) -> int:
     print(f"[deploy] config: {config_path}")
     print(f"[deploy] bundle: {out_dir}")
 
+    # The serving module bakes a STATIC batch: use the deploy config's
+    # (a bundle exported at 64 would shape-error a consumer driving it
+    # at its own configured batch).
     build_bundle(model_path, config_path, labels_path, out_dir,
-                 stablehlo=args.stablehlo, dry_run=args.dry_run)
+                 stablehlo=args.stablehlo, dry_run=args.dry_run,
+                 batch_size=dcfg.batch_size)
     if args.dry_run:
         return 0
 

@@ -69,6 +69,23 @@ def _load_file(path: Path) -> dict:
     return data
 
 
+_CASTS = {"batch_size": int, "top_k": int, "mesh_devices": int,
+          "chunk_overlap": float,
+          "use_int8": lambda s: (s.lower() in ("1", "true", "yes")
+                                 if isinstance(s, str) else bool(s))}
+
+
+def _coerce(name: str, value):
+    """Coerce a config-file/env value to the field's type (no-op when
+    already correct)."""
+    cast = _CASTS.get(name, str)
+    try:
+        return cast(value)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"deploy config field {name!r}: cannot interpret "
+                         f"{value!r}") from e
+
+
 def resolve_deploy_config(
     cli_values: dict | None = None,
     config_file: str | Path | None = None,
@@ -101,16 +118,19 @@ def resolve_deploy_config(
         if not path.exists():
             raise FileNotFoundError(f"config file not found: {path}")
         for k, v in _load_file(path).items():
-            (resolved if k in known else extra)[k] = v
+            if k in known:
+                # Coerce file values like the env path below does: a
+                # hand-edited {"batch_size": "64"} must not reach
+                # validate() as a string (TypeError on '<= 0').
+                resolved[k] = _coerce(k, v)
+            else:
+                extra[k] = v
 
     # 2. Environment variables.
-    casts = {"batch_size": int, "top_k": int, "mesh_devices": int,
-             "chunk_overlap": float,
-             "use_int8": lambda s: s.lower() in ("1", "true", "yes")}
     for name in known:
         env = os.environ.get(ENV_PREFIX + name.upper())
         if env is not None:
-            resolved[name] = casts.get(name, str)(env)
+            resolved[name] = _coerce(name, env)
 
     # 3. CLI (highest precedence).
     for k, v in (cli_values or {}).items():

@@ -63,6 +63,12 @@ def profile_model(cfg: ModelConfig) -> list[LayerCost]:
     elif cfg.audio_frontend == "raw":
         rows.append(_conv_cost("audio_frontend.raw_fb", 1, W, 1, M, 1, 16))
         rows.append(_bn_cost("audio_frontend.raw_fb_bn", 1, W, M))
+        # Raw applies MagnitudeScaling after the filterbank BN too
+        # (frontend_layer.py; reference _build_mag_layer runs for every
+        # non-precomputed mode) — 10*M params for pwl, 5*M for pcen.
+        rows.append(LayerCost("audio_frontend.mag", "Multiply", (M, W, 1),
+                              10 * M if cfg.mag_scale == "pwl" else 5 * M if cfg.mag_scale == "pcen" else 0,
+                              4 * M * W, M * W * 4, cfg.mag_scale != "db"))
 
     h, w = (cfg.n_mfcc if cfg.audio_frontend == "mfcc" else M), W
 
@@ -126,7 +132,10 @@ def totals(rows: list[LayerCost]) -> dict:
     return {
         "params": p,
         "macs": sum(r.macs for r in rows),
-        "activation_bytes": max((r.act_bytes for r in rows), default=0),
+        # Reference meaning (profiler.py:190): SUM of per-layer activation
+        # buffers. peak_activation_bytes is the largest single buffer.
+        "activation_bytes": sum(r.act_bytes for r in rows),
+        "peak_activation_bytes": max((r.act_bytes for r in rows), default=0),
         "size_float32_bytes": p * 4,
         "size_int8_bytes": p,
     }
@@ -140,6 +149,9 @@ def print_profile(cfg: ModelConfig) -> dict:
         print(f"{r.name:32s} {r.kind:20s} {str(r.out_shape):16s} {r.params:>10,} {r.macs:>12,}")
     t = totals(rows)
     print(f"\nTotal params: {t['params']:,}  MACs: {t['macs']:,}")
+    print(f"Activation memory: {t['activation_bytes'] / 1024:.1f} KB (float32, "
+          f"sum of layer outputs; peak single buffer "
+          f"{t['peak_activation_bytes'] / 1024:.1f} KB)")
     print(f"Est. size: float32 {t['size_float32_bytes']:,} B, INT8 {t['size_int8_bytes']:,} B")
     return t
 

@@ -10,8 +10,9 @@ from __future__ import annotations
 import numpy as np
 
 
-def cosine_similarity(a: np.ndarray, b: np.ndarray, eps: float = 1e-12) -> float:
-    """Cosine similarity with the reference's zero-vector conventions."""
+def cosine_similarity(a: np.ndarray, b: np.ndarray, eps: float = 1e-8) -> float:
+    """Cosine similarity with the reference's zero-vector conventions
+    (validate.py:7-29: eps 1e-8; both near-zero -> 1.0, one -> 0.0)."""
     a = np.asarray(a, np.float64).ravel()
     b = np.asarray(b, np.float64).ravel()
     na, nb = np.linalg.norm(a), np.linalg.norm(b)
@@ -23,15 +24,17 @@ def cosine_similarity(a: np.ndarray, b: np.ndarray, eps: float = 1e-12) -> float
 
 
 def pearson_correlation(a: np.ndarray, b: np.ndarray, eps: float = 1e-12) -> float:
-    """Pearson r with the same degenerate-input conventions."""
+    """Pearson r, reference degenerate semantics (validate.py:32-48): when
+    the PRODUCT of centered norms is < eps — i.e. EITHER side is constant —
+    return 1.0 (its zero-variance guard), not 0.0."""
     a = np.asarray(a, np.float64).ravel()
     b = np.asarray(b, np.float64).ravel()
-    sa, sb = a.std(), b.std()
-    if sa < eps and sb < eps:
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    if denom < eps:
         return 1.0
-    if sa < eps or sb < eps:
-        return 0.0
-    return float(np.corrcoef(a, b)[0, 1])
+    return float(np.dot(a, b) / denom)
 
 
 def validate_runners(runner_a, runner_b, inputs: np.ndarray, batch_size: int = 32) -> dict:
@@ -46,6 +49,13 @@ def validate_runners(runner_a, runner_b, inputs: np.ndarray, batch_size: int = 3
     Returns:
         Dict of mean/std/min/max for cosine, and mean MSE/MAE/Pearson.
     """
+    if len(inputs) == 0:
+        # Defined defaults instead of a zero-size reduction crash
+        # (reference validate_models tolerates empty result lists).
+        return {"cosine_mean": float("nan"), "cosine_std": float("nan"),
+                "cosine_min": float("nan"), "cosine_max": float("nan"),
+                "pearson_mean": float("nan"), "mse_mean": float("nan"),
+                "mae_mean": float("nan"), "n_samples": 0}
     cosines, pearsons, mses, maes = [], [], [], []
     for i in range(0, len(inputs), batch_size):
         chunk = inputs[i : i + batch_size]

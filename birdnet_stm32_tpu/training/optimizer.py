@@ -2,9 +2,28 @@
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import optax
 
 VALID_OPTIMIZERS = ("adam", "sgd", "adamw")
+
+
+def clip_by_per_variable_norm(max_norm: float) -> optax.GradientTransformation:
+    """Keras `clipnorm` semantics: each gradient TENSOR is clipped to
+    ||g|| <= max_norm independently. (optax.clip_by_global_norm clips the
+    concatenated norm instead — with many tensors each under the limit it
+    would still scale everything down, diverging from the reference's
+    Keras optimizers, trainer.py:11-39.)"""
+    def clip_leaf(g):
+        n = jnp.sqrt(jnp.sum(jnp.square(g)))
+        return g * (max_norm / jnp.maximum(n, max_norm))
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
 
 
 def cosine_schedule(learning_rate: float, epochs: int, steps_per_epoch: int) -> optax.Schedule:
@@ -31,5 +50,5 @@ def build_optimizer(
     else:
         raise ValueError(f"Invalid optimizer: {name!r}. Valid options: {VALID_OPTIMIZERS}")
     if gradient_clip_norm and gradient_clip_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(gradient_clip_norm), tx)
+        tx = optax.chain(clip_by_per_variable_norm(gradient_clip_norm), tx)
     return tx

@@ -106,9 +106,16 @@ def test_model_registry():
 
 # ---------------------------------------------------------------- profiler
 
-def test_profiler_matches_real_param_count():
-    """Analytical params must equal the actual Flax parameter count."""
-    cfg = tiny_cfg()
+@pytest.mark.parametrize("kw", [
+    {},  # librosa default
+    {"audio_frontend": "raw", "mag_scale": "pwl"},
+    {"audio_frontend": "raw", "mag_scale": "pcen"},
+    {"audio_frontend": "hybrid", "mag_scale": "pwl"},
+])
+def test_profiler_matches_real_param_count(kw):
+    """Analytical params must equal the actual Flax parameter count —
+    across frontends (the raw branch once omitted the mag-scale params)."""
+    cfg = tiny_cfg(**kw)
     model = build_dscnn(cfg)
     variables = init_model(model, cfg)
     real = sum(int(np.prod(p.shape))
@@ -116,7 +123,7 @@ def test_profiler_matches_real_param_count():
     # BN running stats are not params in the analytic model either; but the
     # analytic BN cost counts gamma/beta only (2c), matching Flax `params`.
     est = totals(profile_model(cfg))["params"]
-    assert est == real, f"analytic {est} != real {real}"
+    assert est == real, f"analytic {est} != real {real} for {kw}"
 
 
 def test_profiler_alpha_monotone():

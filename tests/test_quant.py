@@ -113,12 +113,15 @@ def test_cosine_similarity_edge_cases():
 
 
 def test_pearson_edge_cases():
+    """Reference validate.py:32-48: EITHER side constant (centered-norm
+    product < eps) returns 1.0 — its zero-variance guard."""
     z = np.zeros(10)
     c = np.full(10, 3.0)  # constant, zero variance
     x = np.arange(10.0)
     assert pearson_correlation(z, c) == 1.0
-    assert pearson_correlation(c, x) == 0.0
+    assert pearson_correlation(c, x) == 1.0  # one constant side -> guard
     assert pearson_correlation(x, 2 * x + 1) == pytest.approx(1.0)
+    assert pearson_correlation(x, -x) == pytest.approx(-1.0)
 
 
 def _mbqm_golden_int64(x, qm, shift):

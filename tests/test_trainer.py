@@ -297,3 +297,27 @@ def test_frozen_frontend_bn_stats_do_not_drift(tmp_path):
     # Backbone BN stats DID update (the freeze is frontend-scoped).
     stem_after = np.asarray(vars2["batch_stats"]["stem_bn"]["mean"])
     assert not np.array_equal(stem_before, stem_after)
+
+
+def test_clipnorm_is_per_variable():
+    """Keras clipnorm semantics: each gradient tensor clipped to
+    ||g|| <= N independently — tensors already under the limit are
+    untouched even when the GLOBAL norm exceeds it."""
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.training.optimizer import clip_by_per_variable_norm
+
+    tx = clip_by_per_variable_norm(1.0)
+    grads = {"a": np.full((4,), 0.4, np.float32),   # norm 0.8 < 1
+             "b": np.full((16,), 0.5, np.float32)}  # norm 2.0 > 1
+    # global norm = sqrt(0.64 + 4.0) > 1: global clipping would scale BOTH.
+    out, _ = tx.update({k: jnp.asarray(v) for k, v in grads.items()},
+                       tx.init(None))
+    np.testing.assert_allclose(np.asarray(out["a"]), grads["a"], rtol=1e-6)
+    assert np.linalg.norm(np.asarray(out["b"])) == pytest.approx(1.0, rel=1e-5)
+    # Matches Keras clipnorm exactly.
+    tf = pytest.importorskip("tensorflow")
+    v = tf.Variable(np.zeros(16, np.float32))
+    opt = tf.keras.optimizers.SGD(learning_rate=1.0, clipnorm=1.0)
+    opt.apply_gradients([(tf.constant(grads["b"]), v)])
+    np.testing.assert_allclose(-v.numpy(), np.asarray(out["b"]), rtol=1e-5)
