@@ -84,10 +84,11 @@ class AudioLoader:
         self._rng = np.random.default_rng(self.cfg.seed)
 
     def estimate_samples_per_epoch(self) -> int:
-        """Files x avg chunks estimate (generator.py:188-218 analog),
-        per shard in multi-host runs."""
+        """Files x avg chunks estimate (reference generator.py:178-186:
+        short files yield 1 chunk, long ones up to max_chunks_per_file, so
+        avg (1 + max)/2), per shard in multi-host runs."""
         n = -(-len(self.paths) // self.num_shards)  # ceil per-shard files
-        return n * max(1, self.cfg.max_chunks_per_file // 2)
+        return max(1, int(n * (1 + self.cfg.max_chunks_per_file) / 2.0))
 
     def _iter_threads(self, tasks, reservoir, low_mark, drain_ready, drain_tail):
         from collections import deque

@@ -139,6 +139,16 @@ def train_model(
             resumed_best_val = float(tstate["best_val"])
         info("resume", f"resuming from epoch {initial_epoch}")
 
+    total_steps = (epochs - initial_epoch) * steps_per_epoch
+    from birdnet_stm32_tpu.models.blocks import BN_MOMENTUM
+
+    bn_settle = int(3.0 / max(1e-6, 1.0 - BN_MOMENTUM))  # ~300 @ 0.99
+    if not resume and total_steps < bn_settle:
+        warn("train", f"only {total_steps} total steps: BatchNorm running "
+                      f"statistics (momentum {BN_MOMENTUM}) need ~{bn_settle} "
+                      "steps to wash out their init — val metrics and saved "
+                      "checkpoints will under-report the model until then. "
+                      "Raise --epochs/--steps_per_epoch for real runs.")
     schedule = cosine_schedule(learning_rate, epochs, steps_per_epoch)
     tx = build_optimizer(optimizer, schedule, weight_decay, gradient_clip_norm)
     loss_fn = loss_fn_override if loss_fn_override is not None else make_loss_fn(
