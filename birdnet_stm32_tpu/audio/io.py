@@ -67,7 +67,15 @@ def wav_info(path: str | Path) -> WavInfo:
             elif cid == b"data":
                 if fmt is None:
                     raise ValueError(f"data chunk before fmt in {path}")
-                return WavInfo(str(path), fmt[2], fmt[1], fmt[3], fmt[0], f.tell(), size)
+                # Streamed/interrupted recorders write size 0xFFFFFFFF (or
+                # more than was flushed): clamp to the bytes actually on
+                # disk, or frame counts run past EOF and reads explode.
+                import os as _os
+
+                data_offset = f.tell()
+                on_disk = max(0, _os.fstat(f.fileno()).st_size - data_offset)
+                return WavInfo(str(path), fmt[2], fmt[1], fmt[3], fmt[0],
+                               data_offset, min(size, on_disk))
             else:
                 f.seek(size + (size & 1), 1)
         raise ValueError(f"no data chunk in {path}")
@@ -363,7 +371,11 @@ def _load_window_cached(path, sample_rate, max_duration, chunk_duration,
         try:
             info = audio_info(path)
             frames_at_target = info.frames / max(info.sample_rate, 1) * sample_rate
-            if 4 * max(info.frames, frames_at_target) > CACHE_MAX_DECODED_BYTES:
+            # The pure-python decode materializes [frames, channels] f32
+            # before the downmix — count channels or an 8-channel array-mic
+            # recording blows past the cap 8x.
+            ch = max(1, getattr(info, "channels", 1))
+            if 4 * max(info.frames * ch, frames_at_target) > CACHE_MAX_DECODED_BYTES:
                 return load_audio_window(path, sample_rate, max_duration,
                                          chunk_duration, random_offset, rng)
         except Exception:

@@ -26,7 +26,23 @@ def main(argv=None) -> int:
     if args.config_path:
         cfg = ModelConfig.load(args.config_path)
     elif args.model_path:
-        cfg = ModelConfig.load(Path(args.model_path) / "model_config.json")
+        mp = Path(args.model_path)
+        if mp.suffix == ".keras":
+            # Same .keras -> run-dir / sidecar mapping the train and
+            # evaluate verbs apply, so the documented flow works verbatim.
+            from birdnet_stm32_tpu.training.checkpoint import keras_run_dir
+
+            run = keras_run_dir(mp)
+            sidecar = mp.with_name(mp.stem + "_model_config.json")
+            if run is not None:
+                mp = run
+            elif sidecar.exists():
+                cfg = ModelConfig.load(sidecar)
+                print_profile(cfg)
+                for w in check_n6_compatibility(cfg):
+                    print(f"[warn] {w}")
+                return 0
+        cfg = ModelConfig.load(Path(mp) / "model_config.json")
     else:
         raise SystemExit("need --config_path or --model_path")
 

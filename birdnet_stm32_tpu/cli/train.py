@@ -63,7 +63,8 @@ def get_args(argv=None):
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = estimate from data")
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--learning_rate", type=float, default=None,
+                   help="default 1e-3 (QAT default 1e-5 unless given)")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "adamw"])
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--gradient_clip_norm", "--grad_clip", type=float, default=1.0)
@@ -126,6 +127,12 @@ def get_args(argv=None):
     args = p.parse_args(argv)
     if args.tune and args.tune < 0:
         args.tune = args.n_trials
+    # Track explicit --learning_rate: the QAT branch defaults to 1e-5 only
+    # when the user did NOT ask for a rate (a sentinel equal to the default
+    # silently overrode explicit 1e-3 requests).
+    args.lr_given = args.learning_rate is not None
+    if args.learning_rate is None:
+        args.learning_rate = 1e-3
     return args
 
 
@@ -160,7 +167,10 @@ def build_loaders(args, for_qat: bool = False):
         paths = [paths[i] for i in idx[n_val:]]
         labels = [labels[i] for i in idx[n_val:]]
 
-    if not args.no_upsample and not for_qat:
+    if (not args.no_upsample and not for_qat
+            and args.upsample_ratio and 0 < args.upsample_ratio < 1.0):
+        # Reference guard (cli/train.py:342): ratios >= 1 would DUPLICATE
+        # every class past the former max instead of lifting minorities.
         paths, labels = upsample_minority_classes(paths, labels, args.upsample_ratio, rng)
 
     lcfg = LoaderConfig(
@@ -179,9 +189,13 @@ def build_loaders(args, for_qat: bool = False):
         shard_index=shard, num_shards=num_shards)
     import dataclasses
 
-    # Deterministic validation reads (reference cli/train.py:406 uses
-    # random_offset=False for val): stable val_loss for early stopping.
-    val_lcfg = dataclasses.replace(lcfg, random_offset=False)
+    # Validation dataset parity (reference cli/train.py:397-409):
+    # deterministic reads, ONE chunk per file, and a doubled activity
+    # threshold (reference train 0.25 -> val 0.5; thresholds here apply to
+    # waveform chunks, so scale the user's train threshold the same 2x).
+    val_lcfg = dataclasses.replace(
+        lcfg, random_offset=False, max_chunks_per_file=1,
+        snr_threshold=args.snr_threshold * 2.0)
     val_loader = AudioLoader(
         val_paths, one_hot_labels(val_labels, class_names), val_lcfg,
         batch_size=args.batch_size, num_workers=args.num_workers,
@@ -190,9 +204,14 @@ def build_loaders(args, for_qat: bool = False):
 
 
 def balanced_class_weights(labels: list[str], class_names: list[str]) -> np.ndarray:
-    """n_samples / (n_classes * count_c) (reference cli/train.py:483-497)."""
-    counts = np.array([max(1, sum(1 for l in labels if l == c)) for c in class_names], np.float64)
-    total = sum(1 for l in labels if l in set(class_names))
+    """n_samples / (n_classes * count_c) (reference cli/train.py:483-497).
+    One Counter pass: the naive per-class scan is O(N*C) and stalls startup
+    for minutes at 500k labels x 500 classes."""
+    from collections import Counter
+
+    by_class = Counter(labels)
+    counts = np.array([max(1, by_class.get(c, 0)) for c in class_names], np.float64)
+    total = sum(by_class.get(c, 0) for c in class_names)
     return (total / (len(class_names) * counts)).astype(np.float32)
 
 
@@ -245,7 +264,7 @@ def main(argv=None) -> int:
         # there); --qat_learning_rate stays as an explicit override.
         qat_lr = args.qat_learning_rate
         if qat_lr is None:
-            qat_lr = args.learning_rate if args.learning_rate != 1e-3 else 1e-5
+            qat_lr = args.learning_rate if args.lr_given else 1e-5
         run_qat(run_dir, iter(train_loader), lambda: iter(val_loader),
                 epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 100,
                 learning_rate=qat_lr,
@@ -267,10 +286,45 @@ def main(argv=None) -> int:
         frontend_trainable=not args.no_frontend_trainable,
         n_mfcc=args.n_mfcc,
     )
+    if args.linear_probe:
+        # The probe trains on the BASE checkpoint's audio geometry: loaders
+        # must read at ITS sample rate / chunk length, not the CLI defaults
+        # (the QAT branch syncs the same way) — otherwise waveforms are
+        # silently pitch-shifted through the wrong frontend.
+        from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+        from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
+        from birdnet_stm32_tpu.training.linear_probe import run_linear_probe
+
+        import jax.numpy as jnp
+
+        _, base_vars, base_cfg = load_checkpoint(run_dir, class_activation="none")
+        for f in ("sample_rate", "chunk_duration", "num_mels", "spec_width",
+                  "fft_length", "audio_frontend", "mag_scale"):
+            setattr(args, f, getattr(base_cfg, f))
+        train_loader, val_loader, class_names, _ = build_loaders(args)
+
+        def to_inputs(it):
+            for wave, labels in it:
+                yield np.asarray(inputs_for_config(jnp.asarray(wave), base_cfg)), labels
+
+        run_linear_probe(
+            base_vars, base_cfg, class_names,
+            to_inputs(iter(train_loader)), lambda: to_inputs(iter(val_loader)),
+            (run_dir / f"{keras_stem}_probe") if keras_stem
+            else run_dir.with_name(run_dir.name + "_probe"),
+            epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 50,
+            learning_rate=args.learning_rate, multilabel=args.multilabel, seed=args.seed)
+        return 0
+
     train_loader, val_loader, class_names, raw_labels = build_loaders(args)
     cfg = ModelConfig(num_classes=len(class_names), class_names=class_names, **cfg_kwargs)
     info("train", f"{len(train_loader.paths)} train files, "
                   f"{len(val_loader.paths)} val files, {len(class_names)} classes")
+
+    if args.tune:
+        # Tuning rebuilds loaders/models per trial: skip the mesh + model
+        # init below (a real param-init trace, minutes through a tunnel).
+        return _run_tuning(args, cfg_kwargs, class_names)
 
     mesh = None if args.no_mesh else make_mesh()
     if mesh is not None:
@@ -293,31 +347,6 @@ def main(argv=None) -> int:
         out = run_lr_finder(model, variables, model_batches(),
                             make_loss_fn(multilabel=args.multilabel))
         ok("lr_finder", f"suggested learning rate: {out['suggested_lr']:.2e}")
-        return 0
-
-    if args.tune:
-        return _run_tuning(args, cfg_kwargs, class_names)
-
-    if args.linear_probe:
-        from birdnet_stm32_tpu.ops.frontend import inputs_for_config
-        from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
-        from birdnet_stm32_tpu.training.linear_probe import run_linear_probe
-
-        import jax.numpy as jnp
-
-        base_model, base_vars, base_cfg = load_checkpoint(run_dir, class_activation="none")
-
-        def to_inputs(it):
-            for wave, labels in it:
-                yield np.asarray(inputs_for_config(jnp.asarray(wave), base_cfg)), labels
-
-        run_linear_probe(
-            base_vars, base_cfg, class_names,
-            to_inputs(iter(train_loader)), lambda: to_inputs(iter(val_loader)),
-            (run_dir / f"{keras_stem}_probe") if keras_stem
-            else run_dir.with_name(run_dir.name + "_probe"),
-            epochs=args.epochs, steps_per_epoch=args.steps_per_epoch or 50,
-            learning_rate=args.learning_rate, multilabel=args.multilabel, seed=args.seed)
         return 0
 
     steps = args.steps_per_epoch or max(
@@ -404,7 +433,10 @@ def _run_tuning(args, cfg_kwargs: dict, class_names: list[str]) -> int:
             # burning their full budget.
             auc = metrics.get("val_roc_auc", float("nan"))
             if not np.isnan(auc):
-                trial.report(auc, epoch_i)
+                # Index by REPORT count, not epoch: a skipped NaN epoch
+                # would shift every later value one step left and the
+                # median pruner would compare mismatched epochs.
+                trial.report(auc, len(trial.intermediate))
 
         _, history = train_model(
             model, variables, cfg, iter(train_loader), lambda: iter(val_loader),

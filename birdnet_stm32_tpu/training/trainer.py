@@ -143,7 +143,7 @@ def train_model(
     from birdnet_stm32_tpu.models.blocks import BN_MOMENTUM
 
     bn_settle = int(3.0 / max(1e-6, 1.0 - BN_MOMENTUM))  # ~300 @ 0.99
-    if not resume and total_steps < bn_settle:
+    if not resume and not qat and total_steps < bn_settle:  # QAT freezes BN
         warn("train", f"only {total_steps} total steps: BatchNorm running "
                       f"statistics (momentum {BN_MOMENTUM}) need ~{bn_settle} "
                       "steps to wash out their init — val metrics and saved "

@@ -58,7 +58,15 @@ bool parse_header(FILE* f, WavHeader* h) {
       have_fmt = true;
     } else if (memcmp(hdr, "data", 4) == 0) {
       h->data_offset = ftell(f);
-      h->data_bytes = size;
+      // Clamp to the bytes actually on disk: streamed/interrupted
+      // recorders write 0xFFFFFFFF (or more than was flushed), and an
+      // unclamped count would read past EOF (numpy-twin parity).
+      long pos = ftell(f);
+      fseek(f, 0, SEEK_END);
+      long fsize = ftell(f);
+      fseek(f, pos, SEEK_SET);
+      uint64_t on_disk = fsize > pos ? (uint64_t)(fsize - pos) : 0;
+      h->data_bytes = size < on_disk ? size : on_disk;
       return have_fmt && h->channels > 0 && h->bits >= 8;
     } else {
       fseek(f, size + (size & 1), SEEK_CUR);

@@ -285,3 +285,39 @@ class TestDecodedWaveformCache:
                                 cache_dir=cache)
         np.testing.assert_array_equal(out, direct)  # direct path, same bytes
         assert not cache.exists() or list(cache.glob("*.npy")) == []
+
+
+def test_truncated_wav_header_clamped(tmp_path, rng):
+    """A data-chunk size larger than the file (streamed/interrupted
+    recorders write 0xFFFFFFFF) must clamp to the bytes on disk — both the
+    numpy reader and the native one."""
+    import struct
+
+    sr, n = 8000, 4000
+    y = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+    p = tmp_path / "trunc.wav"
+    save_wav(y, p, sr)
+    raw = bytearray(p.read_bytes())
+    # Find the data chunk and blow up its declared size.
+    i = raw.find(b"data")
+    raw[i + 4 : i + 8] = struct.pack("<I", 0xFFFFFFF0)
+    p.write_bytes(bytes(raw))
+
+    from birdnet_stm32_tpu.audio.io import wav_info
+
+    info = wav_info(p)
+    assert info.frames == n  # clamped, not 0xFFFFFFF0 // 2
+    out = load_audio_window(p, sample_rate=sr, max_duration=None)
+    assert len(out) == n and np.corrcoef(out, y)[0, 1] > 0.99
+
+    from birdnet_stm32_tpu.audio import native
+
+    if native.available():
+        assert native.wav_info(p)[2] == n
+        z = native.wav_read(p, 0, n)
+        assert len(z) == n
+
+    # And with the decode cache: no empty negative entry for a good file.
+    cached = load_audio_window(p, sample_rate=sr, max_duration=None,
+                               cache_dir=tmp_path / "cache")
+    assert len(cached) == n
