@@ -25,6 +25,13 @@ CONFIGS = [
          use_se=False, use_attention_pooling=True, class_activation="softmax"),
     dict(audio_frontend="librosa", mag_scale="none", use_inverted_residual=False,
          use_se=False, class_activation="sigmoid"),
+    # Remaining frontend/arch axes: precomputed MFCC input geometry,
+    # log_mel + depth-scaled stages + SE + attention together.
+    dict(audio_frontend="mfcc", mag_scale="none", use_inverted_residual=True,
+         use_se=True, class_activation="softmax"),
+    dict(audio_frontend="log_mel", mag_scale="none", use_inverted_residual=True,
+         use_se=True, use_attention_pooling=True, depth_multiplier=2,
+         class_activation="sigmoid"),
 ]
 
 
