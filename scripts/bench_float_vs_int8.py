@@ -9,7 +9,6 @@ Usage: python scripts/bench_float_vs_int8.py [B]
 """
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -31,8 +30,9 @@ CONFIG = "/root/reference/checkpoints/birdnet_stm32n6_100_model_config.json"
 TFLITE = "/root/reference/checkpoints/birdnet_stm32n6_100.tflite"
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-cfg = ModelConfig.load(CONFIG)
-model, variables, _ = load_reference_model(KERAS, CONFIG)
+# One cfg: the transplant may adjust it to match the stored graph, and the
+# frontend features must use that same adjusted geometry.
+model, variables, cfg = load_reference_model(KERAS, CONFIG)
 rng = np.random.default_rng(0)
 wave = jnp.asarray(rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32))
 

@@ -5,7 +5,6 @@ Usage: python scripts/bench_stages.py [model.tflite] [model_config.json]
 """
 import json
 import sys
-import time
 
 import numpy as np
 

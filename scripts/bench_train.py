@@ -5,7 +5,6 @@ Usage: python scripts/bench_train.py [batch_size]
 """
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -23,6 +22,7 @@ from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 from birdnet_stm32_tpu.parallel.steps import TrainState, make_train_step
 from birdnet_stm32_tpu.training.losses import make_loss_fn
+from birdnet_stm32_tpu.utils.benchmarking import sustained_carried_chunks_per_sec
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 cfg = ModelConfig(sample_rate=22050, num_mels=64, spec_width=256,
@@ -47,40 +47,30 @@ for name, dtype, prec in [("f32", None, "highest"),
                           ("bf16", jnp.bfloat16, "high")]:
     step = make_train_step(model, tx, loss_fn, mesh=None, donate=False,
                            compute_dtype=dtype)
-    state = TrainState.create(variables, tx)
-    state, m = step(state, x, y, jax.random.key(1))  # compile
-    float(m["loss"])
-    iters = 20
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, x, y, jax.random.key(1))
-        float(m["loss"])
-        best = max(best, iters * B / (time.perf_counter() - t0))
+
+    def step_only(state):
+        state, m = step(state, x, y, jax.random.key(1))
+        return state, m["loss"]
+
+    best, state = sustained_carried_chunks_per_sec(
+        step_only, TrainState.create(variables, tx), B)
     print(json.dumps({"mode": f"{name}_step_only", "B": B,
                       "train_chunks_per_sec": round(best, 1),
                       "steps_per_sec": round(best / B, 2),
-                      "loss": round(float(m["loss"]), 4)}), flush=True)
+                      "loss": round(float(step_only(state)[1]), 4)}), flush=True)
 
     # Full device pipeline: batcher (frontend + SpecAugment + mixup) + step
     # — what the training loop actually runs per batch.
     batcher = make_train_batcher(cfg, stft_precision=prec)
-    state = TrainState.create(variables, tx)
 
-    def full(state, key, wave, y):
+    def full(state):
+        key = jax.random.key(1)
         xb, yb = batcher(key, wave, y)
-        return step(state, xb, yb, key)
+        state, m = step(state, xb, yb, key)
+        return state, m["loss"]
 
-    state, m = full(state, jax.random.key(1), wave, y)
-    float(m["loss"])
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = full(state, jax.random.key(1), wave, y)
-        float(m["loss"])
-        best = max(best, iters * B / (time.perf_counter() - t0))
+    best, _ = sustained_carried_chunks_per_sec(
+        full, TrainState.create(variables, tx), B)
     print(json.dumps({"mode": f"{name}_with_batcher", "B": B,
                       "train_chunks_per_sec": round(best, 1),
                       "steps_per_sec": round(best / B, 2)}), flush=True)

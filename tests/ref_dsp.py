@@ -19,7 +19,12 @@ def hann_periodic(n):
 
 
 def stft_mag(y, n_fft, hop):
-    """librosa.stft magnitude: center=True, zero pad, periodic hann. [F, W]."""
+    """librosa.stft magnitude: center=True, zero pad, periodic hann. [F, W].
+
+    Even n_fft only (the symmetric n_fft//2 centering pad and the full-frame
+    argument below assume it; every reference config uses powers of two)."""
+    if n_fft % 2:
+        raise ValueError(f"stft_mag implements even n_fft only (got {n_fft})")
     pad = n_fft // 2
     yp = np.pad(y.astype(np.float64), (pad, pad))
     n_frames = 1 + len(y) // hop
@@ -111,7 +116,9 @@ def normalize(S):
 
 
 def get_spectrogram(audio, sr, n_fft=512, mel_bins=64, spec_width=256, mag_scale="none", mode="mel", n_mfcc=20):
-    """Loop transcription of reference get_spectrogram_from_audio."""
+    """Behavioral twin of reference audio/spectrogram.py:24-149 (hop =
+    T//spec_width at :61; mode/mag-scale matrix at :42-147), written as a
+    straight numpy pipeline for golden tests."""
     hop = (len(audio) // spec_width) if spec_width > 0 else n_fft // 2
 
     if mode == "mfcc":
@@ -133,11 +140,13 @@ def get_spectrogram(audio, sr, n_fft=512, mel_bins=64, spec_width=256, mag_scale
     if mag_scale == "pcen":
         S = pcen(S * (2.0**31), sr, hop, axis=1)
     elif mag_scale == "pwl":
+        # 4-segment piecewise-linear compression (reference
+        # spectrogram.py:139-144 constants): base slope on the min-max
+        # normalized magnitude plus hinge terms at each breakpoint.
         Sn = (S - S.min()) / (S.max() - S.min() + 1e-10)
-        t1, t2, t3 = 0.10, 0.35, 0.65
-        k0, k1, k2, k3 = 0.40, 0.25, 0.15, 0.08
-        r = lambda z: np.maximum(z, 0.0)  # noqa: E731
-        S = k0 * Sn + k1 * r(Sn - t1) + k2 * r(Sn - t2) + k3 * r(Sn - t3)
+        S = 0.40 * Sn
+        for knee, slope in ((0.10, 0.25), (0.35, 0.15), (0.65, 0.08)):
+            S = S + slope * np.maximum(Sn - knee, 0.0)
     elif mag_scale == "db":
         S = amplitude_to_db(S, ref=S.max())
     return normalize(S)

@@ -26,6 +26,10 @@ def build_tf_golden(keras_path: str):
         g = h5["layers"][name_map[name]]["vars"]
         return [np.asarray(g[str(i)]) for i in range(len(g.keys()))]
 
+    fe_cfg = next(l.get("config", {}) for l in layers
+                  if l["class_name"] == "AudioFrontendLayer")
+    spec_width = int(fe_cfg.get("spec_width", 256))
+
     def frontend_apply(x):
         g = h5["layers"][name_map["audio_frontend"]]
         mixer = np.asarray(g["mel_mixer"]["vars"]["0"])  # [1,1,264,64]
@@ -37,6 +41,10 @@ def build_tf_golden(keras_path: str):
             bs.append(np.asarray(g["_pwl_shift_dws"][sub]["vars"]["1"]).reshape(-1))
 
         y = tf.transpose(x, [0, 3, 2, 1])  # [B,1,W,257]
+        # Reference frontend.py:303-304 slices the time axis to spec_width
+        # BEFORE the mixer; skipping it would change the max-normalization
+        # denominator for wider inputs.
+        y = y[:, :, :spec_width, :]
         pad = mixer.shape[2] - y.shape[-1]
         if pad:
             y = tf.concat([y, tf.zeros([tf.shape(y)[0], 1, y.shape[2], pad])], axis=-1)
@@ -75,11 +83,20 @@ def build_tf_golden(keras_path: str):
                 t = frontend_apply(ins[0])
             elif cls == "Conv2D":
                 v = vars_of(name)
+                if cfg.get("activation") not in (None, "linear"):
+                    raise ValueError(f"{name}: fused Conv2D activation "
+                                     f"{cfg['activation']!r} not replayed")
+                if tuple(cfg.get("dilation_rate", (1, 1))) != (1, 1):
+                    raise ValueError(f"{name}: dilation not replayed")
                 t = tf.nn.conv2d(ins[0], v[0], strides=[1, *cfg["strides"], 1], padding=cfg["padding"].upper())
                 if len(v) > 1:
                     t = tf.nn.bias_add(t, v[1])
             elif cls == "DepthwiseConv2D":
                 v = vars_of(name)
+                if len(v) > 1:
+                    # The reference builder sets use_bias=False; silently
+                    # dropping a bias would corrupt the golden activations.
+                    raise ValueError(f"{name}: DepthwiseConv2D bias not replayed")
                 t = tf.nn.depthwise_conv2d(ins[0], v[0], strides=[1, *cfg["strides"], 1], padding=cfg["padding"].upper())
             elif cls == "BatchNormalization":
                 gamma, beta, mean, var = vars_of(name)
