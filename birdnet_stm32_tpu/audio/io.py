@@ -83,6 +83,14 @@ def wav_info(path: str | Path) -> WavInfo:
 
 def _decode_frames(info: WavInfo, start_frame: int, n_frames: int) -> np.ndarray:
     """Read and decode [n_frames, channels] float32 in [-1, 1]."""
+    # Same format gate as the native reader (audio_native.cc): a-law/
+    # mu-law (format 6/7) 8-bit data would otherwise decode through the
+    # unsigned-PCM branch as garbage on hosts without the native library.
+    supported = ((info.audio_format == 3 and info.bits in (32, 64))
+                 or (info.audio_format == 1 and info.bits in (8, 16, 24, 32)))
+    if not supported:
+        raise ValueError(
+            f"unsupported WAV bits={info.bits} format={info.audio_format}")
     bytes_per_sample = info.bits // 8
     bytes_per_frame = bytes_per_sample * info.channels
     n_frames = max(0, min(n_frames, info.frames - start_frame))

@@ -189,13 +189,13 @@ def build_loaders(args, for_qat: bool = False):
         shard_index=shard, num_shards=num_shards)
     import dataclasses
 
-    # Validation dataset parity (reference cli/train.py:397-409):
-    # deterministic reads, ONE chunk per file, and a doubled activity
-    # threshold (reference train 0.25 -> val 0.5; thresholds here apply to
-    # waveform chunks, so scale the user's train threshold the same 2x).
+    # Validation dataset parity (reference cli/train.py:388-409):
+    # deterministic reads, ONE chunk per file, and the reference's 5x
+    # activity-threshold jump (train 0.1 -> val 0.5, both hardcoded
+    # there; scale the user's train threshold by the same ratio).
     val_lcfg = dataclasses.replace(
         lcfg, random_offset=False, max_chunks_per_file=1,
-        snr_threshold=args.snr_threshold * 2.0)
+        snr_threshold=args.snr_threshold * 5.0)
     val_loader = AudioLoader(
         val_paths, one_hot_labels(val_labels, class_names), val_lcfg,
         batch_size=args.batch_size, num_workers=args.num_workers,

@@ -151,7 +151,9 @@ def convert_model(
                 quant_outputs=quant_runner.predict(padded)[: len(keep)])
             report["validation_npz"] = str(npz_path)
 
-        if worst["cosine_mean"] < min_cosine_sim:
+        if not np.isfinite(worst["cosine_mean"]) or worst["cosine_mean"] < min_cosine_sim:
+            # NaN (empty validation set) must FAIL the gate — 'NaN < x' is
+            # False and would ship an ungated artifact.
             raise RuntimeError(
                 f"quantization quality gate failed: mean cosine "
                 f"{worst['cosine_mean']:.4f} < {min_cosine_sim}")

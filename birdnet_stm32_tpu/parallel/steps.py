@@ -59,20 +59,20 @@ def _project_nonneg_mel_mixer(params):
 
 def conv_kernel_l2(params, coeff: float):
     """Keras-parity L2 kernel regularization: coeff * sum ||K||^2 over
-    EXACTLY the kernels the reference regularizes — the stage blocks' 1x1
+    EXACTLY the kernels the reference regularizes — the stage blocks'
+    depthwise (depthwise_regularizer, dscnn.py:59 / blocks.py:105),
     pointwise (dscnn.py:71), expand (blocks.py:93), and project
-    (blocks.py:121) convs. Stem, emb, depthwise, SE dense, attention
-    score, frontend, and the head carry NO regularizer there; penalizing
-    them would minimize a systematically different loss."""
+    (blocks.py:121) convs. Stem, emb, SE dense ('stageN_seM_expand' /
+    'stageN_irM_se_expand' must NOT match the expand pattern), attention
+    score, frontend, and the head carry no regularizer there."""
     import re
 
+    block_kernel = re.compile(r"stage\d+_(ir|ds)\d+_(dw|pw|expand|project)$")
     total = 0.0
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
         last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if (last == "kernel" and re.match(r"stage\d+_", top)
-                and "_se_" not in top
-                and top.endswith(("_pw", "_expand", "_project"))):
+        if last == "kernel" and block_kernel.fullmatch(top):
             total = total + jnp.sum(jnp.square(leaf))
     return coeff * total
 

@@ -132,7 +132,7 @@ def test_train_raw_frontend_se_ir_attention(tmp_path, monkeypatch):
     best, history = train_model(
         model, variables, cfg,
         train_batches=train_iter(), val_batches=lambda: val_set,
-        run_dir=tmp_path / "run", epochs=4, steps_per_epoch=8,
+        run_dir=tmp_path / "run", epochs=6, steps_per_epoch=10,
         learning_rate=3e-3, patience=10, multilabel=False, seed=0,
     )
     assert history[-1]["loss"] < history[0]["loss"]
