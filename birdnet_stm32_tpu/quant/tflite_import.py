@@ -864,6 +864,25 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                     new_shape[0] = -1 if -1 not in new_shape[1:] else src.shape[0]
                 vals[o] = jnp.reshape(src, new_shape)
 
+            elif name in ("PAD", "PADV2"):
+                # TFLite Pad: constant-pad with the OUTPUT zero point for
+                # quantized tensors (pad.cc requires input/output params to
+                # match), 0.0 for float, or PADV2's explicit constant. The
+                # raw frontend's explicit symmetric pad before its VALID
+                # conv exports as this op (reference frontend.py:139-171).
+                xin = get(ins[0])
+                pads = np.asarray(get_host(ins[1]), np.int64).reshape(-1, 2)
+                if name == "PADV2" and len(ins) > 2 and ins[2] >= 0:
+                    pad_value = get_host(ins[2]).reshape(()).item()
+                elif xin.dtype == jnp.float32:
+                    pad_value = 0.0
+                else:
+                    _, zo, _ = q_params(o)
+                    pad_value = int(zo[0])
+                vals[o] = jnp.pad(
+                    xin, [(int(b), int(a)) for b, a in pads],
+                    constant_values=pad_value)
+
             elif name == "SOFTMAX":
                 # Float-faithful softmax(beta*x); int8 output scale is 1/256.
                 si, zi, _ = q_params(ins[0])

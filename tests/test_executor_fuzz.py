@@ -34,6 +34,15 @@ CONFIGS = [
          class_activation="sigmoid"),
 ]
 
+# Raw frontend with a stride that does NOT divide the chunk length
+# (ceil(4100/32)=129; 32*129=4128 > 4100): the explicit symmetric pad
+# before the VALID filterbank conv survives as a quantized PAD op in the
+# exported graph (reference frontend.py:139-171) — the geometry every
+# real-rate raw model hits (e.g. 2 s @ 22.05 kHz).
+CONFIGS.append(
+    dict(audio_frontend="raw", mag_scale="none", use_inverted_residual=True,
+         use_se=True, class_activation="sigmoid", _sample_rate=4100))
+
 
 @pytest.mark.slow
 @pytest.mark.integration
@@ -44,7 +53,8 @@ def test_executor_matches_interpreter(i, spec, tmp_path):
 
     spec = dict(spec)
     activation = spec.pop("class_activation")
-    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+    sample_rate = spec.pop("_sample_rate", 4000)
+    cfg = ModelConfig(sample_rate=sample_rate, num_mels=16, spec_width=32, fft_length=128,
                       chunk_duration=1.0, embeddings_size=32, num_classes=4,
                       class_names=list("abcd"), alpha=0.25, **spec)
     model = build_dscnn(cfg, class_activation=activation)
