@@ -902,6 +902,44 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 idx = get(ins[0]).astype(jnp.int32) + 128
                 vals[o] = jnp.take(jnp.asarray(lut), idx)
 
+            elif name == "LOG":
+                # int8 elementwise log via a 256-entry LUT (TFLite
+                # elementwise.cc LUTPopulate semantics: evaluate per code,
+                # round half away from zero, clamp). Non-positive dequants
+                # map to qmin — the graph clamps with MAXIMUM(x, eps) first
+                # (the db magnitude scaling, reference magnitude.py:194-200).
+                si, zi, _ = q_params(ins[0])
+                so, zo, _ = q_params(o)
+                v = np.arange(-128, 128, dtype=np.float64)
+                xf = (v - int(zi[0])) * float(si[0])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    f = np.where(xf > 0.0, np.log(xf), -np.inf)
+                q = np.sign(f / so[0]) * np.floor(np.abs(f / so[0]) + 0.5) + int(zo[0])
+                lut = np.clip(np.nan_to_num(q, nan=-128.0, neginf=-128.0),
+                              -128, 127).astype(np.int8)
+                idx = get(ins[0]).astype(jnp.int32) + 128
+                vals[o] = jnp.take(jnp.asarray(lut), idx)
+
+            elif name in ("MAXIMUM", "MINIMUM"):
+                # TFLite's quantized Maximum/Minimum kernel compares raw
+                # int8 codes and requires identical quant params across
+                # inputs/outputs; when an exported graph violates that,
+                # fall back to a float-faithful compare (<= 1 LSB).
+                a, b = get(ins[0]), get(ins[1])
+                fn = jnp.maximum if name == "MAXIMUM" else jnp.minimum
+                sa, za, _ = q_params(ins[0])
+                sb, zb, _ = q_params(ins[1])
+                so, zo, _ = q_params(o)
+                same = (float(sa[0]) == float(sb[0]) == float(so[0])
+                        and int(za[0]) == int(zb[0]) == int(zo[0]))
+                if same:
+                    vals[o] = fn(a, b)
+                else:
+                    fa = (a.astype(jnp.float32) - int(za[0])) * float(sa[0])
+                    fb = (b.astype(jnp.float32) - int(zb[0])) * float(sb[0])
+                    q = _round_away(fn(fa, fb) / float(so[0])) + int(zo[0])
+                    vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
             else:
                 raise NotImplementedError(f"TFLite op {name} not supported")
 

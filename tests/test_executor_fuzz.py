@@ -43,6 +43,13 @@ CONFIGS.append(
     dict(audio_frontend="raw", mag_scale="none", use_inverted_residual=True,
          use_se=True, class_activation="sigmoid", _sample_rate=4100))
 
+# db magnitude scaling exports LOG + MAXIMUM ops (10*log10 with an eps
+# clamp, reference magnitude.py:194-200) — the only mag_scale whose
+# graph leaves the conv/add/mul op family.
+CONFIGS.append(
+    dict(audio_frontend="hybrid", mag_scale="db", use_inverted_residual=True,
+         use_se=False, class_activation="softmax"))
+
 
 @pytest.mark.slow
 @pytest.mark.integration
