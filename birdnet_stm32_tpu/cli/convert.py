@@ -93,6 +93,15 @@ def main(argv=None) -> int:
     if args.data_path:
         paths, labels, _ = load_file_paths_from_directory(
             args.data_path, classes=cfg.class_names)
+        if not paths:
+            # An explicitly-passed calibration dir with zero usable files
+            # must NOT silently fall back to random calibration data — the
+            # INT8 ranges would be garbage while the gate still "passes"
+            # (random inputs also validate against random inputs).
+            raise SystemExit(
+                f"no calibration audio under {args.data_path} "
+                "(omit --data_path to calibrate on a random "
+                "representative dataset)")
     else:
         paths, labels = None, None
     # Export with the activation the checkpoint was trained for (multilabel

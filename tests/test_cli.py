@@ -155,6 +155,16 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     out = capsys.readouterr().out
     assert ("ONNX" in out) or ("tf2onnx" in out)
 
+    # An explicit calibration dir with zero usable audio must fail loudly,
+    # never silently calibrate on random data.
+    empty = tmp_path / "no_audio_here"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no calibration audio"):
+        dispatch(["convert", "--model_path", str(run_dir),
+                  "--data_path", str(empty),
+                  "--output_path", str(tmp_path / "never.tflite")])
+    assert not (tmp_path / "never.tflite").exists()
+
     # Evaluate the float checkpoint.
     out_dir = tmp_path / "eval"
     assert dispatch([
