@@ -113,6 +113,16 @@ def main(argv=None) -> int:
     files, _, _ = load_file_paths_from_directory(
         args.data_path_test, classes=classes, max_samples_per_class=cap)
     if not files:
+        # Distinguish "empty dir" from "audio present but every class
+        # folder is unknown to this model" — the latter reads as a data
+        # bug when the real problem is a label mismatch.
+        any_files, _, found_classes = load_file_paths_from_directory(
+            args.data_path_test)
+        if any_files:
+            raise SystemExit(
+                f"no test audio under {args.data_path_test} matches the "
+                f"model's classes {classes[:5]}{'...' if len(classes) > 5 else ''} "
+                f"(found class folders: {sorted(found_classes)[:8]})")
         raise SystemExit(f"no test audio under {args.data_path_test}")
 
     results, per_file, y_true, y_scores = M.evaluate(

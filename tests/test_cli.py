@@ -183,6 +183,17 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     emb = np.load(tmp_path / "emb.npz", allow_pickle=False)
     assert emb["embeddings"].shape == (len(emb["files"]), 32)  # embeddings_size
     assert len(emb["labels"]) == len(emb["files"])
+
+    # A test dir whose class folders don't match the model must say so
+    # (not the generic "no test audio" of a truly empty dir).
+    mismatch = tmp_path / "wrong_classes" / "not_a_model_class"
+    mismatch.mkdir(parents=True)
+    import shutil
+
+    shutil.copy(next(Path(root).rglob("*.wav")), mismatch / "x.wav")
+    with pytest.raises(SystemExit, match="matches the model's classes"):
+        dispatch(["evaluate", "--model_path", str(run_dir),
+                  "--data_path_test", str(tmp_path / "wrong_classes")])
     assert (out_dir / "predictions.csv").exists()
     assert (out_dir / "species_report.csv").exists()
     assert (out_dir / "benchmark.json").exists()
