@@ -70,7 +70,13 @@ def derive_sidecar_paths(model_path: str) -> tuple[str, str]:
     if p.is_dir():
         return str(p / "model_config.json"), str(p / "labels.txt")
     root = str(p.with_suffix("")).replace("_quantized", "")
-    return root + "_model_config.json", root + "_labels.txt"
+    cfg = root + "_model_config.json"
+    if not Path(cfg).exists() and (p.parent / "model_config.json").exists():
+        # A .tflite living inside a run directory (convert's default
+        # output layout: run/model_quantized.tflite next to
+        # run/model_config.json) — use the run-dir sidecars.
+        return str(p.parent / "model_config.json"), str(p.parent / "labels.txt")
+    return cfg, root + "_labels.txt"
 
 
 def _sha256(path: Path) -> str:

@@ -78,6 +78,14 @@ def test_deploy_sidecar_derivation(tmp_path):
     assert cfg == str(d / "model_config.json")
     assert labels == str(d / "labels.txt")
 
+    # A .tflite inside a run directory (convert's default layout:
+    # run/model_quantized.tflite next to run/model_config.json) falls back
+    # to the run-dir sidecars when the stem-derived config doesn't exist.
+    (d / "model_config.json").write_text("{}")
+    cfg, labels = derive_sidecar_paths(str(d / "model_quantized.tflite"))
+    assert cfg == str(d / "model_config.json")
+    assert labels == str(d / "labels.txt")
+
 
 def test_deploy_dry_run_and_preflight(tmp_path, capsys):
     from birdnet_stm32_tpu.config import ModelConfig
