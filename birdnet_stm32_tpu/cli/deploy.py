@@ -79,6 +79,17 @@ def derive_sidecar_paths(model_path: str) -> tuple[str, str]:
     return cfg, root + "_labels.txt"
 
 
+def resolve_config_path(model_path, config_path=None):
+    """An explicit --config_path wins; otherwise the derived sidecar
+    (stem rule or run-dir fallback) when it exists on disk, else None.
+    Shared by the evaluate/benchmark/serve/board-test verbs so a
+    convert-produced `run/model_quantized.tflite` works verbatim."""
+    if config_path:
+        return str(config_path)
+    cfg, _ = derive_sidecar_paths(str(model_path))
+    return cfg if Path(cfg).exists() else None
+
+
 def _sha256(path: Path) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:

@@ -98,11 +98,16 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16
+    from birdnet_stm32_tpu.cli.deploy import resolve_config_path
+
+    args.config_path = resolve_config_path(model_path, args.config_path)
     runner = load_model_runner(model_path, args.config_path, dtype=dtype)
     cfg = getattr(runner, "cfg", None)
     if cfg is None:
         if args.config_path is None:
-            raise SystemExit("--config_path required for .tflite models")
+            raise SystemExit("--config_path required for .tflite models "
+                             "(no model_config.json sidecar found next to "
+                             f"{model_path})")
         cfg = ModelConfig.load(args.config_path)
     classes = cfg.class_names
 
