@@ -295,6 +295,91 @@ def test_wav_roundtrip_int16_bound(tmp_path_factory, samples, sr):
     assert np.allclose(back, expect, atol=2e-4)
 
 
+# ---------------------------------------------------------------------------
+# Device DSP (ops/stft.py, ops/spectrogram.py) — geometry drawn from small
+# discrete sets so XLA compiles a bounded number of shapes.
+# ---------------------------------------------------------------------------
+
+dsp = settings(max_examples=25, deadline=None)
+
+_GEOMS = [  # (n_fft, hop) covering the conv path (2*hop >= n_fft) and the
+    (32, 16), (32, 20), (64, 32), (64, 48),      # conv formulation
+    (64, 8), (32, 4),                            # r > 4 gather/reshape path
+]
+_LENGTHS = [257, 512, 800, 1024]
+
+
+@dsp
+@given(st.sampled_from(_GEOMS), st.sampled_from(_LENGTHS),
+       st.booleans(), st.integers(min_value=0, max_value=2**31 - 1))
+def test_stft_matches_host_twin(geom, T, center, seed):
+    """Device STFT (matmul/conv formulation) == numpy rFFT twin for every
+    framing geometry, both librosa-centered and firmware left-aligned."""
+    from birdnet_stm32_tpu.ops.stft import stft_magnitude, stft_magnitude_host
+
+    n_fft, hop = geom
+    y = np.random.default_rng(seed).normal(size=(2, T)).astype(np.float32)
+    n_frames = 1 + T // hop if center else -(-T // hop)
+    dev = np.asarray(stft_magnitude(y, n_fft=n_fft, hop=hop,
+                                    n_frames=n_frames, center=center))
+    for b in range(2):
+        ref = stft_magnitude_host(y[b], n_fft=n_fft, hop=hop, center=center,
+                                  n_frames=n_frames).T  # [W, F]
+        np.testing.assert_allclose(dev[b], ref, atol=2e-4, rtol=2e-4)
+
+
+@dsp
+@given(st.sampled_from(_GEOMS), st.integers(min_value=0, max_value=2**31 - 1))
+def test_stft_sign_invariance(geom, seed):
+    """|STFT(-x)| == |STFT(x)| exactly (magnitude kills the global sign)."""
+    from birdnet_stm32_tpu.ops.stft import stft_magnitude
+
+    n_fft, hop = geom
+    y = np.random.default_rng(seed).normal(size=(1, 512)).astype(np.float32)
+    a = np.asarray(stft_magnitude(y, n_fft=n_fft, hop=hop, n_frames=8))
+    b = np.asarray(stft_magnitude(-y, n_fft=n_fft, hop=hop, n_frames=8))
+    np.testing.assert_array_equal(a, b)
+
+
+@dsp
+@given(st.sampled_from(["mel", "mfcc", "log_mel", "linear"]),
+       st.sampled_from(["none", "pwl", "db"]),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_spectrogram_normalized_range_and_shape(mode, mag_scale, seed):
+    """Features land in [0, 1] with the documented [B, bins, W] shape for
+    every mode x mag_scale (reference normalize, spectrogram.py:12-21)."""
+    from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
+
+    if mode in ("mfcc", "log_mel") and mag_scale != "none":
+        return  # reference behavior matrix: scaling applies to mel/linear
+    y = np.random.default_rng(seed).normal(size=(2, 800)).astype(np.float32)
+    S = np.asarray(spectrogram_batch(
+        y, sample_rate=4000, n_fft=64, mel_bins=16, spec_width=25,
+        mode=mode, mag_scale=mag_scale))
+    bins = {"mel": 16, "log_mel": 16, "mfcc": 20, "linear": 33}[mode]
+    assert S.shape == (2, bins, 25)
+    assert np.all(S >= -1e-6) and np.all(S <= 1 + 1e-6)
+    assert np.all(np.isfinite(S))
+
+
+@dsp
+@given(st.sampled_from(["mel", "linear"]), st.sampled_from(["none", "db"]),
+       st.floats(min_value=0.1, max_value=8.0),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_spectrogram_input_scale_invariance(mode, mag_scale, gain, seed):
+    """Min-max normalization makes the features invariant to input gain
+    for linear (S -> gS) and db (S -> S + const) scalings — the property
+    that makes peak-normalized and raw recordings comparable."""
+    from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
+
+    y = np.random.default_rng(seed).normal(size=(1, 800)).astype(np.float32)
+    kw = dict(sample_rate=4000, n_fft=64, mel_bins=16, spec_width=25,
+              mode=mode, mag_scale=mag_scale)
+    a = np.asarray(spectrogram_batch(y, **kw))
+    b = np.asarray(spectrogram_batch(gain * y, **kw))
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
 @common
 @given(
     st.integers(min_value=64, max_value=8192),
