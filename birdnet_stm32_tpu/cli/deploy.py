@@ -71,11 +71,18 @@ def derive_sidecar_paths(model_path: str) -> tuple[str, str]:
         return str(p / "model_config.json"), str(p / "labels.txt")
     root = str(p.with_suffix("")).replace("_quantized", "")
     cfg = root + "_model_config.json"
-    if not Path(cfg).exists() and (p.parent / "model_config.json").exists():
-        # A .tflite living inside a run directory (convert's default
-        # output layout: run/model_quantized.tflite next to
-        # run/model_config.json) — use the run-dir sidecars.
-        return str(p.parent / "model_config.json"), str(p.parent / "labels.txt")
+    if not Path(cfg).exists():
+        if (p.parent / "model_config.json").exists():
+            # A .tflite living inside a run directory (convert's default
+            # output layout: run/model_quantized.tflite next to
+            # run/model_config.json) — use the run-dir sidecars.
+            return str(p.parent / "model_config.json"), str(p.parent / "labels.txt")
+        if (Path(root) / "model_config.json").exists():
+            # `<run>_quantized.tflite` exported NEXT TO the run directory
+            # (the getting-started flow: convert --model_path /tmp/run1
+            # --output_path /tmp/run1_quantized.tflite) — the stripped stem
+            # IS the run dir.
+            return str(Path(root) / "model_config.json"), str(Path(root) / "labels.txt")
     return cfg, root + "_labels.txt"
 
 

@@ -86,6 +86,12 @@ def test_deploy_sidecar_derivation(tmp_path):
     assert cfg == str(d / "model_config.json")
     assert labels == str(d / "labels.txt")
 
+    # `<run>_quantized.tflite` exported NEXT TO the run dir (the
+    # getting-started flow): the stripped stem IS the run directory.
+    cfg, labels = derive_sidecar_paths(str(tmp_path / "run_quantized.tflite"))
+    assert cfg == str(d / "model_config.json")
+    assert labels == str(d / "labels.txt")
+
 
 def test_deploy_dry_run_and_preflight(tmp_path, capsys):
     from birdnet_stm32_tpu.config import ModelConfig
