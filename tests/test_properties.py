@@ -154,6 +154,33 @@ def test_pooling_single_chunk_is_identity(row, method):
     assert np.allclose(out, s[0], atol=atol)
 
 
+@common
+@given(
+    st.integers(min_value=1, max_value=5),             # num files
+    st.integers(min_value=1, max_value=20),            # num chunks
+    st.integers(min_value=1, max_value=6),             # classes
+    st.sampled_from(["average", "max", "lme"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_segment_pool_matches_host_pooling(F, N, C, method, seed):
+    """Device segment_pool (one reduction over all files) == per-file host
+    pool_scores, including files that received zero chunks."""
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.evaluation.pooling import segment_pool
+
+    rng = np.random.default_rng(seed)
+    scores = rng.normal(size=(N, C)).astype(np.float32)
+    ids = rng.integers(0, F, N)
+    dev = np.asarray(segment_pool(jnp.asarray(scores), jnp.asarray(ids),
+                                  F, method=method))
+    for f in range(F):
+        rows = scores[ids == f]
+        expect = (pool_scores(rows, method) if len(rows)
+                  else np.zeros(C, np.float32))
+        np.testing.assert_allclose(dev[f], expect, atol=3e-5, rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity metrics (reference conversion/validate.py:7-48)
 # ---------------------------------------------------------------------------
