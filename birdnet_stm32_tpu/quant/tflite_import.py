@@ -343,6 +343,59 @@ def _mbqm(x, qm: int, shift: int):
     return _mbqm_limbs(x, qm, shift)
 
 
+def _mbqm_host(x: np.ndarray, qm: int, shift: int) -> np.ndarray:
+    """Exact MBQM evaluated on the host with Python-int semantics.
+
+    For constant operands (e.g. an ADD's per-channel threshold vector): the
+    folded-K floor form of _mbqm_limbs computed directly in int64
+    (|x << left| < 2^31 by the same precondition, so x*qm < 2^62).
+    """
+    x = np.asarray(x, np.int64)
+    left, right = max(shift, 0), max(-shift, 0)
+    K = (1 << 30) + ((1 << (30 + right)) if right > 0 else 0)
+    return ((x << left) * qm + K) >> (31 + right)
+
+
+def _mbqm_shifted_small(x, qm: int, shift: int, pre_shift: int = 20):
+    """Exact MBQM(x << pre_shift, qm, shift) for small |x| — 2 multiplies.
+
+    TFLite's int8 ADD/SUB rescales each input as
+    MBQM((code - zp) << 20, qm, shift) with |code - zp| <= 255. The full
+    product then has ~51 significant bits, but the pre-shift cancels
+    against the fixed >>31: with D = 31 + right - pre_shift and
+    K' = (2^30 + 2^(30+right)) >> pre_shift the op is exactly
+    floor((x*qm + K') / 2^D). Splitting qm = q_hi*2^D + q_lo and using
+    floor((A*2^D + C) / 2^D / 2^0 ...) == A + floor(C / 2^D) for integer A
+    (nested-floor identity, fuzz-tested against _mbqm in tests/test_quant.py):
+
+        result = x*q_hi + (x*q_lo + K') >> D
+
+    Both terms fit int32 for |x| <= 255 when 8 <= D <= 22:
+    |x*q_hi| < 255*2^(31-D) <= 2^31 and |x*q_lo + K'| < 255*2^D + 2^(D-1)*3
+    < 2^31. ~5 VPU ops instead of the ~25-op generic limb pass — the
+    ADD-heavy integer graphs spend most of their elementwise time here.
+
+    Caller must guarantee shift <= 0, pre_shift <= 30, and 8 <= D <= 22
+    (_add_rescale checks and falls back to the limb pass otherwise).
+    """
+    right = -shift
+    D = 31 + right - pre_shift
+    K = (1 << 30) + ((1 << (30 + right)) if right > 0 else 0)
+    Kp = K >> pre_shift  # exact: K is a multiple of 2^30, pre_shift <= 30
+    q_hi = np.int32(qm >> D)
+    q_lo = np.int32(qm & ((1 << D) - 1))
+    return x * q_hi + ((x * q_lo + np.int32(Kp)) >> D)
+
+
+def _add_rescale(x, qm: int, shift: int, pre_shift: int = 20):
+    """Rescale one ADD/SUB input: exact MBQM(x << pre_shift, qm, shift),
+    via the 2-multiply small-operand form when its preconditions hold."""
+    D = 31 - shift - pre_shift
+    if shift <= 0 and pre_shift <= 30 and 8 <= D <= 22:
+        return _mbqm_shifted_small(x, qm, shift, pre_shift)
+    return _mbqm(x << pre_shift, qm, shift)
+
+
 def _mbqm_ref(x, qm: int, shift: int):
     """Two-stage reference formulation (gemmlowp SRDHM then RDBP); kept as
     the documented golden for tests/test_quant.py's equivalence check."""
@@ -427,9 +480,20 @@ def entry_transpose_perm(graph: TFLiteGraph) -> tuple | None:
     return None
 
 
+def entry_quant_params(graph: TFLiteGraph) -> tuple[float, int]:
+    """(scale, zero_point) of the graph's entry QUANTIZE output — what a
+    producer fusing the entry quantization (prequantized_input) must
+    quantize the float features with."""
+    if entry_transpose_perm(graph) is None:
+        raise ValueError("graph does not start with QUANTIZE -> TRANSPOSE")
+    t = graph.tensors[graph.ops[0].outputs[0]]
+    return float(t.scale[0]), int(t.zero_point[0])
+
+
 def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False,
                    requant: str = "exact",
-                   pretransposed_input: bool = False) -> Callable[[jax.Array], jax.Array]:
+                   pretransposed_input: bool = False,
+                   prequantized_input: bool = False) -> Callable[[jax.Array], jax.Array]:
     """Build a jittable fn mapping the float input batch to float outputs.
 
     Args:
@@ -443,16 +507,23 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
         pretransposed_input: Feed the float input already in the entry
             TRANSPOSE's output orientation (entry_transpose_perm); the
             quantize runs on it directly and the transpose is skipped.
+        prequantized_input: The input is ALREADY the int8 entry tensor in
+            the entry TRANSPOSE's output orientation — a producer fused the
+            entry quantize (e.g. the Pallas frontend kernel's int8-quantize
+            epilogue, ops/pallas/frontend_kernel.py). Implies the
+            pretransposed layout; entry_quant_params(graph) gives the
+            (scale, zero_point) the producer must quantize with.
 
     Returns:
-        f(x: [B, ...] float32) -> [B, ...] float32, jax.jit-compatible.
+        f(x: [B, ...] float32) -> [B, ...] float32, jax.jit-compatible
+        (x is int8 with prequantized_input).
     """
     T = graph.tensors
     _requant_op = _requant_exact if requant == "exact" else _requant_fast
 
     _entry_skip: set[int] = set()
     _entry_target = None
-    if pretransposed_input:
+    if pretransposed_input or prequantized_input:
         if entry_transpose_perm(graph) is None:
             raise ValueError("graph does not start with QUANTIZE -> TRANSPOSE")
         _entry_skip = {0, 1}
@@ -469,6 +540,69 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
     for _i, _op in enumerate(graph.ops):
         for _t in _op.inputs:
             _consumers.setdefault(_t, []).append(_i)
+
+    # --- Constant-channel-pad (CONCAT of FILL) fold -----------------------
+    # Keras hybrid frontends pad the mel-mixer input channels to a multiple
+    # of 8 by concatenating a constant FILL (reference frontend.py:269-276).
+    # A consuming 1x1 conv can absorb the pad channels into its bias: each
+    # pad channel contributes w * (pad_code - zp), a constant per output
+    # channel — so the CONCAT (a full-tensor HBM copy) is elided, the conv
+    # reads the unpadded tensor with sliced weights, and the constant rides
+    # the existing bias correction. Bit-exact: the removed integer terms
+    # are added back exactly.
+    _concat_fold: dict[int, tuple[int, int]] = {}  # out tensor -> (n_lead, code)
+    _folded_concat_ops: set[int] = set()
+    for _i, _op in enumerate(graph.ops):
+        if _op.name != "CONCATENATION" or len(_op.inputs) != 2:
+            continue
+        t_dyn, t_pad = _op.inputs
+        out = _op.outputs[0]
+        info_out = graph.tensors[out]
+        if (info_out.dtype != "int8" or len(info_out.shape) != 4
+                or _op.options["axis"] not in (3, -1)
+                or _op.options.get("activation", _ACT_NONE) != _ACT_NONE):
+            continue
+        sd, zd = graph.tensors[t_dyn].scale, graph.tensors[t_dyn].zero_point
+        so_, zo_ = info_out.scale, info_out.zero_point
+        if float(sd[0]) != float(so_[0]) or int(zd[0]) != int(zo_[0]):
+            continue  # pass-through part would need requantization
+        # The pad operand must be a uniform constant: a const tensor, or a
+        # FILL of a const scalar.
+        pad_code = None
+        tp = graph.tensors[t_pad]
+        if tp.data is not None and np.all(np.asarray(tp.data) == np.asarray(tp.data).flat[0]):
+            pad_code = int(np.asarray(tp.data).flat[0])
+        else:
+            prod = [j for j, p in enumerate(graph.ops) if t_pad in p.outputs]
+            if len(prod) == 1 and graph.ops[prod[0]].name == "FILL":
+                vt = graph.ops[prod[0]].inputs[1]
+                if graph.tensors[vt].data is not None:
+                    pad_code = int(np.asarray(graph.tensors[vt].data).reshape(()))
+        if pad_code is None:
+            continue
+        sp, zp_ = tp.scale, tp.zero_point
+        if float(sp[0]) != float(so_[0]) or int(zp_[0]) != int(zo_[0]):
+            # Requantize the constant exactly as ConcatenationWithScaling
+            # would (same float32 association as the CONCATENATION branch).
+            inv_so = np.float32(1.0) / np.float32(so_[0])
+            scale = np.float32(sp[0]) * inv_so
+            bias_f = np.float32(-int(zp_[0])) * scale
+            f = np.float32(pad_code) * scale + bias_f
+            pad_code = int(np.clip(np.sign(f) * np.floor(np.abs(f) + np.float32(0.5))
+                                   + int(zo_[0]), -128, 127))
+        cons_all = _consumers.get(out, [])
+        if any(graph.ops[c].name == "SHAPE" for c in cons_all):
+            continue  # SHAPE would observe the unpadded physical shape
+        cons = [c for c in cons_all if graph.ops[c].name != "SHAPE"]
+        if out in graph.outputs or len(cons) != 1:
+            continue
+        nxt = graph.ops[cons[0]]
+        wt = graph.tensors[nxt.inputs[1]] if len(nxt.inputs) > 1 else None
+        if (nxt.name != "CONV_2D" or nxt.inputs[0] != out or wt is None
+                or wt.data is None or wt.shape[1] != 1 or wt.shape[2] != 1):
+            continue  # only 1x1 convs: no boundary-padding interaction
+        _concat_fold[out] = (int(graph.tensors[t_dyn].shape[-1]), pad_code)
+        _folded_concat_ops.add(_i)
 
     def _slice_is_identity(op) -> bool:
         t_in, t_out = graph.tensors[op.inputs[0]], graph.tensors[op.outputs[0]]
@@ -505,13 +639,22 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
         t = _op.outputs[0]
         ok = False
         while True:
-            cons = _consumers.get(t, [])
-            # A graph output counts as a consumer: an elided tensor would
-            # be returned in the wrong (untransposed) layout.
+            # SHAPE consumers don't block elision: the SHAPE branch reports
+            # the LOGICAL shape for perm-pending tensors. A graph output
+            # still counts: an elided tensor would be returned in the wrong
+            # (untransposed) layout.
+            cons = [c for c in _consumers.get(t, [])
+                    if graph.ops[c].name != "SHAPE"]
             if len(cons) != 1 or t in graph.outputs:
                 break
             nxt = graph.ops[cons[0]]
             if nxt.name == "STRIDED_SLICE" and _slice_is_identity(nxt) and nxt.inputs[0] == t:
+                chain.append(cons[0])
+                t = nxt.outputs[0]
+                continue
+            if cons[0] in _folded_concat_ops and nxt.inputs[0] == t:
+                # A folded constant-pad CONCAT forwards its first input;
+                # the consuming conv handles both the perm and the pad.
                 chain.append(cons[0])
                 t = nxt.outputs[0]
                 continue
@@ -522,6 +665,10 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             _chains.append(chain)
             for ci in chain:
                 _pending_perm[graph.ops[ci].outputs[0]] = perm
+
+    # Folded constant-pad CONCATs alias their first input even outside a
+    # transpose chain (e.g. under pretransposed/prequantized entry).
+    _alias_ops.update(_folded_concat_ops)
 
     if _entry_target is not None:
         # The entry transpose is handled by the pretransposed-input path,
@@ -568,7 +715,11 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             info = T[idx]
             return info.scale, info.zero_point, info.quantized_dimension
 
-        if _entry_target is not None:
+        if prequantized_input:
+            # The producer already quantized (and oriented) the entry
+            # tensor; consume it verbatim.
+            vals[_entry_target] = x
+        elif _entry_target is not None:
             # x arrives in the transpose-output orientation; quantize is
             # elementwise, so quantizing here == transpose(quantize(x')).
             s0, z0, _ = q_params(graph.ops[0].outputs[0])
@@ -616,7 +767,14 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 vals[o] = jnp.transpose(get(ins[0]), perm)
 
             elif name == "SHAPE":
-                host[o] = np.asarray(vals[ins[0]].shape if ins[0] in vals else tshape(ins[0]), np.int32)
+                if ins[0] in _pending_perm and ins[0] in vals:
+                    # Elided-transpose alias: vals holds the PHYSICAL
+                    # (untransposed) array; report the logical shape.
+                    p = _pending_perm[ins[0]]
+                    phys = vals[ins[0]].shape
+                    host[o] = np.asarray([phys[p[k]] for k in range(len(p))], np.int32)
+                else:
+                    host[o] = np.asarray(vals[ins[0]].shape if ins[0] in vals else tshape(ins[0]), np.int32)
 
             elif name == "PACK":
                 parts = [get_host(i) for i in ins]
@@ -696,6 +854,37 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 # Physical axis of each logical NHWC axis (transpose elision).
                 perm = _pending_perm.get(ins[0], (0, 1, 2, 3))
 
+                if (name == "DEPTHWISE_CONV_2D" and w.shape[1] == w.shape[2] == 1
+                        and (sh, swd) == (1, 1) and tuple(dil) == (1, 1)
+                        and w.shape[0] == 1 and perm == (0, 1, 2, 3)
+                        and w.shape[3] == xin.shape[3]):  # depth_multiplier == 1
+                    # 1x1 stride-1 depthwise conv == per-channel affine:
+                    # acc[..., c] = w_c * (x - zp) + bias_c. The PWL/PCEN
+                    # frontend encodings are chains of these (reference
+                    # magnitude.py:99-192); a grouped 1x1 lax.conv wastes
+                    # the MXU, one VPU multiply doesn't. Same int32 math,
+                    # bit-exact.
+                    wv = w.reshape(-1).astype(np.int64)  # [C]
+                    sw, _, _ = q_params(ins[1])
+                    so, zo, _ = q_params(o)
+                    acc = (xin.astype(jnp.int32) - int(zi[0])) * jnp.asarray(wv, jnp.int32)
+                    acc = acc + jnp.asarray(np.broadcast_to(bias, wv.shape).astype(np.int64), jnp.int32)
+                    mult = si[0] * sw.astype(np.float64) / so[0]
+                    lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
+                    vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi)
+                    continue
+
+                # Folded constant-pad CONCAT: consume the unpadded tensor
+                # with the leading weight channels; the pad channels'
+                # constant contribution joins the bias correction below.
+                _fold = _concat_fold.get(ins[0]) if name == "CONV_2D" else None
+                pad_corr = 0
+                if _fold is not None:
+                    n_lead, pad_code = _fold
+                    pad_corr = (w[:, :, :, n_lead:].astype(np.int64)
+                                .sum(axis=(1, 2, 3)) * (pad_code - in_zp))
+                    w = w[:, :, :, :n_lead]
+
                 if name == "CONV_2D":
                     rhs = jnp.asarray(np.transpose(w, (1, 2, 3, 0)))  # HWIO
                     groups = 1
@@ -727,7 +916,7 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                     feature_group_count=groups,
                     preferred_element_type=jnp.int32,
                 )
-                correction = (bias - in_zp * w_sum).astype(np.int64)
+                correction = (bias - in_zp * w_sum + pad_corr).astype(np.int64)
                 acc = acc + jnp.asarray(correction, jnp.int32)
                 mult = si[0] * sw.astype(np.float64) / so[0]  # [O] or [1]
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
@@ -770,8 +959,11 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
             elif name in ("ADD", "SUB"):
                 # Exact TFLite int8 ADD/SUB: rescale both inputs to twice
                 # the max input scale at 20 fractional bits, integer
-                # add/subtract, requantize.
-                a, b = get(ins[0]), get(ins[1])
+                # add/subtract, requantize. The input rescales run in the
+                # 2-multiply small-operand form (|code - zp| <= 255,
+                # _mbqm_shifted_small); constant operands (e.g. the PWL
+                # threshold vectors, reference magnitude.py:99-134) are
+                # rescaled ONCE on the host.
                 sa, za, _ = q_params(ins[0])
                 sb, zb, _ = q_params(ins[1])
                 so, zo, _ = q_params(o)
@@ -780,9 +972,17 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 qm_a = _quantize_multiplier(float(sa[0]) / twice_max)
                 qm_b = _quantize_multiplier(float(sb[0]) / twice_max)
                 qm_o = _quantize_multiplier(twice_max / ((1 << left_shift) * float(so[0])))
-                a32 = (a.astype(jnp.int32) - int(za[0])) << left_shift
-                b32 = (b.astype(jnp.int32) - int(zb[0])) << left_shift
-                ra, rb = _mbqm(a32, *qm_a), _mbqm(b32, *qm_b)
+
+                def _rescaled(idx, zp, qm_shift):
+                    info = T[idx]
+                    if info.data is not None:
+                        x = (np.asarray(info.data, np.int64) - zp) << left_shift
+                        return jnp.asarray(_mbqm_host(x, *qm_shift), jnp.int32)
+                    x = get(idx).astype(jnp.int32) - zp
+                    return _add_rescale(x, *qm_shift, pre_shift=left_shift)
+
+                ra = _rescaled(ins[0], int(za[0]), qm_a)
+                rb = _rescaled(ins[1], int(zb[0]), qm_b)
                 raw = ra + rb if name == "ADD" else ra - rb
                 q = _mbqm(raw, *qm_o) + int(zo[0])
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))

@@ -168,3 +168,37 @@ def test_mbqm_limbs_bit_exact_vs_int64_golden():
     got1 = np.asarray(_mbqm_ref(jnp.asarray(x[:, 5]), int(qm[5]), int(shift[5])),
                       np.int64)
     np.testing.assert_array_equal(got1, gold[:, 5])
+
+
+def test_add_rescale_small_form_bit_exact():
+    """The 2-multiply ADD/SUB input rescale (_mbqm_shifted_small) and the
+    host constant rescale (_mbqm_host) match the int64 golden of
+    MBQM(x << 20, qm, shift) EXHAUSTIVELY over every possible input
+    (|code - zp| <= 255) for a sweep of multipliers/shifts, including the
+    .5-tie mantissas and the qm=0 channel."""
+    from birdnet_stm32_tpu.quant.tflite_import import (
+        _add_rescale,
+        _mbqm_host,
+        _mbqm_shifted_small,
+    )
+
+    rng = np.random.default_rng(11)
+    x = np.arange(-255, 256, dtype=np.int32)
+    x64 = x.astype(np.int64) << 20
+    qms = [0, 1 << 30, (1 << 31) - 1, 3 << 29]
+    qms += [int(q) for q in rng.integers(2**30, 2**31, 8)]
+    for qm in qms:
+        for shift in range(-11, 1):  # D = 11 - shift in [11, 22]
+            gold = _mbqm_golden_int64(x64, np.array([qm]), np.array([shift]))
+            got = np.asarray(_mbqm_shifted_small(jnp.asarray(x), qm, shift),
+                             np.int64)
+            np.testing.assert_array_equal(got, gold, err_msg=f"{qm=} {shift=}")
+            np.testing.assert_array_equal(_mbqm_host(x64 >> 20 << 20, qm, shift)
+                                          .astype(np.int64), gold)
+            # dispatcher picks the small form here
+            got2 = np.asarray(_add_rescale(jnp.asarray(x), qm, shift), np.int64)
+            np.testing.assert_array_equal(got2, gold)
+    # out-of-precondition shift falls back to the limb pass, still exact
+    gold = _mbqm_golden_int64(x64, np.array([qms[4]]), np.array([-14]))
+    got = np.asarray(_add_rescale(jnp.asarray(x), qms[4], -14), np.int64)
+    np.testing.assert_array_equal(got, gold)
