@@ -21,7 +21,8 @@ from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
                           as_numpy: bool = True,
-                          stft_precision: str | None = None):
+                          stft_precision: str | None = None,
+                          pallas_mode: str = "auto"):
     """waveform batch [B, T] -> scores [B, C], fused when possible.
 
     Falls back to frontend-then-predict for non-jittable runners (the
@@ -44,20 +45,49 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
             runners (serving-grade, ~1e-6 relative error, ~half the
             frontend MXU work) and 'highest' otherwise (librosa parity —
             and the INT8 executor's bit-exactness depends on it).
+        pallas_mode: 'auto' (default) computes the frontend with the fused
+            VMEM-resident Pallas kernel (ops/pallas/frontend_kernel.py)
+            when Mosaic compiles on this backend — for the INT8 executor
+            the kernel also fuses the entry int8-quantize + transpose and
+            feeds the integer graph directly (prequantized_input). 'off'
+            forces the XLA composition; 'interpret' runs the kernel in
+            interpreter mode (validation/tests only — slow).
     """
     if stft_precision is None:
         stft_precision = ("high" if getattr(runner, "dtype", None) is not None
                           else "highest")
+    if pallas_mode not in ("auto", "off", "interpret"):
+        raise ValueError(f"Invalid pallas_mode: {pallas_mode!r}")
+
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import (
+        frontend_input,
+        pallas_available,
+    )
+
+    # The fused kernel computes at HIGHEST precision only; bf16 serving
+    # (stft_precision='high') keeps the XLA frontend.
+    _interp = pallas_mode == "interpret"
+    use_kernel = (pallas_mode != "off" and stft_precision == "highest"
+                  and cfg.audio_frontend != "raw"
+                  and (_interp or pallas_available()))
+
     if input_sample_rate is not None and input_sample_rate != cfg.sample_rate:
         from birdnet_stm32_tpu.ops.resample import resample_chunk_batch
 
-        def _inputs(wave, cfg=cfg):
-            return inputs_for_config(
-                resample_chunk_batch(wave, input_sample_rate, cfg), cfg,
-                stft_precision=stft_precision)
+        def _wave(wave):
+            return resample_chunk_batch(wave, input_sample_rate, cfg)
     else:
-        def _inputs(wave, cfg=cfg):
-            return inputs_for_config(wave, cfg, stft_precision=stft_precision)
+        def _wave(wave):
+            return wave
+
+    def _inputs(wave, cfg=cfg):
+        w = _wave(wave)
+        if use_kernel:
+            # Falls back to the XLA composition internally when the
+            # geometry violates the kernel's 2*hop >= n_fft precondition.
+            return frontend_input(w, cfg, interpret=_interp)
+        return inputs_for_config(w, cfg, stft_precision=stft_precision)
+
     _out = np.asarray if as_numpy else (lambda a: a)
     mesh = getattr(runner, "mesh", None)
     shardings = {}
@@ -67,16 +97,37 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
         shardings = {"data": batch_sharding(mesh), "rep": replicated(mesh)}
 
     if hasattr(runner, "graph"):  # TFLiteSimRunner: fuse executor + frontend
-        from birdnet_stm32_tpu.quant.tflite_import import build_executor
+        from birdnet_stm32_tpu.ops.pallas.frontend_kernel import _kernel_geometry_ok
+        from birdnet_stm32_tpu.quant.tflite_import import (
+            build_executor,
+            entry_quant_params,
+            entry_transpose_perm,
+        )
+
+        # Deepest fusion: the kernel quantizes straight into the executor's
+        # int8 entry tensor (entry QUANTIZE + TRANSPOSE fold into the
+        # epilogue), when the graph starts with that pattern and the kernel
+        # handles this frontend/geometry.
+        entry_q = None
+        if (use_kernel and _kernel_geometry_ok(cfg, cfg.chunk_samples)
+                and entry_transpose_perm(runner.graph) is not None
+                and cfg.audio_frontend in ("hybrid", "librosa", "mfcc", "log_mel")):
+            entry_q = entry_quant_params(runner.graph)
 
         fns = {}
 
         def classify(wave: np.ndarray) -> np.ndarray:
             b = wave.shape[0]
             if b not in fns:
-                fwd = build_executor(runner.graph, batch_size=b,
-                                     requant=getattr(runner, "_requant", "exact"))
-                fn = lambda w: fwd(_inputs(w, cfg))  # noqa: E731
+                requant = getattr(runner, "_requant", "exact")
+                if entry_q is not None:
+                    fwd = build_executor(runner.graph, batch_size=b,
+                                         requant=requant, prequantized_input=True)
+                    fn = lambda w: fwd(frontend_input(  # noqa: E731
+                        _wave(w), cfg, quant=entry_q, interpret=_interp))
+                else:
+                    fwd = build_executor(runner.graph, batch_size=b, requant=requant)
+                    fn = lambda w: fwd(_inputs(w, cfg))  # noqa: E731
                 if mesh is not None:
                     fns[b] = jax.jit(fn, in_shardings=shardings["data"],
                                      out_shardings=shardings["data"])
@@ -162,7 +213,8 @@ def make_embedder(runner, cfg, stft_precision: str | None = None):
 
 
 def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
-                        device_resample: bool = False):
+                        device_resample: bool = False,
+                        cache_dir: str | None = None):
     """One probe + one decode for the serving drivers (cli/benchmark.py,
     cli/serve.py): (chunks [N, T], src_rate, audio_seconds, read_ms).
 
@@ -170,7 +222,9 @@ def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
     here so the two drivers can't drift — and duration comes from the same
     header probe, not a second file open on the coordination thread.
     Thread-safe (no shared state): pipelined/threaded decode runs it on
-    worker threads.
+    worker threads. cache_dir routes decode through the decoded-waveform
+    cache (audio/io.cached_waveform): pre-staged bulk serving decodes each
+    file once, later passes read memmap slices.
     """
     from birdnet_stm32_tpu.audio.io import audio_info
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
@@ -187,7 +241,7 @@ def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
     except Exception:
         pass  # unparseable header: decode below yields 0 chunks
     chunks = chunks_for_file(str(path), cfg, overlap, max_duration=max_duration,
-                             sample_rate=src_rate)
+                             sample_rate=src_rate, cache_dir=cache_dir)
     if duration <= 0.0 and len(chunks):
         # No header duration (e.g. stream estimate failed): approximate
         # from the chunk count (overlapped chunks double-count time).

@@ -1,15 +1,24 @@
-"""Fused Pallas TPU kernel for the hybrid serving frontend.
+"""Fused Pallas TPU kernel for the serving frontends — full epilogue.
 
 One VMEM-resident pass per batch tile: framing (dense reshape/concat, no
-gather) -> windowed real-DFT matmul pair on the MXU -> magnitude -> per-
-sample min-max normalization -> freq-major transpose. The XLA composition
-(ops/stft.py + ops/spectrogram.py) materializes the frame and re/im tensors
-in HBM between stages; here they never leave VMEM.
+gather) -> windowed real-DFT matmul pair on the MXU -> magnitude -> mel
+filterbank matmul -> magnitude scaling (pwl / pcen / db / log1p / DCT for
+mfcc) -> per-sample min-max normalization -> freq-major transpose ->
+optional int8 quantization straight into the INT8 executor's entry-tensor
+orientation. The XLA composition (ops/stft.py + ops/spectrogram.py)
+materializes the frame, re/im, magnitude, and mel tensors in HBM between
+stages (a measured ~3.7 us/chunk un-fusable HBM floor at flagship geometry,
+docs/performance.md); here they never leave VMEM.
 
-Replaces the reference's two STFT implementations on the hot serving path
-(librosa host STFT, audio/spectrogram.py:106-115, and the firmware C STFT,
-firmware/Src/audio_stft.c:24-71). Applicability: hop*2 >= n_fft (true for
-every shipped config; callers fall back to the XLA path otherwise).
+Replaces the reference's on-device frontend chain on the hot serving path:
+the firmware C STFT (firmware/Src/audio_stft.c:24-71), its mel filterbank
+apply (firmware/Src/audio_mel.c:97-124), and the host librosa feature
+matrix (audio/spectrogram.py:24-147) — with the same mode x mag_scale
+behavior matrix, validated against ops/spectrogram.spectrogram_batch in
+interpreter mode across every export combo (tests/test_pallas.py).
+
+Applicability: hop*2 >= n_fft (true for every shipped config; callers fall
+back to the XLA path otherwise).
 """
 
 from __future__ import annotations
@@ -23,11 +32,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from birdnet_stm32_tpu.ops import magnitude as mag_ops
+from birdnet_stm32_tpu.ops.dct import dct_matrix
+from birdnet_stm32_tpu.ops.mel import mel_filterbank
 from birdnet_stm32_tpu.ops.stft import dft_bases
 
+VALID_MODES = ("linear", "mel", "log_mel", "mfcc")
 
-def _kernel(wave_ref, wc_ref, ws_ref, out_ref, *, n_fft, hop, n_frames):
-    """One batch tile: [TB, T_pad] padded waveform -> [TB, F, W] normalized."""
+
+def _frame_and_mag(wave_ref, wc_ref, ws_ref, *, n_fft, hop, n_frames, power):
+    """[TB, T_pad] padded waveform -> [TB, Wf, F] |STFT| (or power spec)."""
     tb = wave_ref.shape[0]
     # Framing via the strided-row view: frame k = rows k, k+1 of the
     # [n_frames + 1, hop] view, truncated to n_fft (requires 2*hop >= n_fft).
@@ -39,17 +53,184 @@ def _kernel(wave_ref, wc_ref, ws_ref, out_ref, *, n_fft, hop, n_frames):
                  preferred_element_type=jnp.float32)
     im = jnp.dot(flat, ws_ref[:], precision=jax.lax.Precision.HIGHEST,
                  preferred_element_type=jnp.float32)
-    mag = jnp.sqrt(re * re + im * im).reshape(tb, n_frames, re.shape[-1])
-
-    # Per-sample min-max to [0, 1] (ops/magnitude.py normalize_minmax).
-    s_min = jnp.min(mag, axis=(1, 2), keepdims=True)
-    s_max = jnp.max(mag, axis=(1, 2), keepdims=True)
-    mag = (mag - s_min) / (s_max - s_min + 1e-10)
-
-    out_ref[:] = jnp.swapaxes(mag, 1, 2)  # [TB, F, W] freq-major
+    sq = re * re + im * im
+    mag = sq if power == 2.0 else jnp.sqrt(sq)
+    return mag.reshape(tb, n_frames, re.shape[-1])
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames", "batch_tile", "interpret"))
+def _kernel(*refs, n_fft, hop, n_frames, spec_width, mode, mag_scale,
+            sample_rate, quant):
+    """One batch tile through the full frontend epilogue.
+
+    refs: (wave, wc, ws, [fb], [dct], out). The epilogue applies the exact
+    spectrogram_batch (ops/spectrogram.py) behavior matrix — same helper
+    functions, same normalization placement — so interpreter-mode outputs
+    match the XLA composition.
+    """
+    wave_ref, wc_ref, ws_ref, *rest = refs
+    out_ref = rest[-1]
+    fb_ref = rest[0] if mode != "linear" else None
+    dct_ref = rest[1] if mode == "mfcc" else None
+    axes = (1, 2)
+
+    power = 2.0 if mode == "mfcc" else 1.0
+    S = _frame_and_mag(wave_ref, wc_ref, ws_ref, n_fft=n_fft, hop=hop,
+                       n_frames=n_frames, power=power)  # [tb, Wf, F]
+    tb = S.shape[0]
+    if fb_ref is not None:
+        # Mel matmul on the MXU while the tile is VMEM-resident (the
+        # firmware applies this per-frame on the M55, audio_mel.c:97-124).
+        S = jnp.dot(S.reshape(tb * n_frames, S.shape[-1]), fb_ref[:],
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        S = S.reshape(tb, n_frames, S.shape[-1])
+
+    S = jnp.swapaxes(S, 1, 2)  # [tb, bins, Wf] freq-major
+
+    if mode == "mfcc":
+        # power_to_db ref/top_db stats over the FULL frame count, DCT over
+        # the mel axis, then slice to spec_width (spectrogram_batch order).
+        ref = jnp.max(S, axis=axes, keepdims=True)
+        S = mag_ops.power_to_db(S, ref=ref, top_db=80.0, axis=axes)
+        S = jnp.swapaxes(S, 1, 2)  # [tb, Wf, M]
+        S = jnp.dot(S.reshape(tb * n_frames, S.shape[-1]), dct_ref[:],
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        S = S.reshape(tb, n_frames, S.shape[-1])
+        S = jnp.swapaxes(S, 1, 2)[:, :, :spec_width]
+    elif mode == "log_mel":
+        S = jnp.log1p(S)
+    elif mag_scale == "pcen":
+        S = mag_ops.pcen(S * (2.0**31), sr=sample_rate, hop_length=hop)
+    elif mag_scale == "pwl":
+        S = mag_ops.pwl_compress(mag_ops.normalize_minmax(S, axis=axes))
+    elif mag_scale == "db":
+        ref = jnp.max(S, axis=axes, keepdims=True)
+        S = mag_ops.amplitude_to_db(S, ref=ref, top_db=80.0, axis=axes)
+
+    S = mag_ops.normalize_minmax(S, axis=axes)
+
+    if quant is None:
+        out_ref[:] = S
+    else:
+        # int8-quantize epilogue: emit the INT8 executor's entry tensor in
+        # the entry-TRANSPOSE output orientation [tb, 1, W, bins], i.e. the
+        # graph's leading QUANTIZE -> TRANSPOSE pair collapses into this
+        # kernel (quant/tflite_import.py entry_transpose_perm semantics).
+        scale, zp = quant
+        # Same float ops as the executor's entry quantize (_round_away(x/s)
+        # + zp, quant/tflite_import.py) — a multiply by 1/scale would round
+        # differently in the last ULP and flip occasional int8 codes.
+        f = S / scale
+        q = jnp.sign(f) * jnp.floor(jnp.abs(f) + 0.5) + zp
+        q = jnp.clip(q, -128, 127).astype(jnp.int8)
+        out_ref[:] = jnp.swapaxes(q, 1, 2)[:, None, :, :]  # [tb, 1, W, bins]
+
+
+@partial(jax.jit, static_argnames=(
+    "mode", "mag_scale", "sample_rate", "n_fft", "mel_bins", "spec_width",
+    "n_mfcc", "quant", "batch_tile", "interpret", "hop", "n_frames"))
+def fused_spectrogram(
+    y: jax.Array,
+    mode: str = "linear",
+    mag_scale: str = "none",
+    sample_rate: int = 22050,
+    n_fft: int = 512,
+    mel_bins: int = 64,
+    spec_width: int = 256,
+    n_mfcc: int = 20,
+    quant: tuple[float, int] | None = None,
+    batch_tile: int = 8,
+    interpret: bool = False,
+    hop: int | None = None,
+    n_frames: int | None = None,
+) -> jax.Array:
+    """[B, T] waveforms -> frontend features, one fused VMEM-resident pass.
+
+    Equivalent to spectrogram_batch(...) for the same (mode, mag_scale)
+    with librosa centering and hop = T // spec_width. Returns
+    [B, bins, W] float32 (bins = n_fft//2+1, mel_bins, or n_mfcc), or —
+    with `quant=(scale, zero_point)` — the INT8 executor entry tensor
+    [B, 1, W, bins] int8 (entry QUANTIZE + TRANSPOSE folded in).
+
+    Requires 2*hop >= n_fft and B % batch_tile == 0 (callers pad the
+    batch); batch_tile must be a multiple of 8 (Mosaic sublane tiling).
+    """
+    if mode not in VALID_MODES:
+        raise ValueError(f"Invalid mode: {mode!r}")
+    B, T = y.shape
+    if hop is None:
+        hop = max(1, T // spec_width) if spec_width > 0 else n_fft // 2
+    if 2 * hop < n_fft:
+        raise ValueError(f"fused frontend requires 2*hop >= n_fft, got {hop=} {n_fft=}")
+    if B % batch_tile:
+        raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
+    F = n_fft // 2 + 1
+
+    # Frame count: mfcc stats (power_to_db ref/top_db) run over the FULL
+    # librosa frame count before slicing; other modes slice first
+    # (spectrogram_batch, ops/spectrogram.py:77-81).
+    n_frames_full = 1 + T // hop
+    if n_frames is None:
+        if mode == "mfcc" or spec_width <= 0:
+            n_frames = n_frames_full
+        else:
+            n_frames = min(spec_width, n_frames_full)
+    if mode == "mfcc" and spec_width > 0:
+        out_w = min(spec_width, n_frames)
+    else:
+        out_w = n_frames
+
+    if mode == "linear":
+        bins = F
+    elif mode == "mfcc":
+        bins = n_mfcc
+    else:
+        bins = mel_bins
+
+    # Center pad + tail pad once in XLA (cheap, fused into the input copy).
+    pad = n_fft // 2
+    need = (n_frames + 1) * hop
+    y = jnp.pad(y, ((0, 0), (pad, max(0, need - (T + pad)))))[:, :need]
+
+    wc, ws = dft_bases(n_fft)
+    operands = [y, jnp.asarray(wc), jnp.asarray(ws)]
+    in_specs = [
+        pl.BlockSpec((batch_tile, need), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fft, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fft, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if mode != "linear":
+        fb = mel_filterbank(sample_rate, n_fft, mel_bins, fmin=150.0,
+                            fmax=float(sample_rate // 2))
+        operands.append(jnp.asarray(fb))
+        in_specs.append(pl.BlockSpec((F, mel_bins), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if mode == "mfcc":
+        operands.append(jnp.asarray(dct_matrix(mel_bins, n_mfcc)))
+        in_specs.append(pl.BlockSpec((mel_bins, n_mfcc), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    if quant is None:
+        out_shape = jax.ShapeDtypeStruct((B, bins, out_w), jnp.float32)
+        out_specs = pl.BlockSpec((batch_tile, bins, out_w), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((B, 1, out_w, bins), jnp.int8)
+        out_specs = pl.BlockSpec((batch_tile, 1, out_w, bins),
+                                 lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_kernel, n_fft=n_fft, hop=hop, n_frames=n_frames,
+                spec_width=spec_width, mode=mode, mag_scale=mag_scale,
+                sample_rate=sample_rate, quant=quant),
+        out_shape=out_shape,
+        grid_spec=pl.GridSpec(grid=(B // batch_tile,), in_specs=in_specs,
+                              out_specs=out_specs),
+        interpret=interpret,
+    )(*operands)
+
+
 def fused_hybrid_frontend(
     y: jax.Array,
     n_fft: int,
@@ -60,47 +241,11 @@ def fused_hybrid_frontend(
 ) -> jax.Array:
     """[B, T] waveforms -> [B, n_fft//2+1, n_frames] normalized |STFT|.
 
-    Equivalent to spectrogram_batch(mode='linear', mag_scale='none') with
-    librosa centering, fused into one kernel. Requires 2*hop >= n_fft and
-    B % batch_tile == 0 (callers pad the batch); batch_tile must be a
-    multiple of 8 (Mosaic sublane tiling).
-
-    Args:
-        y: [B, T] float32 waveforms.
-        n_fft, hop, n_frames: STFT geometry (hop = T // n_frames upstream).
-        batch_tile: Waveforms per grid step (VMEM-bounded).
-        interpret: Run in interpreter mode (CPU tests).
+    Explicit-geometry wrapper over fused_spectrogram(mode='linear').
     """
-    if 2 * hop < n_fft:
-        raise ValueError(f"fused frontend requires 2*hop >= n_fft, got {hop=} {n_fft=}")
-    B, T = y.shape
-    if B % batch_tile:
-        raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
-    F = n_fft // 2 + 1
-
-    # Center pad + tail pad once in XLA (cheap, fused into the input copy).
-    pad = n_fft // 2
-    need = (n_frames + 1) * hop
-    y = jnp.pad(y, ((0, 0), (pad, max(0, need - (T + pad)))))[:, :need]
-
-    wc, ws = dft_bases(n_fft)
-    grid = (B // batch_tile,)
-    return pl.pallas_call(
-        partial(_kernel, n_fft=n_fft, hop=hop, n_frames=n_frames),
-        out_shape=jax.ShapeDtypeStruct((B, F, n_frames), jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((batch_tile, need), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_fft, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_fft, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((batch_tile, F, n_frames), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(y, jnp.asarray(wc), jnp.asarray(ws))
+    return fused_spectrogram(y, mode="linear", mag_scale="none", n_fft=n_fft,
+                             spec_width=n_frames, hop=hop, n_frames=n_frames,
+                             batch_tile=batch_tile, interpret=interpret)
 
 
 _PALLAS_OK: bool | None = None
@@ -119,41 +264,92 @@ def pallas_available() -> bool:
     if _PALLAS_OK is None:
         try:
             y = jnp.zeros((8, 2 * 516), jnp.float32)
-            fused_hybrid_frontend(y, 512, 258, 2, batch_tile=8).block_until_ready()
+            fused_spectrogram(y, mode="linear", n_fft=512, spec_width=2,
+                              batch_tile=8).block_until_ready()
             _PALLAS_OK = True
         except Exception as e:  # noqa: BLE001 — any Mosaic failure means fallback
             # Cached for the process lifetime: a compile failure won't heal,
             # and retrying a transient failure on every call would make the
             # serving path's latency unpredictable. Log what was swallowed
             # so a downgrade to the XLA path is diagnosable.
-            print(f"[pallas] Mosaic probe failed ({type(e).__name__}: {e}); "
-                  "using the XLA frontend composition")
+            from birdnet_stm32_tpu.utils.logging import warn
+
+            warn("pallas", f"Mosaic probe failed ({type(e).__name__}: {e}); "
+                 "using the XLA frontend composition")
             _PALLAS_OK = False
     return _PALLAS_OK
 
 
+def _kernel_geometry_ok(cfg, T: int) -> bool:
+    hop = max(1, T // cfg.spec_width)
+    return 2 * hop >= cfg.fft_length
+
+
+def frontend_input(y: jax.Array, cfg, batch_tile: int = 8,
+                   interpret: bool = False,
+                   quant: tuple[float, int] | None = None) -> jax.Array:
+    """[B, T] -> model input via the fused kernel for any spectrogram
+    frontend (hybrid / librosa / mfcc / log_mel), falling back to the XLA
+    composition (ops/frontend.inputs_for_config) when Mosaic is
+    unavailable, the geometry violates the kernel's 2*hop >= n_fft
+    precondition, or the frontend is 'raw' (no spectrogram to fuse).
+
+    Float output is [B, bins, W, 1]; with `quant` (hybrid/librosa only)
+    the INT8 executor entry tensor [B, 1, W, bins] int8 is produced
+    in-kernel (feed build_executor(pretransposed_input=True,
+    prequantized_input=True)).
+
+    Batches that don't divide into batch_tile are padded in and sliced
+    back out.
+    """
+    mode = {"hybrid": "linear", "librosa": "mel",
+            "mfcc": "mfcc", "log_mel": "log_mel"}.get(cfg.audio_frontend)
+    usable = (mode is not None and _kernel_geometry_ok(cfg, y.shape[1])
+              and (interpret or pallas_available()))
+    if not usable:
+        if quant is not None:
+            raise ValueError(
+                "in-kernel quantization has no XLA fallback here; callers "
+                "gate on pallas_available() and quantize via the executor")
+        from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+
+        return inputs_for_config(y, cfg)
+
+    mag_scale = cfg.mag_scale if mode == "mel" else "none"
+    B = y.shape[0]
+    padb = (-B) % batch_tile
+    if padb:
+        y = jnp.pad(y, ((0, padb), (0, 0)))
+    out = fused_spectrogram(
+        y, mode=mode, mag_scale=mag_scale, sample_rate=cfg.sample_rate,
+        n_fft=cfg.fft_length, mel_bins=cfg.num_mels, spec_width=cfg.spec_width,
+        n_mfcc=cfg.n_mfcc, quant=quant, batch_tile=batch_tile,
+        interpret=interpret)
+    if quant is not None:
+        return out[:B]
+    return out[:B, ..., None]
+
+
 def hybrid_frontend_input(y: jax.Array, cfg, batch_tile: int = 8,
                           interpret: bool = False) -> jax.Array:
-    """[B, T] -> [B, F, W, 1] hybrid model input via the fused kernel,
-    falling back to the XLA composition when Mosaic is unavailable, the
-    geometry violates the kernel's 2*hop >= n_fft precondition, or the
-    batch doesn't divide into batch_tile (the tail is padded in)."""
-    hop = max(1, y.shape[1] // cfg.spec_width)
-    n_frames = min(cfg.spec_width, 1 + y.shape[1] // hop)
-    if (2 * hop < cfg.fft_length or interpret is False and not pallas_available()):
-        # Same features the fused kernel computes — a linear |STFT| in the
-        # entry orientation — NOT inputs_for_config, which dispatches on
-        # cfg.audio_frontend and could return a different frontend's shape.
-        from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
-
-        S = spectrogram_batch(y, sample_rate=cfg.sample_rate, n_fft=cfg.fft_length,
-                              mel_bins=-1, spec_width=cfg.spec_width,
-                              mag_scale="none", mode="linear")
-        return S[..., None]
-    B = y.shape[0]
-    pad = (-B) % batch_tile
-    if pad:
-        y = jnp.pad(y, ((0, pad), (0, 0)))
-    out = fused_hybrid_frontend(y, cfg.fft_length, hop, n_frames,
+    """[B, T] -> [B, F, W, 1] hybrid model input via the fused kernel
+    (back-compat wrapper over frontend_input; the XLA fallback computes the
+    same linear |STFT| via spectrogram_batch)."""
+    if cfg.audio_frontend == "hybrid":
+        return frontend_input(y, cfg, batch_tile=batch_tile, interpret=interpret)
+    # Hybrid features regardless of cfg.audio_frontend (legacy semantics).
+    if _kernel_geometry_ok(cfg, y.shape[1]) and (interpret or pallas_available()):
+        B = y.shape[0]
+        padb = (-B) % batch_tile
+        if padb:
+            y = jnp.pad(y, ((0, padb), (0, 0)))
+        out = fused_spectrogram(y, mode="linear", n_fft=cfg.fft_length,
+                                spec_width=cfg.spec_width,
                                 batch_tile=batch_tile, interpret=interpret)
-    return out[:B, ..., None]
+        return out[:B, ..., None]
+    from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
+
+    S = spectrogram_batch(y, sample_rate=cfg.sample_rate, n_fft=cfg.fft_length,
+                          mel_bins=-1, spec_width=cfg.spec_width,
+                          mag_scale="none", mode="linear")
+    return S[..., None]

@@ -89,3 +89,130 @@ def test_hybrid_frontend_input_falls_back_on_small_hop(rng):
                                        spec_width=256, mag_scale="none",
                                        mode="linear"))[..., None]
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+# --- Full-epilogue kernel (round 2): mel + mag-scale + mfcc + int8 entry ----
+
+EPILOGUE_COMBOS = [
+    ("linear", "none"),
+    ("mel", "none"),
+    ("mel", "pwl"),
+    ("mel", "pcen"),
+    ("mel", "db"),
+    ("log_mel", "none"),
+    ("mfcc", "none"),
+]
+
+
+@pytest.mark.parametrize("mode,mag", EPILOGUE_COMBOS)
+def test_fused_epilogue_matches_xla(rng, mode, mag):
+    """Every mode x mag_scale the export matrix produces, computed fully
+    in-kernel, matches spectrogram_batch (the golden-tested XLA path)."""
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import fused_spectrogram
+
+    B, T, sr = 8, 8000, 8000
+    n_fft, W, M = 256, 32, 32
+    y = jnp.asarray(rng.normal(0, 0.5, (B, T)).astype(np.float32))
+    ref = np.asarray(spectrogram_batch(
+        y, sample_rate=sr, n_fft=n_fft,
+        mel_bins=(-1 if mode == "linear" else M), spec_width=W,
+        mag_scale=mag, mode=mode, n_mfcc=13))
+    got = np.asarray(fused_spectrogram(
+        y, mode=mode, mag_scale=mag, sample_rate=sr, n_fft=n_fft,
+        mel_bins=M, spec_width=W, n_mfcc=13, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("frontend", ["hybrid", "librosa", "mfcc", "log_mel"])
+def test_frontend_input_matches_inputs_for_config(rng, frontend):
+    """The general fused dispatch produces the same model input as the XLA
+    composition for every spectrogram frontend."""
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import frontend_input
+
+    cfg = ModelConfig(sample_rate=8000, num_mels=32, spec_width=32,
+                      fft_length=256, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=2, class_names=["a", "b"],
+                      audio_frontend=frontend, mag_scale="pwl", n_mfcc=13)
+    y = jnp.asarray(rng.normal(0, 0.5, (6, cfg.chunk_samples)).astype(np.float32))
+    got = np.asarray(frontend_input(y, cfg, interpret=True))
+    ref = np.asarray(inputs_for_config(y, cfg))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_frontend_input_raw_falls_back(rng):
+    """raw has no spectrogram to fuse: the dispatch must return the XLA
+    path's peak-normalized waveform."""
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import frontend_input
+
+    cfg = ModelConfig(sample_rate=8000, num_mels=32, spec_width=32,
+                      fft_length=256, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=2, class_names=["a", "b"],
+                      audio_frontend="raw", mag_scale="none")
+    y = jnp.asarray(rng.normal(0, 0.5, (4, cfg.chunk_samples)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(frontend_input(y, cfg, interpret=True)),
+                                  np.asarray(inputs_for_config(y, cfg)))
+
+
+def test_fused_int8_entry_epilogue(rng):
+    """quant=(scale, zp) emits the executor entry tensor: the kernel's own
+    float output quantized with the executor's exact formula, in the entry
+    TRANSPOSE orientation [B, 1, W, bins]."""
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import fused_spectrogram
+
+    B, T = 8, 8000
+    n_fft, W = 256, 32
+    scale, zp = 1.0 / 255.0, -128
+    y = jnp.asarray(rng.normal(0, 0.5, (B, T)).astype(np.float32))
+    f32 = np.asarray(fused_spectrogram(y, mode="linear", n_fft=n_fft,
+                                       spec_width=W, interpret=True))
+    got = np.asarray(fused_spectrogram(y, mode="linear", n_fft=n_fft,
+                                       spec_width=W, quant=(scale, zp),
+                                       interpret=True))
+    assert got.shape == (B, 1, W, n_fft // 2 + 1)
+    assert got.dtype == np.int8
+    v = (f32 / np.float32(scale)).astype(np.float32)
+    q = np.clip(np.sign(v) * np.floor(np.abs(v) + 0.5) + zp, -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got, np.transpose(q, (0, 2, 1))[:, None, :, :])
+
+
+@pytest.mark.slow
+@pytest.mark.integration
+def test_serving_pallas_int8_entry_path(tmp_path, rng):
+    """make_fused_classifier(pallas_mode='interpret') routes the INT8
+    executor through the kernel's fused int8-quantize entry (prequantized
+    executor) and matches the XLA path bit-for-bit."""
+    import jax
+
+    from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import TFLiteSimRunner
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+
+    cfg = ModelConfig(sample_rate=8000, num_mels=32, spec_width=32,
+                      fft_length=256, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=4, class_names=list("abcd"), alpha=0.25,
+                      audio_frontend="hybrid", mag_scale="pwl")
+    model = build_dscnn(cfg, class_activation="softmax")
+    v = init_model(model, cfg, jax.random.key(0))
+    calib = np.random.default_rng(0).uniform(
+        0, 1, (8, *cfg.input_shape())).astype(np.float32)
+    path = tmp_path / "m.tflite"
+    path.write_bytes(convert_to_tflite(v, cfg, calib, quantize="int8"))
+
+    runner = TFLiteSimRunner(str(path))
+    wave = rng.normal(0, 0.5, (8, cfg.chunk_samples)).astype(np.float32)
+    off = make_fused_classifier(runner, cfg, pallas_mode="off")(wave)
+    on = make_fused_classifier(runner, cfg, pallas_mode="interpret")(wave)
+    np.testing.assert_array_equal(off, on)
+
+    # Float runner: kernel features == XLA features within tolerance.
+    from birdnet_stm32_tpu.models.runners import FlaxRunner
+
+    fr = FlaxRunner(model, v, cfg)
+    f_off = make_fused_classifier(fr, cfg, pallas_mode="off")(wave)
+    f_on = make_fused_classifier(fr, cfg, pallas_mode="interpret")(wave)
+    np.testing.assert_allclose(f_on, f_off, atol=5e-5)

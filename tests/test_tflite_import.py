@@ -114,3 +114,48 @@ def test_pretransposed_input_bit_equal(tmp_path):
         g2 = copy.copy(g)
         g2.ops = g.ops[2:]
         build_executor(g2, batch_size=1, pretransposed_input=True)
+
+
+def test_prequantized_input_bit_equal():
+    """build_executor(prequantized_input=True) consumes the int8 entry
+    tensor a producer quantized with entry_quant_params: bit-equal to the
+    standard float path, and end-to-end bit-equal when that producer is
+    the fused Pallas frontend's int8-quantize epilogue (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import fused_spectrogram
+    from birdnet_stm32_tpu.quant.tflite_import import (
+        TFLiteGraph,
+        build_executor,
+        entry_quant_params,
+        entry_transpose_perm,
+    )
+
+    g = TFLiteGraph(TFLITE)
+    scale, zp = entry_quant_params(g)
+    perm = entry_transpose_perm(g)
+    cfg = ModelConfig.load(
+        "/root/reference/checkpoints/birdnet_stm32n6_100_model_config.json")
+
+    rng = np.random.default_rng(3)
+    wave = jnp.asarray(rng.normal(size=(8, cfg.chunk_samples)).astype(np.float32))
+    f32 = np.asarray(fused_spectrogram(
+        wave, mode="linear", n_fft=cfg.fft_length, spec_width=cfg.spec_width,
+        interpret=True))[..., None]  # [B, F, W, 1] model-input layout
+    q_entry = np.asarray(fused_spectrogram(
+        wave, mode="linear", n_fft=cfg.fft_length, spec_width=cfg.spec_width,
+        quant=(scale, zp), interpret=True))  # [B, 1, W, F] int8
+
+    std = np.asarray(jax.jit(build_executor(g, batch_size=8))(jnp.asarray(f32)))
+    pre = np.asarray(jax.jit(build_executor(g, batch_size=8, prequantized_input=True))(
+        jnp.asarray(q_entry)))
+    np.testing.assert_array_equal(std, pre)
+
+    # The producer must quantize with exactly the executor's formula: the
+    # kernel epilogue == quantize(transpose(float features)).
+    v = (np.transpose(f32, perm) / np.float32(scale)).astype(np.float32)
+    manual = np.clip(np.sign(v) * np.floor(np.abs(v) + 0.5) + zp,
+                     -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(q_entry, manual)
