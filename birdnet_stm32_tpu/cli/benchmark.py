@@ -43,6 +43,11 @@ def get_args(argv=None):
                    help="decode at each file's native rate and resample on "
                         "device inside the fused dispatch (skips host "
                         "resampling, ~30-40%% of host decode cost)")
+    p.add_argument("--cache_dir", default=None,
+                   help="decoded-waveform cache directory (audio/io."
+                        "cached_waveform): the first pass decodes each file "
+                        "once, later passes serve memmap slices — the "
+                        "pre-staged bulk-serving configuration")
     return p.parse_args(argv)
 
 
@@ -82,7 +87,8 @@ def _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample):
 
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
                   overlap=0.0, csv_path=None, score_threshold=0.0,
-                  timeout=None, device_resample=False) -> dict:
+                  timeout=None, device_resample=False,
+                  cache_dir=None) -> dict:
     """Drive the batched inference loop and print the [BENCH] protocol.
 
     With device_resample=True, files are decoded at their native sample
@@ -122,7 +128,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         # board-test loop processes every chunk). One probe + one decode.
         chunks, src_rate, dur_s, read_ms = decode_for_classify(
             path, cfg, overlap, max_duration=None,
-            device_resample=device_resample)
+            device_resample=device_resample, cache_dir=cache_dir)
         if chunks.shape[0] == 0:
             print(f"file: {Path(path).name}  SKIP (no audio)")
             continue
@@ -177,7 +183,8 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
 def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
                             batch_size=64, overlap=0.0, csv_path=None,
                             score_threshold=0.0, decode_workers=4,
-                            max_outstanding=16, device_resample=False) -> dict:
+                            max_outstanding=16, device_resample=False,
+                            cache_dir=None) -> dict:
     """Pipelined serving driver: threaded decode overlapped with async
     device dispatch.
 
@@ -203,7 +210,8 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
 
     def decode(path):
         return decode_for_classify(path, cfg, overlap, max_duration=None,
-                                   device_resample=device_resample)
+                                   device_resample=device_resample,
+                                   cache_dir=cache_dir)
 
     print(f"[info] pipelined serving: {decode_workers} decode threads, "
           f"<= {max_outstanding} device batches in flight")
@@ -359,12 +367,14 @@ def main(argv=None) -> int:
                 runner, cfg, classes, files, top_k=args.top_k,
                 batch_size=args.batch_size, overlap=args.chunk_overlap,
                 csv_path=args.csv, decode_workers=args.pipeline,
-                device_resample=args.device_resample)
+                device_resample=args.device_resample,
+                cache_dir=args.cache_dir)
     else:
         def drive():
             run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
                           batch_size=args.batch_size, overlap=args.chunk_overlap,
-                          csv_path=args.csv, device_resample=args.device_resample)
+                          csv_path=args.csv, device_resample=args.device_resample,
+                          cache_dir=args.cache_dir)
 
     if args.trace_dir:
         import jax
