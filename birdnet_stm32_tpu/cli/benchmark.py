@@ -43,6 +43,12 @@ def get_args(argv=None):
                    help="decode at each file's native rate and resample on "
                         "device inside the fused dispatch (skips host "
                         "resampling, ~30-40%% of host decode cost)")
+    p.add_argument("--int16_io", action="store_true",
+                   help="ship waveforms to the device as int16 PCM codes "
+                        "and dequantize on device: halves the host->device "
+                        "stream (13.7 GB/s of float32 at the measured "
+                        "device rate); one PCM16 LSB (~3e-5) of waveform "
+                        "error, far inside every serving gate")
     p.add_argument("--cache_dir", default=None,
                    help="decoded-waveform cache directory (audio/io."
                         "cached_waveform): the first pass decodes each file "
@@ -51,18 +57,19 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def _warmup(classify, n_samples, batch_size) -> None:
+def _warmup(classify, n_samples, batch_size, dtype=np.float32) -> None:
     """One dummy dispatch before the clock starts: compile + executable
     load (7-130 s through a tunnel, docs/troubleshooting.md) are one-time
     process costs a serving deployment pays once, not per-file work."""
     t0 = time.perf_counter()
-    np.asarray(classify(np.zeros((batch_size, n_samples), np.float32)))
+    np.asarray(classify(np.zeros((batch_size, n_samples), dtype)))
     dt = time.perf_counter() - t0
     if dt > 1.0:
         print(f"[info] warmup {dt:.1f} s (compile/load, excluded from timings)")
 
 
-def _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample):
+def _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample,
+                      dtype=np.float32):
     """Warm every classifier the run will need BEFORE the clock starts.
 
     With --device_resample one classifier compiles per distinct source
@@ -82,13 +89,13 @@ def _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample):
             except Exception:
                 pass
     for r in sorted(rates):
-        _warmup(classifier_for(r), int(r * cfg.chunk_duration), batch_size)
+        _warmup(classifier_for(r), int(r * cfg.chunk_duration), batch_size, dtype)
 
 
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
                   overlap=0.0, csv_path=None, score_threshold=0.0,
                   timeout=None, device_resample=False,
-                  cache_dir=None) -> dict:
+                  cache_dir=None, int16_io=False) -> dict:
     """Drive the batched inference loop and print the [BENCH] protocol.
 
     With device_resample=True, files are decoded at their native sample
@@ -103,11 +110,13 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         top_predictions,
     )
 
-    classifier_for = make_classifier_cache(runner, cfg, verbose=True)
+    classifier_for = make_classifier_cache(
+        runner, cfg, verbose=True, input_dtype="int16" if int16_io else None)
 
     print("[info] frontend+model fused into one device dispatch; "
           "[BENCH] 'model' covers both, 'frontend' reads 0.0")
-    _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample)
+    _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample,
+                      np.int16 if int16_io else np.float32)
 
     per_file_rows = []
     t_read = t_frontend = t_model = 0.0
@@ -133,6 +142,10 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
             print(f"file: {Path(path).name}  SKIP (no audio)")
             continue
         classify = classifier_for(src_rate)
+        if int16_io:
+            from birdnet_stm32_tpu.models.serving import quantize_waveform_int16
+
+            chunks = quantize_waveform_int16(chunks)
         fe_s = 0.0
         scores, mdl_s = classify_in_batches(classify, chunks, batch_size)
         total_chunks += len(chunks)
@@ -184,7 +197,7 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
                             batch_size=64, overlap=0.0, csv_path=None,
                             score_threshold=0.0, decode_workers=4,
                             max_outstanding=16, device_resample=False,
-                            cache_dir=None) -> dict:
+                            cache_dir=None, int16_io=False) -> dict:
     """Pipelined serving driver: threaded decode overlapped with async
     device dispatch.
 
@@ -206,17 +219,24 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
         top_predictions,
     )
 
-    classifier_for = make_classifier_cache(runner, cfg, as_numpy=False)
+    classifier_for = make_classifier_cache(
+        runner, cfg, as_numpy=False, input_dtype="int16" if int16_io else None)
 
     def decode(path):
-        return decode_for_classify(path, cfg, overlap, max_duration=None,
-                                   device_resample=device_resample,
-                                   cache_dir=cache_dir)
+        chunks, src_rate, dur_s, read_ms = decode_for_classify(
+            path, cfg, overlap, max_duration=None,
+            device_resample=device_resample, cache_dir=cache_dir)
+        if int16_io and chunks.size:
+            from birdnet_stm32_tpu.models.serving import quantize_waveform_int16
+
+            chunks = quantize_waveform_int16(chunks)  # in the decode thread
+        return chunks, src_rate, dur_s, read_ms
 
     print(f"[info] pipelined serving: {decode_workers} decode threads, "
           f"<= {max_outstanding} device batches in flight")
     _warmup_all_rates(lambda r: (lambda w: np.asarray(classifier_for(r)(w))),
-                      cfg, batch_size, files, device_resample)
+                      cfg, batch_size, files, device_resample,
+                      np.int16 if int16_io else np.float32)
 
     per_file_rows = []
     total_chunks = 0
@@ -368,13 +388,13 @@ def main(argv=None) -> int:
                 batch_size=args.batch_size, overlap=args.chunk_overlap,
                 csv_path=args.csv, decode_workers=args.pipeline,
                 device_resample=args.device_resample,
-                cache_dir=args.cache_dir)
+                cache_dir=args.cache_dir, int16_io=args.int16_io)
     else:
         def drive():
             run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
                           batch_size=args.batch_size, overlap=args.chunk_overlap,
                           csv_path=args.csv, device_resample=args.device_resample,
-                          cache_dir=args.cache_dir)
+                          cache_dir=args.cache_dir, int16_io=args.int16_io)
 
     if args.trace_dir:
         import jax

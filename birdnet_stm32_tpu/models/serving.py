@@ -19,10 +19,23 @@ import jax.numpy as jnp
 from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 
+def quantize_waveform_int16(wave: np.ndarray) -> np.ndarray:
+    """[-1, 1] float waveforms -> int16 codes for half-bandwidth shipping
+    (make_fused_classifier(input_dtype='int16') dequantizes on device).
+
+    At the device's measured 51.6k chunks/s, float32 3-s/22.05 kHz
+    waveforms are a 13.7 GB/s host->device stream — int16 halves that on
+    any link (and quadruples throughput on the ~20 MB/s tunnel). Error is
+    one PCM16 LSB (~3e-5), far inside every serving gate.
+    """
+    return np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+
+
 def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
                           as_numpy: bool = True,
                           stft_precision: str | None = None,
-                          pallas_mode: str = "auto"):
+                          pallas_mode: str = "auto",
+                          input_dtype: str | None = None):
     """waveform batch [B, T] -> scores [B, C], fused when possible.
 
     Falls back to frontend-then-predict for non-jittable runners (the
@@ -52,12 +65,19 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
             feeds the integer graph directly (prequantized_input). 'off'
             forces the XLA composition; 'interpret' runs the kernel in
             interpreter mode (validation/tests only — slow).
+        input_dtype: 'int16' accepts quantize_waveform_int16 codes and
+            dequantizes on device inside the same dispatch — halves the
+            host->device waveform stream (13.7 GB/s of float32 at the
+            device's measured rate). None = float32 waveforms.
     """
     if stft_precision is None:
         stft_precision = ("high" if getattr(runner, "dtype", None) is not None
                           else "highest")
     if pallas_mode not in ("auto", "off", "interpret"):
         raise ValueError(f"Invalid pallas_mode: {pallas_mode!r}")
+    if input_dtype not in (None, "float32", "int16"):
+        raise ValueError(f"Invalid input_dtype: {input_dtype!r}")
+    _dequant_in = input_dtype == "int16"
 
     from birdnet_stm32_tpu.ops.pallas.frontend_kernel import (
         frontend_input,
@@ -75,9 +95,13 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
         from birdnet_stm32_tpu.ops.resample import resample_chunk_batch
 
         def _wave(wave):
+            if _dequant_in:
+                wave = wave.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
             return resample_chunk_batch(wave, input_sample_rate, cfg)
     else:
         def _wave(wave):
+            if _dequant_in:
+                wave = wave.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
             return wave
 
     def _inputs(wave, cfg=cfg):
@@ -279,7 +303,8 @@ def top_predictions(pooled: np.ndarray, top_k: int, score_threshold: float) -> l
             if rank == 0 or pooled[i] >= score_threshold]
 
 
-def make_classifier_cache(runner, cfg, as_numpy: bool = True, verbose: bool = False):
+def make_classifier_cache(runner, cfg, as_numpy: bool = True, verbose: bool = False,
+                          input_dtype: str | None = None):
     """classifier_for(rate) -> fused classifier, compiled once per distinct
     source sample rate (shared by the serve and benchmark drivers; rates
     equal to cfg.sample_rate skip the on-device resampler)."""
@@ -291,7 +316,8 @@ def make_classifier_cache(runner, cfg, as_numpy: bool = True, verbose: bool = Fa
                 print(f"[info] compiling device-resample classifier for {rate} Hz input")
             cache[rate] = make_fused_classifier(
                 runner, cfg, as_numpy=as_numpy,
-                input_sample_rate=rate if rate != cfg.sample_rate else None)
+                input_sample_rate=rate if rate != cfg.sample_rate else None,
+                input_dtype=input_dtype)
         return cache[rate]
 
     return classifier_for

@@ -222,3 +222,39 @@ def test_tri_mel_matrix_golden():
             ours = np.asarray(tri_mel_matrix(jax.numpy.asarray(logits), sr, n_fft, M))
             ref = numpy_twin(logits.astype(np.float64), sr, n_fft, M)
             np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_int16_io_serving_parity(rng):
+    """make_fused_classifier(input_dtype='int16') consumes
+    quantize_waveform_int16 codes and matches float32 serving within the
+    one-LSB waveform quantization error."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner
+    from birdnet_stm32_tpu.models.serving import (
+        make_fused_classifier,
+        quantize_waveform_int16,
+    )
+
+    cfg = ModelConfig(sample_rate=8000, num_mels=32, spec_width=32,
+                      fft_length=256, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=4, class_names=list("abcd"), alpha=0.25,
+                      audio_frontend="hybrid", mag_scale="pwl")
+    model = build_dscnn(cfg, class_activation="softmax")
+    v = init_model(model, cfg, jax.random.key(0))
+    runner = FlaxRunner(model, v, cfg)
+
+    wave = rng.normal(0, 0.4, (4, cfg.chunk_samples)).astype(np.float32)
+    wave = wave / (np.abs(wave).max() + 1e-6)  # [-1, 1] like the decode path
+    f32 = make_fused_classifier(runner, cfg)(wave)
+    q = quantize_waveform_int16(wave)
+    assert q.dtype == np.int16
+    i16 = make_fused_classifier(runner, cfg, input_dtype="int16")(q)
+    np.testing.assert_allclose(i16, f32, atol=2e-3)
+    cos = np.sum(i16 * f32) / (np.linalg.norm(i16) * np.linalg.norm(f32))
+    assert cos > 0.99999
+
+    with pytest.raises(ValueError, match="input_dtype"):
+        make_fused_classifier(runner, cfg, input_dtype="int8")
