@@ -49,8 +49,109 @@ def generate_fixtures(out_dir: str | Path, sample_rate: int = 22050,
     return out_dir
 
 
+# --- Hard benchmark (round 2) ------------------------------------------------
+#
+# The 3-class sine/chirp/noise set saturates every metric at 1.0 (VERDICT r1:
+# "evaluation quality is only exercised at saturation"). The hard set makes
+# cmAP/threshold-opt/bootstrap machinery actually discriminate:
+#   - six CONFUSABLE classes sharing one frequency band, separated only by
+#     sweep direction, AM rate, or modulation shape;
+#   - an SNR SWEEP from clean (+15 dB) to buried (-10 dB);
+#   - OVERLAPPING vocalizations: test samples may carry a quieter distractor
+#     call from another class on top of the labeled one.
+
+HARD_CLASSES = ("up_slow", "up_fast_am", "down_slow", "trill", "two_tone", "warble")
+
+
+def _hard_call(cls: str, t: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """One vocalization of the given class, ~60% of the window, in [-1, 1]."""
+    dur = t[-1] - t[0]
+    jitter = rng.uniform(0.95, 1.05)
+    f_lo, f_hi = 2000.0 * jitter, 3400.0 * jitter
+    if cls == "up_slow":
+        phase = f_lo * t + (f_hi - f_lo) / (2 * dur) * t**2
+        am = 0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t)
+    elif cls == "up_fast_am":  # same sweep as up_slow, different AM rate
+        phase = f_lo * t + (f_hi - f_lo) / (2 * dur) * t**2
+        am = 0.6 + 0.4 * np.sin(2 * np.pi * 11.0 * t)
+    elif cls == "down_slow":   # up_slow reversed
+        phase = f_hi * t - (f_hi - f_lo) / (2 * dur) * t**2
+        am = 0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t)
+    elif cls == "trill":       # rapid on/off bursts inside the same band
+        phase = (f_lo + f_hi) / 2 * t
+        am = (np.sin(2 * np.pi * 16.0 * t) > 0).astype(np.float64)
+    elif cls == "two_tone":    # alternating tones at the band edges
+        sel = (np.sin(2 * np.pi * 5.0 * t) > 0)
+        phase = np.cumsum(np.where(sel, f_lo, f_hi)) * (t[1] - t[0])
+        am = 1.0
+    else:  # warble: narrowband vibrato around the band center
+        phase = np.cumsum((f_lo + f_hi) / 2
+                          + 180.0 * np.sin(2 * np.pi * 6.0 * t)) * (t[1] - t[0])
+        am = 1.0
+    call = np.sin(2 * np.pi * phase) * am
+    # Place the call in a ~60% sub-window, fade edges.
+    n = len(t)
+    width = int(0.6 * n)
+    start = rng.integers(0, n - width)
+    env = np.zeros(n)
+    ramp = max(1, width // 10)
+    env[start : start + width] = 1.0
+    env[start : start + ramp] = np.linspace(0, 1, ramp)
+    env[start + width - ramp : start + width] = np.linspace(1, 0, ramp)
+    return call * env
+
+
+def generate_hard_fixtures(out_dir: str | Path, sample_rate: int = 8000,
+                           duration: float = 1.0, seed: int = 7,
+                           train_per_class: int = 16,
+                           test_per_class: int = 10) -> Path:
+    """Build the non-saturating benchmark dataset (train/test x 6 classes
+    + noise). Test files sweep SNR {-10,-5,0,5,15} dB and half carry an
+    overlapping distractor call 6 dB below the labeled one."""
+    from birdnet_stm32_tpu.audio.io import save_wav
+
+    out_dir = Path(out_dir)
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sample_rate * duration)) / sample_rate
+    snrs_test = (-10.0, -5.0, 0.0, 5.0, 15.0)
+
+    def sample(cls, snr_db, distract: str | None):
+        sig = _hard_call(cls, t, rng)
+        if distract is not None:
+            sig = sig + 0.5 * _hard_call(distract, t, rng)  # -6 dB distractor
+        noise = rng.normal(0.0, 1.0, len(t))
+        sig_p = np.mean(sig**2) + 1e-12
+        noise = noise * np.sqrt(sig_p / (10.0 ** (snr_db / 10.0)))
+        y = sig + noise
+        return (0.9 * y / (np.abs(y).max() + 1e-9)).astype(np.float32)
+
+    for split, n in (("train", train_per_class), ("test", test_per_class)):
+        for ci, cls in enumerate(HARD_CLASSES):
+            d = out_dir / split / cls
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                if split == "train":
+                    snr = float(rng.uniform(-5.0, 15.0))
+                    distract = None
+                else:
+                    snr = snrs_test[i % len(snrs_test)]
+                    others = [c for c in HARD_CLASSES if c != cls]
+                    distract = others[i % len(others)] if i % 2 else None
+                save_wav(sample(cls, snr, distract),
+                         d / f"{cls}_{i:02d}_snr{int(snr):+03d}.wav", sample_rate)
+        d = out_dir / split / "noise"
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(max(2, n // 2)):
+            y = rng.normal(0.0, 0.3, len(t)).astype(np.float32)
+            save_wav(y, d / f"noise_{i:02d}.wav", sample_rate)
+    return out_dir
+
+
 if __name__ == "__main__":
     # Script mode puts tests/fixtures/ on sys.path, not the repo root.
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     dest = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).parent / "data")
-    print(f"fixtures written to {generate_fixtures(dest)}")
+    if len(sys.argv) > 2 and sys.argv[2] == "hard":
+        print(f"hard fixtures written to {generate_hard_fixtures(dest)}")
+    else:
+        print(f"fixtures written to {generate_fixtures(dest)}")
