@@ -1,0 +1,127 @@
+"""Accuracy table on the hard synthetic benchmark: float32 vs INT8 vs QAT.
+
+Trains a small model on the hard fixture set (six confusable same-band
+classes, SNR sweep to -10 dB, overlapping distractors —
+tests/fixtures/generate_fixtures.generate_hard_fixtures), PTQ-converts it,
+QAT-finetunes it, and evaluates all three artifacts on the held-out split.
+Prints one JSON line per artifact; the tracked table lives in
+docs/evaluation.md. Unlike the 3-class fixture set, metrics here sit
+meaningfully below 1.0, so regressions in the frontend, training, or
+quantization move them.
+
+Usage: JAX_PLATFORMS=cpu python scripts/bench_accuracy.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_birdnet_tpu")
+
+
+def main() -> None:
+    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="hard_bench_"))
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+    from fixtures.generate_fixtures import generate_hard_fixtures
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
+    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
+    from birdnet_stm32_tpu.data.pipeline import AudioLoader, make_train_batcher
+    from birdnet_stm32_tpu.data.worker import LoaderConfig
+    from birdnet_stm32_tpu.evaluation.metrics import evaluate
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner, TFLiteSimRunner
+    from birdnet_stm32_tpu.ops.frontend import inputs_for_config
+    from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
+    from birdnet_stm32_tpu.training.trainer import train_model
+
+    data = generate_hard_fixtures(out_dir / "data", train_per_class=24,
+                                  test_per_class=10)
+    train_files, names, classes = load_file_paths_from_directory(str(data / "train"))
+    idx = {c: i for i, c in enumerate(classes)}
+    labels = np.zeros((len(train_files), len(classes)), np.float32)
+    for r, n in enumerate(names):
+        if n in idx:
+            labels[r, idx[n]] = 1.0
+
+    cfg = ModelConfig(
+        sample_rate=8000, num_mels=32, spec_width=32, fft_length=256,
+        chunk_duration=1.0, embeddings_size=32, num_classes=len(classes),
+        class_names=list(classes), alpha=0.5, audio_frontend="hybrid",
+        mag_scale="pwl", frontend_trainable=True)
+    lcfg = LoaderConfig(sample_rate=cfg.sample_rate, chunk_duration=cfg.chunk_duration,
+                        num_classes=len(classes), max_chunks_per_file=1,
+                        snr_threshold=0.0, random_offset=False, seed=0)
+
+    def make_loader(**kw):
+        return AudioLoader(paths=train_files, labels=labels, cfg=lcfg,
+                           batch_size=32, num_workers=4, **kw)
+
+    val_set = list(make_loader(shuffle=False, infinite=False))
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg, jax.random.key(0))
+    run_dir = out_dir / "run"
+    train_model(model, variables, cfg,
+                train_batches=iter(make_loader(shuffle=True, infinite=True)),
+                val_batches=lambda: val_set, run_dir=run_dir,
+                epochs=12, steps_per_epoch=16, learning_rate=3e-3,
+                patience=100, multilabel=True, seed=0,
+                batcher=make_train_batcher(cfg, mixup_alpha=0.0, spec_augment=False))
+    model_f, vars_f, _ = load_checkpoint(run_dir, class_activation="sigmoid")
+
+    test_files, _, _ = load_file_paths_from_directory(str(data / "test"),
+                                                      classes=list(classes))
+
+    def report(tag, runner):
+        m, _, _, _ = evaluate(runner, test_files, list(classes), cfg, batch_size=32)
+        print(json.dumps({"artifact": tag, "cmAP": round(m["cmAP"], 4),
+                          "roc_auc": round(m["roc-auc"], 4),
+                          "mAP": round(m.get("mAP", float("nan")), 4),
+                          "f1": round(m["f1"], 4)}), flush=True)
+        return m
+
+    report("float32", FlaxRunner(model_f, vars_f, cfg))
+
+    # PTQ: calibration from real train-file features (production policy).
+    rng = np.random.default_rng(0)
+    calib_files = [train_files[i] for i in rng.choice(len(train_files), 24, replace=False)]
+    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
+
+    calib = np.concatenate([
+        np.asarray(inputs_for_config(chunks_for_file(f, cfg)[:1], cfg))
+        for f in calib_files])
+    tfl = out_dir / "model_int8.tflite"
+    tfl.write_bytes(convert_to_tflite({"params": vars_f["params"],
+                                       "batch_stats": vars_f.get("batch_stats", {})},
+                                      cfg, calib, quantize="int8",
+                                      class_activation="sigmoid"))
+    report("int8_ptq", TFLiteSimRunner(str(tfl)))
+
+    # QAT: short STE fine-tune from the float checkpoint, then re-convert.
+    qat_dir = out_dir / "qat"
+    model_q = build_dscnn(cfg, class_activation="none")
+    train_model(model_q, vars_f, cfg,
+                train_batches=iter(make_loader(shuffle=True, infinite=True)),
+                val_batches=lambda: val_set, run_dir=qat_dir,
+                epochs=4, steps_per_epoch=16, learning_rate=3e-4,
+                patience=100, multilabel=True, seed=1, qat=True,
+                batcher=make_train_batcher(cfg, mixup_alpha=0.0, spec_augment=False))
+    _, vars_q, _ = load_checkpoint(qat_dir, class_activation="sigmoid")
+    tfl_q = out_dir / "model_qat.tflite"
+    tfl_q.write_bytes(convert_to_tflite(vars_q, cfg, calib, quantize="int8",
+                                        class_activation="sigmoid"))
+    report("int8_qat", TFLiteSimRunner(str(tfl_q)))
+
+
+if __name__ == "__main__":
+    main()
