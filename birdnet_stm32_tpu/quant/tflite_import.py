@@ -356,6 +356,100 @@ def _mbqm_host(x: np.ndarray, qm: int, shift: int) -> np.ndarray:
     return ((x << left) * qm + K) >> (31 + right)
 
 
+def _mbqm_host_vec(x: np.ndarray, qm: np.ndarray, shift: np.ndarray):
+    """_mbqm_host with per-element qm/shift (broadcasting), int64 host math."""
+    x = np.asarray(x, np.int64)
+    qm = np.asarray(qm, np.int64)
+    shift = np.asarray(shift, np.int64)
+    left = np.maximum(shift, 0)
+    right = np.maximum(-shift, 0)
+    K = (np.int64(1) << 30) + np.where(right > 0, np.int64(1) << (30 + right), 0)
+    return ((x << left) * qm + K) >> (31 + right)
+
+
+def _mbqm_small(x, qm_np: np.ndarray, shift_np: np.ndarray):
+    """Exact MBQM for |x| <= 2^15 — 2 multiplies, ~7 VPU ops.
+
+    The folded floor form is floor((x*qm + K) / 2^(31+right)) with
+    K = 2^30 + (2^(30+right) if right else 0) (see _mbqm_limbs). For small
+    x the full product fits 47 bits, so a single 16-bit split of qm
+    (qm = b_hi*2^16 + b_lo) and the nested-floor identity
+    floor(P/2^(31+right)) = floor(floor(P/2^16) / 2^(15+right)) give
+
+        floor(P/2^16)  = x*b_hi + ((x*b_lo) >>arith 16) + (K >> 16)
+        result         = that >>arith (15 + right)
+
+    (2^30 is a multiple of 2^16, so its floor term is exact; x*b_lo fits
+    int32 for |x| <= 2^15.) The trailing rounding-divide addend
+    2^(30+right) is applied AFTER the >>31 as 2^(right-1) — a multiple of
+    2^31 divides out exactly for right >= 1 — so no term ever depends on
+    right and any 0 <= right <= 31 is admissible. Preconditions checked
+    by _mbqm_bounded: |x| <= 2^15, no left shift.
+    """
+    qm_np = np.atleast_1d(np.asarray(qm_np, np.int64))
+    right = np.maximum(-np.atleast_1d(np.asarray(shift_np, np.int64)), 0)
+    b_hi = jnp.asarray((qm_np >> 16).astype(np.int32))
+    b_lo = jnp.asarray((qm_np & 0xFFFF).astype(np.int32))
+    rk = jnp.asarray(np.where(right > 0, np.int64(1) << (right - 1), 0)
+                     .astype(np.int32))
+    s31 = (x * b_hi + ((x * b_lo) >> 16) + (1 << 14)) >> 15
+    return jnp.right_shift(s31 + rk, jnp.asarray(right.astype(np.int32)))
+
+
+def _mbqm_mid(x, qm_np: np.ndarray, shift_np: np.ndarray):
+    """Exact MBQM for |x| <= 2^29 — 4 multiplies, no carry chain (~15 ops).
+
+    Balanced-signed limb split of x (x_hi = (x + 2^15) >>arith 16,
+    x_lo = x - x_hi*2^16 in [-2^15, 2^15)) keeps every partial product in
+    int32, and the nested-floor identities eliminate _mbqm_limbs's
+    uint32 carry-detect chain entirely:
+
+        P0 = x*qm + 2^30 = hh*2^32 + (m1 + m2)*2^16 + ll + 2^30
+        floor(P0/2^16) = hh*2^16 + mid,
+            mid = m1 + m2 + ((ll >>arith 16) + 2^14)
+        s31 = floor(P0/2^31) = (hh << 1) + (mid >>arith 15)
+        result = (s31 + 2^(right-1) if right else s31) >>arith right
+
+    (the trailing rounding-divide addend 2^(30+right) is a multiple of
+    2^31 for right >= 1, so it moves outside the >>31 as 2^(right-1) —
+    no term depends on right and any 0 <= right <= 31 is admissible).
+
+    Bound audit for |x| <= 2^29: |x_hi| <= 2^13 so |hh| <= 2^28,
+    |m1| < 2^29, |m2| < 2^30, |ll| <= 2^31 - 2^15 (int32),
+    |mid| < 2^29 + 2^30 + 2^15 + 2^14 < 2^31, |s31| <= ~2^29 so
+    s31 + 2^(right-1) < 2^31. Preconditions checked by _mbqm_bounded:
+    |x| <= 2^29, no left shift.
+    """
+    qm_np = np.atleast_1d(np.asarray(qm_np, np.int64))
+    right = np.maximum(-np.atleast_1d(np.asarray(shift_np, np.int64)), 0)
+    b_hi = jnp.asarray((qm_np >> 16).astype(np.int32))
+    b_lo = jnp.asarray((qm_np & 0xFFFF).astype(np.int32))
+    rk = jnp.asarray(np.where(right > 0, np.int64(1) << (right - 1), 0)
+                     .astype(np.int32))
+    x_hi = (x + (1 << 15)) >> 16
+    x_lo = x - (x_hi << 16)
+    hh = x_hi * b_hi
+    mid = x_hi * b_lo + x_lo * b_hi + (((x_lo * b_lo) >> 16) + (1 << 14))
+    s31 = (hh << 1) + (mid >> 15)
+    return jnp.right_shift(s31 + rk, jnp.asarray(right.astype(np.int32)))
+
+
+def _mbqm_bounded(x, qm_np, shift_np, bound: int | None):
+    """Exact MBQM, picking the cheapest form the accumulator bound admits.
+
+    bound is a host-computed guarantee that |x| <= bound for every value
+    this op can ever produce (full int8 input code range, exact weights/
+    bias); None means unknown. Every form is bit-exact — the bound only
+    selects between implementations, it never changes results.
+    """
+    if bound is not None and bool(np.all(np.atleast_1d(np.asarray(shift_np)) <= 0)):
+        if bound <= (1 << 15):
+            return _mbqm_small(x, qm_np, shift_np)
+        if bound <= (1 << 29):
+            return _mbqm_mid(x, qm_np, shift_np)
+    return _mbqm_limbs(x, qm_np, shift_np)
+
+
 def _mbqm_shifted_small(x, qm: int, shift: int, pre_shift: int = 20):
     """Exact MBQM(x << pre_shift, qm, shift) for small |x| — 2 multiplies.
 
@@ -406,14 +500,70 @@ def _mbqm_ref(x, qm: int, shift: int):
     return _rdbp(_srdhm(x, qm), right)
 
 
-def _requant_exact(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int):
-    """Per-channel exact requantization of an int32 accumulator [..., C]."""
+def _requant_exact(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int,
+                   acc_range=None):
+    """Per-channel exact requantization of an int32 accumulator [..., C].
+
+    acc_range, when given, is a host-proved exact per-channel reachable
+    accumulator range (lo_c, hi_c) from _conv_acc_range. Two bit-exact
+    rewrites follow from MBQM's monotonicity in x:
+
+    1. A channel whose host goldens at both endpoints requantize to the
+       same output code is CONSTANT for every reachable input — its
+       device compute is dead and it is overwritten with that code. (The
+       reference model's converter clamps dead-channel biases to exactly
+       +/-2^30 with near-zero multipliers — quantize.cc bias saturation —
+       which is what produces such channels in practice.)
+    2. The cheap-form bound (see _mbqm_bounded) only needs to cover the
+       LIVE channels, so saturated-bias channels no longer force the op
+       onto the generic limb pass.
+    """
     qms = [_quantize_multiplier(float(m)) for m in np.atleast_1d(multipliers)]
-    q = _mbqm_limbs(acc,
-                    np.array([q for q, _ in qms], np.int64),
-                    np.array([s for _, s in qms], np.int64))
-    q = q + zp
-    return jnp.clip(q, lo, hi).astype(jnp.int8)
+    qm_np = np.array([q for q, _ in qms], np.int64)
+    sh_np = np.array([s for _, s in qms], np.int64)
+
+    const_vals = None
+    acc_bound = None
+    if acc_range is not None:
+        lo_c, hi_c = acc_range
+        if bool(np.all(sh_np <= 0)):
+            g_lo = np.clip(_mbqm_host_vec(lo_c, qm_np, sh_np) + zp, lo, hi)
+            g_hi = np.clip(_mbqm_host_vec(hi_c, qm_np, sh_np) + zp, lo, hi)
+            const_mask = g_lo == g_hi
+            live = ~const_mask
+            acc_bound = int(np.max(np.abs(np.concatenate(
+                [lo_c[live], hi_c[live]])))) if live.any() else 0
+            if const_mask.any():
+                const_vals = np.where(const_mask, g_lo, 0).astype(np.int8)
+                const_mask_j = jnp.asarray(const_mask)
+        else:
+            acc_bound = int(max(np.max(np.abs(lo_c)), np.max(np.abs(hi_c))))
+
+    q = _mbqm_bounded(acc, qm_np, sh_np, acc_bound)
+    out = jnp.clip(q + zp, lo, hi).astype(jnp.int8)
+    if const_vals is not None:
+        out = jnp.where(const_mask_j, jnp.asarray(const_vals), out)
+    return out
+
+
+def _conv_acc_range(w: np.ndarray, axes: tuple, in_zp: int,
+                    correction: np.ndarray | int):
+    """Exact per-channel accumulator range for conv/FC-style ops.
+
+    acc[..., c] = sum_taps w_t * (x_t - in_zp) + correction_c with input
+    codes x in [-128, 127] (padding contributes exactly 0 after the
+    in_zp fold). Each tap independently picks the endpoint matching its
+    weight sign, so the endpoint sums are exact *reachable* per-channel
+    extremes, computed in int64 on the host. Returns (lo_c, hi_c) int64
+    vectors of length C.
+    """
+    a_min, a_max = -128 - in_zp, 127 - in_zp
+    pos = np.maximum(w, 0).astype(np.int64).sum(axis=axes)
+    neg = np.minimum(w, 0).astype(np.int64).sum(axis=axes)
+    corr = np.asarray(correction, np.int64)
+    hi_c = pos * a_max + neg * a_min + corr
+    lo_c = pos * a_min + neg * a_max + corr
+    return (np.atleast_1d(lo_c), np.atleast_1d(hi_c))
 
 
 def _act_bounds(activation: int, scale: float, zp: int):
@@ -437,7 +587,8 @@ def _tf_same_pads(in_size: int, k: int, stride: int, dilation: int = 1):
     return total // 2, total - total // 2
 
 
-def _requant_fast(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int):
+def _requant_fast(acc, multipliers: np.ndarray, zp: int, lo: int, hi: int,
+                  acc_range=None):
     """Float-multiply requantization: round_away(acc * m) + zp.
 
     Deviates from TFLite's fixed-point pipeline by at most 1 LSB per op
@@ -752,7 +903,8 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                     # (reference quantize.h), not a float multiply.
                     si, zi, _ = q_params(ins[0])
                     qm, sh = _quantize_multiplier(float(si[0]) / float(s[0]))
-                    q = _mbqm(src.astype(jnp.int32) - int(zi[0]), qm, sh) + int(z[0])
+                    q = _mbqm_bounded(src.astype(jnp.int32) - int(zi[0]),
+                                      qm, sh, 255) + int(z[0])
                 else:
                     si, zi, _ = q_params(ins[0])
                     q = _round_away((src.astype(jnp.float32) - int(zi[0])) * (float(si[0]) / float(s[0]))) + int(z[0])
@@ -867,11 +1019,14 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                     wv = w.reshape(-1).astype(np.int64)  # [C]
                     sw, _, _ = q_params(ins[1])
                     so, zo, _ = q_params(o)
+                    bias_vec = np.broadcast_to(bias, wv.shape).astype(np.int64)
                     acc = (xin.astype(jnp.int32) - int(zi[0])) * jnp.asarray(wv, jnp.int32)
-                    acc = acc + jnp.asarray(np.broadcast_to(bias, wv.shape).astype(np.int64), jnp.int32)
+                    acc = acc + jnp.asarray(bias_vec, jnp.int32)
                     mult = si[0] * sw.astype(np.float64) / so[0]
                     lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
-                    vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi)
+                    vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi,
+                                          acc_range=_conv_acc_range(
+                                              wv, (), int(zi[0]), bias_vec))
                     continue
 
                 # Folded constant-pad CONCAT: consume the unpadded tensor
@@ -920,7 +1075,13 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 acc = acc + jnp.asarray(correction, jnp.int32)
                 mult = si[0] * sw.astype(np.float64) / so[0]  # [O] or [1]
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
-                vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi)
+                # bias + pad_corr (NOT the -in_zp*w_sum part, which is the
+                # zero-point fold already modeled by the (x - zp) form).
+                tap_axes = (1, 2, 3) if name == "CONV_2D" else (0, 1, 2)
+                vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi,
+                                      acc_range=_conv_acc_range(
+                                          w, tap_axes, in_zp,
+                                          np.asarray(bias + pad_corr, np.int64)))
 
             elif name == "FULLY_CONNECTED":
                 if op.options.get("weights_format", 0) != 0:
@@ -954,7 +1115,10 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 acc = acc + jnp.asarray(correction, jnp.int32)
                 mult = si[0] * sw.astype(np.float64) / so[0]  # per-channel or [1]
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
-                vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi)
+                vals[o] = _requant_op(acc, mult, int(zo[0]), lo, hi,
+                                      acc_range=_conv_acc_range(
+                                          w, (1,), int(zi[0]),
+                                          np.asarray(bias, np.int64)))
 
             elif name in ("ADD", "SUB"):
                 # Exact TFLite int8 ADD/SUB: rescale both inputs to twice
@@ -974,17 +1138,29 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 qm_o = _quantize_multiplier(twice_max / ((1 << left_shift) * float(so[0])))
 
                 def _rescaled(idx, zp, qm_shift):
+                    """(rescaled operand, exact host [lo, hi] range)."""
                     info = T[idx]
                     if info.data is not None:
                         x = (np.asarray(info.data, np.int64) - zp) << left_shift
-                        return jnp.asarray(_mbqm_host(x, *qm_shift), jnp.int32)
+                        r = _mbqm_host(x, *qm_shift)
+                        return jnp.asarray(r, jnp.int32), (int(r.min()), int(r.max()))
+                    # MBQM is monotone in x, so the code-range endpoints
+                    # bound every reachable rescaled value exactly.
+                    ends = _mbqm_host(
+                        np.array([-128 - zp, 127 - zp], np.int64) << left_shift,
+                        *qm_shift)
                     x = get(idx).astype(jnp.int32) - zp
-                    return _add_rescale(x, *qm_shift, pre_shift=left_shift)
+                    return (_add_rescale(x, *qm_shift, pre_shift=left_shift),
+                            (int(ends[0]), int(ends[1])))
 
-                ra = _rescaled(ins[0], int(za[0]), qm_a)
-                rb = _rescaled(ins[1], int(zb[0]), qm_b)
-                raw = ra + rb if name == "ADD" else ra - rb
-                q = _mbqm(raw, *qm_o) + int(zo[0])
+                ra, (la, ha) = _rescaled(ins[0], int(za[0]), qm_a)
+                rb, (lb, hb) = _rescaled(ins[1], int(zb[0]), qm_b)
+                if name == "ADD":
+                    raw, r_lo, r_hi = ra + rb, la + lb, ha + hb
+                else:
+                    raw, r_lo, r_hi = ra - rb, la - hb, ha - lb
+                q = _mbqm_bounded(raw, *qm_o,
+                                  max(abs(r_lo), abs(r_hi))) + int(zo[0])
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
                 vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
 
@@ -999,7 +1175,9 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 num = int(np.prod([xin.shape[a] for a in axes]))
                 acc = jnp.sum(xin - int(zi[0]), axis=axes, keepdims=keep)
                 qm, sh = _quantize_multiplier(float(si[0]) / (num * float(so[0])))
-                q = _mbqm(acc, qm, sh) + int(zo[0])
+                q = _mbqm_bounded(acc, qm, sh,
+                                  num * max(128 + int(zi[0]),
+                                            127 - int(zi[0]))) + int(zo[0])
                 vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
             elif name == "MUL":
@@ -1010,7 +1188,9 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 so, zo, _ = q_params(o)
                 prod = (a.astype(jnp.int32) - int(za[0])) * (b.astype(jnp.int32) - int(zb[0]))
                 qm = _quantize_multiplier(float(sa[0]) * float(sb[0]) / float(so[0]))
-                q = _mbqm(prod, *qm) + int(zo[0])
+                pb = (max(128 + int(za[0]), 127 - int(za[0]))
+                      * max(128 + int(zb[0]), 127 - int(zb[0])))
+                q = _mbqm_bounded(prod, *qm, pb) + int(zo[0])
                 lo, hi = _act_bounds(op.options["activation"], float(so[0]), int(zo[0]))
                 vals[o] = jnp.clip(q, lo, hi).astype(jnp.int8)
 
@@ -1046,10 +1226,14 @@ def build_executor(graph: TFLiteGraph, batch_size: int, return_all: bool = False
                 keep = op.options.get("keepdims", False)
                 si, zi, _ = q_params(ins[0])
                 so, zo, _ = q_params(o)
-                acc = jnp.sum(get(ins[0]).astype(jnp.int32) - int(zi[0]),
+                xin = get(ins[0])
+                n_red = int(np.prod([xin.shape[a] for a in axes]))
+                acc = jnp.sum(xin.astype(jnp.int32) - int(zi[0]),
                               axis=axes, keepdims=keep)
                 qm, sh = _quantize_multiplier(float(si[0]) / float(so[0]))
-                q = _mbqm(acc, qm, sh) + int(zo[0])
+                q = _mbqm_bounded(acc, qm, sh,
+                                  n_red * max(128 + int(zi[0]),
+                                              127 - int(zi[0]))) + int(zo[0])
                 vals[o] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
             elif name == "RESHAPE":

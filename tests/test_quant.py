@@ -202,3 +202,134 @@ def test_add_rescale_small_form_bit_exact():
     gold = _mbqm_golden_int64(x64, np.array([qms[4]]), np.array([-14]))
     got = np.asarray(_add_rescale(jnp.asarray(x), qms[4], -14), np.int64)
     np.testing.assert_array_equal(got, gold)
+
+
+def test_mbqm_bounded_forms_bit_exact():
+    """The bound-gated small (2-multiply) and mid (4-multiply, carry-free)
+    requant forms match the int64 golden across their whole precondition
+    space: right shifts over the full admissible 0..31 range, boundary
+    accumulators at exactly +/-2^15 and +/-2^29, tie-adjacent values, and
+    the qm=0 channel."""
+    from birdnet_stm32_tpu.quant.tflite_import import (
+        _mbqm_bounded,
+        _mbqm_mid,
+        _mbqm_small,
+    )
+
+    rng = np.random.default_rng(23)
+    C = 16
+    qm = rng.integers(2**30 + 1, 2**31, C)
+    qm[0] = 0
+    qm[1] = (1 << 31) - 1
+    qm[2] = 1 << 30
+    shift = -rng.integers(0, 32, C)
+    shift[0] = 0
+    shift[3], shift[4], shift[5] = 0, -14, -31  # precondition edges
+
+    def cases(bound):
+        N = 2048
+        x = np.empty((N, C), np.int64)
+        x[: N // 2] = rng.integers(-bound, bound + 1, (N // 2, C))
+        x[N // 2 : N // 2 + 8] = [[bound] * C, [-bound] * C,
+                                  [bound - 1] * C, [-bound + 1] * C,
+                                  [0] * C, [1] * C, [-1] * C, [255] * C]
+        # tie-adjacent: x near k*2^(31+right)/qm where the rounding flips
+        k = rng.integers(-(2**4), 2**4, (N - N // 2 - 8, C)).astype(np.int64)
+        near = (k << (31 - shift[None, :])) // np.maximum(qm, 1)[None, :]
+        x[N // 2 + 8 :] = np.clip(near + rng.integers(-1, 2, near.shape),
+                                  -bound, bound)
+        return x.astype(np.int32)
+
+    for form, bound in ((_mbqm_small, 1 << 15), (_mbqm_mid, 1 << 29)):
+        x = cases(bound)
+        gold = _mbqm_golden_int64(x.astype(np.int64), qm[None, :],
+                                  shift[None, :])
+        got = np.asarray(form(jnp.asarray(x), qm, shift), np.int64)
+        np.testing.assert_array_equal(got, gold, err_msg=form.__name__)
+        # the dispatcher picks an exact form for this bound too
+        got2 = np.asarray(_mbqm_bounded(jnp.asarray(x), qm, shift, bound),
+                          np.int64)
+        np.testing.assert_array_equal(got2, gold)
+
+    # out-of-precondition dispatches fall back to the generic limb pass
+    x = cases(1 << 29)
+    big = _mbqm_golden_int64(x.astype(np.int64), qm[None, :], shift[None, :])
+    for bad_bound in ((1 << 29) + 1, None):
+        got = np.asarray(_mbqm_bounded(jnp.asarray(x), qm, shift, bad_bound),
+                         np.int64)
+        np.testing.assert_array_equal(got, big)
+    left = shift.copy()
+    left[5] = 2  # a left-shift channel breaks the no-left precondition
+    xs = np.clip(cases(1 << 15), -(2**27), 2**27)  # keep x<<2 in int32
+    gold = _mbqm_golden_int64(xs.astype(np.int64), qm[None, :], left[None, :])
+    got = np.asarray(_mbqm_bounded(jnp.asarray(xs), qm, left, 1 << 15),
+                     np.int64)
+    np.testing.assert_array_equal(got, gold)
+
+
+def test_conv_acc_range_exact_and_reachable():
+    """_conv_acc_range gives true per-channel ceilings (no int8 input can
+    exceed them) that are tight (some input reaches each endpoint), for
+    conv-style and affine-style shapes."""
+    from birdnet_stm32_tpu.quant.tflite_import import _conv_acc_range
+
+    rng = np.random.default_rng(5)
+    w = rng.integers(-127, 128, (4, 3, 3, 5)).astype(np.int8)  # [O,kh,kw,I]
+    bias = rng.integers(-(2**16), 2**16, 4)
+    for in_zp in (-128, -7, 0, 127):
+        lo_c, hi_c = _conv_acc_range(w, (1, 2, 3), in_zp, bias)
+        # brute-force the reachable extremes: each tap independently picks
+        # the endpoint that maximizes/minimizes acc -> the true extreme is
+        # the endpoint assignment matching the weight signs.
+        a_min, a_max = -128 - in_zp, 127 - in_zp
+        w64 = w.astype(np.int64)
+        hi = (np.maximum(w64, 0).sum((1, 2, 3)) * a_max
+              + np.minimum(w64, 0).sum((1, 2, 3)) * a_min + bias)
+        lo = (np.maximum(w64, 0).sum((1, 2, 3)) * a_min
+              + np.minimum(w64, 0).sum((1, 2, 3)) * a_max + bias)
+        np.testing.assert_array_equal(hi_c, hi)
+        np.testing.assert_array_equal(lo_c, lo)
+    # affine form (per-channel 1x1 depthwise): no reduction axes
+    wv = np.array([-3, 0, 7], np.int64)
+    b = np.array([10, -5, 2], np.int64)
+    lo_c, hi_c = _conv_acc_range(wv, (), 0, b)
+    np.testing.assert_array_equal(lo_c, [-3 * 127 + 10, -5, 7 * -128 + 2])
+    np.testing.assert_array_equal(hi_c, [-3 * -128 + 10, -5, 7 * 127 + 2])
+
+
+def test_requant_exact_constant_channel_rewrite():
+    """A channel whose endpoint goldens coincide is emitted as a constant
+    (bit-exact by MBQM monotonicity); live channels still requant exactly —
+    the reference model's +/-2^30-bias dead channels exercise this path."""
+    from birdnet_stm32_tpu.quant.tflite_import import (
+        _mbqm_host_vec,
+        _quantize_multiplier,
+        _requant_exact,
+    )
+
+    # channel 0: live, small multiplier. channel 1: dead — saturated bias,
+    # tiny multiplier (the TFLite converter's dead-channel signature).
+    # channel 2: live with a larger range.
+    mult = np.array([2**-9, 2**-24, 2**-7], np.float64)
+    bias = np.array([1000, 1 << 30, -2000], np.int64)
+    taps = np.array([5000, 300, 40000], np.int64)  # conv-term range +/-taps
+    lo_c, hi_c = bias - taps, bias + taps
+    zp = 3
+
+    rng = np.random.default_rng(11)
+    acc = np.stack([rng.integers(l, h + 1, 4096) for l, h in zip(lo_c, hi_c)],
+                   axis=-1).astype(np.int32)
+    got = np.asarray(_requant_exact(jnp.asarray(acc), mult, zp, -128, 127,
+                                    acc_range=(lo_c, hi_c)), np.int64)
+    qms = [_quantize_multiplier(float(m)) for m in mult]
+    gold = np.clip(_mbqm_host_vec(acc.astype(np.int64),
+                                  np.array([q for q, _ in qms]),
+                                  np.array([s for _, s in qms])) + zp,
+                   -128, 127)
+    np.testing.assert_array_equal(got, gold)
+    # the dead channel really is constant (the rewrite had teeth)
+    assert np.unique(gold[:, 1]).size == 1
+    # and without the range hint the result is identical (pure speedup)
+    got2 = np.asarray(_requant_exact(jnp.asarray(acc), mult, zp, -128, 127),
+                      np.int64)
+    np.testing.assert_array_equal(got2, gold)
