@@ -68,9 +68,10 @@ def main() -> None:
     cfg = ModelConfig.load(
         "/root/reference/checkpoints/birdnet_stm32n6_100_model_config.json"
     )
-    # B swept on the real chip: 512 -> 44.1k, 1024 -> 44.7k, 2048 -> 45.8k,
-    # 4096 -> 45.6k chunks/s (exact requant); 2048 is the knee.
-    B = 2048
+    # B swept on the real chip with the bound-gated requant forms:
+    # 1024 -> 56.5k, 2048 -> 59.5k, 4096 -> 60.9k, 8192 -> 60.7k chunks/s;
+    # the knee moved from 2048 to 4096 when the requant VPU work got cheap.
+    B = 4096
     rng = np.random.default_rng(0)
     wave = jnp.asarray(rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32))
 
