@@ -552,3 +552,19 @@ def test_train_cli_on_device_mesh(wav_dataset, tmp_path):
     ]) == 0
     assert (run_dir / "best").exists()
     assert (run_dir / "history.csv").exists()
+
+
+def test_flag_parity_audit():
+    """Every reference CLI flag exists here or has a documented reason not
+    to (scripts/audit_cli_parity.py; reference cli/*.py argparse surface,
+    AST-parsed — the reference tree is never imported)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    try:
+        from audit_cli_parity import audit
+    finally:
+        sys.path.pop(0)
+    if not Path("/root/reference/birdnet_stm32/cli").is_dir():
+        pytest.skip("reference tree not available")
+    assert audit(verbose=False) == []
