@@ -33,6 +33,14 @@ def main() -> None:
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
     from fixtures.generate_fixtures import generate_hard_fixtures
 
+    import birdnet_stm32_tpu.models.blocks as blocks
+
+    # Keras-default BN momentum (0.99) needs hundreds of steps to settle;
+    # this benchmark trains ~200. Same speed-up the gate test uses
+    # (tests/test_hard_benchmark.py) — without it the inference-mode
+    # metrics measure unsettled BN statistics, not the model.
+    blocks.BN_MOMENTUM = 0.7
+
     from birdnet_stm32_tpu.config import ModelConfig
     from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
     from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
