@@ -1,6 +1,10 @@
-"""Fused Pallas frontend kernel tests (interpreter mode; Mosaic compilation
-requires real TPU topology info, unavailable on the CPU test mesh and on
-tunneled single-chip backends — see pallas_available()).
+"""Fused Pallas frontend kernel tests.
+
+Run in interpreter mode wherever Mosaic cannot compile (the CPU test mesh,
+tunneled single-chip backends — see pallas_available()) and with REAL
+Mosaic compilation on capable backends, so the same suite upgrades to an
+on-device kernel validation on a directly-attached TPU
+(docs/hardware-validation.md §1).
 """
 
 import numpy as np
@@ -12,7 +16,12 @@ from birdnet_stm32_tpu.config import ModelConfig
 from birdnet_stm32_tpu.ops.pallas.frontend_kernel import (
     fused_hybrid_frontend,
     hybrid_frontend_input,
+    pallas_available,
 )
+
+# Compile real Mosaic kernels where the backend supports it; fall back to
+# the (bit-identical) interpreter elsewhere.
+INTERPRET = not pallas_available()
 from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
 
 
@@ -24,7 +33,7 @@ def test_fused_kernel_matches_xla(rng):
     ref = np.asarray(spectrogram_batch(y, sample_rate=22050, n_fft=512, mel_bins=-1,
                                        spec_width=W, mag_scale="none", mode="linear"))
     got = np.asarray(fused_hybrid_frontend(y, 512, hop, min(W, 1 + T // hop),
-                                           batch_tile=8, interpret=True))
+                                           batch_tile=8, interpret=INTERPRET))
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
@@ -32,7 +41,7 @@ def test_fused_kernel_multi_tile(rng):
     B, T = 16, 8000
     y = jnp.asarray(rng.normal(0, 0.5, (B, T)).astype(np.float32))
     hop = T // 32
-    out = np.asarray(fused_hybrid_frontend(y, 256, hop, 32, batch_tile=8, interpret=True))
+    out = np.asarray(fused_hybrid_frontend(y, 256, hop, 32, batch_tile=8, interpret=INTERPRET))
     assert out.shape == (16, 129, 32)
     # Per-sample normalization: every sample spans [0, 1].
     assert np.allclose(out.max(axis=(1, 2)), 1.0, atol=1e-5)
@@ -42,10 +51,10 @@ def test_fused_kernel_multi_tile(rng):
 def test_fused_kernel_guards():
     y = jnp.zeros((8, 8000), jnp.float32)
     with pytest.raises(ValueError, match="2\\*hop"):
-        fused_hybrid_frontend(y, 512, 100, 32, interpret=True)
+        fused_hybrid_frontend(y, 512, 100, 32, interpret=INTERPRET)
     with pytest.raises(ValueError, match="divisible"):
         fused_hybrid_frontend(jnp.zeros((6, 8000), jnp.float32), 256, 250, 32,
-                              interpret=True)
+                              interpret=INTERPRET)
 
 
 def test_hybrid_frontend_input_wrapper(rng):
@@ -53,7 +62,7 @@ def test_hybrid_frontend_input_wrapper(rng):
                       chunk_duration=1.0, embeddings_size=32, num_classes=2,
                       class_names=["a", "b"], audio_frontend="hybrid", mag_scale="pwl")
     y = jnp.asarray(rng.normal(0, 0.5, (8, cfg.chunk_samples)).astype(np.float32))
-    out = hybrid_frontend_input(y, cfg, interpret=True)
+    out = hybrid_frontend_input(y, cfg, interpret=INTERPRET)
     assert out.shape == (8, cfg.fft_bins, cfg.spec_width, 1)
     from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
@@ -68,9 +77,9 @@ def test_hybrid_frontend_input_pads_partial_batch(rng):
                       class_names=["a", "b"], audio_frontend="hybrid",
                       mag_scale="pwl")
     y = jnp.asarray(rng.normal(0, 0.5, (6, 4000)).astype(np.float32))
-    out = np.asarray(hybrid_frontend_input(y, cfg, interpret=True))
+    out = np.asarray(hybrid_frontend_input(y, cfg, interpret=INTERPRET))
     full = np.asarray(hybrid_frontend_input(
-        jnp.concatenate([y, y[:2]]), cfg, interpret=True))[:6]
+        jnp.concatenate([y, y[:2]]), cfg, interpret=INTERPRET))[:6]
     assert out.shape[0] == 6
     np.testing.assert_allclose(out, full, atol=1e-6)
 
@@ -84,7 +93,7 @@ def test_hybrid_frontend_input_falls_back_on_small_hop(rng):
                       mag_scale="pwl")
     # hop = 4000 // 256 = 15; 2*15 < 128
     y = jnp.asarray(rng.normal(0, 0.5, (2, 4000)).astype(np.float32))
-    out = np.asarray(hybrid_frontend_input(y, cfg, interpret=True))
+    out = np.asarray(hybrid_frontend_input(y, cfg, interpret=INTERPRET))
     ref = np.asarray(spectrogram_batch(y, sample_rate=4000, n_fft=128, mel_bins=-1,
                                        spec_width=256, mag_scale="none",
                                        mode="linear"))[..., None]
@@ -119,7 +128,7 @@ def test_fused_epilogue_matches_xla(rng, mode, mag):
         mag_scale=mag, mode=mode, n_mfcc=13))
     got = np.asarray(fused_spectrogram(
         y, mode=mode, mag_scale=mag, sample_rate=sr, n_fft=n_fft,
-        mel_bins=M, spec_width=W, n_mfcc=13, interpret=True))
+        mel_bins=M, spec_width=W, n_mfcc=13, interpret=INTERPRET))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
@@ -136,7 +145,7 @@ def test_frontend_input_matches_inputs_for_config(rng, frontend):
                       num_classes=2, class_names=["a", "b"],
                       audio_frontend=frontend, mag_scale="pwl", n_mfcc=13)
     y = jnp.asarray(rng.normal(0, 0.5, (6, cfg.chunk_samples)).astype(np.float32))
-    got = np.asarray(frontend_input(y, cfg, interpret=True))
+    got = np.asarray(frontend_input(y, cfg, interpret=INTERPRET))
     ref = np.asarray(inputs_for_config(y, cfg))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-5)
@@ -153,7 +162,7 @@ def test_frontend_input_raw_falls_back(rng):
                       num_classes=2, class_names=["a", "b"],
                       audio_frontend="raw", mag_scale="none")
     y = jnp.asarray(rng.normal(0, 0.5, (4, cfg.chunk_samples)).astype(np.float32))
-    np.testing.assert_array_equal(np.asarray(frontend_input(y, cfg, interpret=True)),
+    np.testing.assert_array_equal(np.asarray(frontend_input(y, cfg, interpret=INTERPRET)),
                                   np.asarray(inputs_for_config(y, cfg)))
 
 
@@ -168,10 +177,10 @@ def test_fused_int8_entry_epilogue(rng):
     scale, zp = 1.0 / 255.0, -128
     y = jnp.asarray(rng.normal(0, 0.5, (B, T)).astype(np.float32))
     f32 = np.asarray(fused_spectrogram(y, mode="linear", n_fft=n_fft,
-                                       spec_width=W, interpret=True))
+                                       spec_width=W, interpret=INTERPRET))
     got = np.asarray(fused_spectrogram(y, mode="linear", n_fft=n_fft,
                                        spec_width=W, quant=(scale, zp),
-                                       interpret=True))
+                                       interpret=INTERPRET))
     assert got.shape == (B, 1, W, n_fft // 2 + 1)
     assert got.dtype == np.int8
     v = (f32 / np.float32(scale)).astype(np.float32)
