@@ -42,6 +42,10 @@ def get_args(argv=None):
                    help="serve float checkpoints in bfloat16")
     p.add_argument("--device_resample", action="store_true",
                    help="decode at native rate, resample on device")
+    p.add_argument("--int16_io", action="store_true",
+                   help="ship waveforms to the device as int16 PCM codes "
+                        "(half the host->device bandwidth, ~1 LSB error; "
+                        "dequantized inside the fused dispatch)")
     p.add_argument("--decode_threads", type=int, default=0,
                    help="decode N files ahead on threads, overlapping host "
                         "decode with device compute (0 = serial)")
@@ -69,7 +73,8 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                poll_interval: float = 2.0, batch_size: int = 64, top_k: int = 3,
                score_threshold: float = 0.01, overlap: float = 0.0,
                device_resample: bool = False, once: bool = False,
-               max_polls: int | None = None, decode_threads: int = 0) -> int:
+               max_polls: int | None = None, decode_threads: int = 0,
+               int16_io: bool = False) -> int:
     """Watch `audio_dir`; classify + record new files. Returns files served.
 
     With decode_threads > 0 the next files decode on host threads while
@@ -81,12 +86,14 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
         classify_in_batches,
         decode_for_classify,
         make_classifier_cache,
+        quantize_waveform_int16,
         top_predictions,
     )
 
     from birdnet_stm32_tpu.data.dataset import supported_audio_extensions
 
-    classifier_for = make_classifier_cache(runner, cfg)
+    classifier_for = make_classifier_cache(
+        runner, cfg, input_dtype="int16" if int16_io else None)
     exts = supported_audio_extensions()
 
     done = _recorded_files(results_file)
@@ -106,6 +113,10 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                 device_resample=device_resample)
         except Exception as e:
             return rel, None, cfg.sample_rate, e
+        if int16_io and chunks.size:
+            # Quantize on the decode thread (same placement as the
+            # benchmark --pipeline driver) so the main loop ships codes.
+            chunks = quantize_waveform_int16(chunks)
         return rel, chunks, src_rate, None
 
     served = 0
@@ -244,7 +255,7 @@ def main(argv=None) -> int:
                top_k=args.top_k, score_threshold=args.score_threshold,
                overlap=args.chunk_overlap,
                device_resample=args.device_resample, once=args.once,
-               decode_threads=args.decode_threads)
+               decode_threads=args.decode_threads, int16_io=args.int16_io)
     return 0
 
 

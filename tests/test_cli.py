@@ -568,3 +568,53 @@ def test_flag_parity_audit():
     if not Path("/root/reference/birdnet_stm32/cli").is_dir():
         pytest.skip("reference tree not available")
     assert audit(verbose=False) == []
+
+
+def test_serve_int16_io_matches_float(wav_dataset, tmp_path, capsys):
+    """--int16_io ships PCM16 codes and dequantizes in-dispatch; scores must
+    match the float path within the one-LSB waveform error (the bulk-serving
+    transfer-halving mode, docs/performance.md)."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+
+    def scores_of(results):
+        rows = {}
+        for line in results.read_text().splitlines():
+            if line:
+                k, *vals = line.split("\t")
+                rows[k] = np.array([float(v) for v in vals])
+        return rows
+
+    res_f = tmp_path / "res_float.txt"
+    res_q = tmp_path / "res_int16.txt"
+    base = ["serve", "--model_path", str(run_dir), "--audio_dir", str(root),
+            "--batch_size", "4", "--once"]
+    assert dispatch(base + ["--results_file", str(res_f)]) == 0
+    assert dispatch(base + ["--results_file", str(res_q), "--int16_io"]) == 0
+    capsys.readouterr()
+    a, b = scores_of(res_f), scores_of(res_q)
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        # TSV records 4 decimals; 1-LSB waveform error stays well inside.
+        np.testing.assert_allclose(b[k], a[k], atol=2e-3, err_msg=k)
+
+    # Decode-thread path quantizes on the workers — same results.
+    res_t = tmp_path / "res_threads.txt"
+    assert dispatch(base + ["--results_file", str(res_t), "--int16_io",
+                            "--decode_threads", "2"]) == 0
+    capsys.readouterr()
+    c = scores_of(res_t)
+    for k in a:
+        np.testing.assert_array_equal(c[k], b[k], err_msg=k)
