@@ -618,3 +618,35 @@ def test_serve_int16_io_matches_float(wav_dataset, tmp_path, capsys):
     c = scores_of(res_t)
     for k in a:
         np.testing.assert_array_equal(c[k], b[k], err_msg=k)
+
+
+def test_serve_skips_undecodable_file(wav_dataset, tmp_path, capsys):
+    """A garbage .wav in the watched dir is skipped (message printed, not
+    recorded in the results TSV) and every valid file still gets served —
+    the service never wedges on one bad recording."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    (Path(root) / "bird_a" / "garbage.wav").write_bytes(b"RIFFnope" * 5)
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+
+    results = tmp_path / "results.txt"
+    assert dispatch(["serve", "--model_path", str(run_dir),
+                     "--audio_dir", str(root), "--results_file", str(results),
+                     "--batch_size", "4", "--once"]) == 0
+    out = capsys.readouterr().out
+    assert "garbage.wav" in out and "skipped" in out
+    keys = [l.split("\t", 1)[0] for l in results.read_text().splitlines() if l]
+    n_valid = len(list(Path(root).rglob("*.wav"))) - 1
+    assert len(keys) == n_valid
+    assert not any("garbage" in k for k in keys)
