@@ -650,3 +650,50 @@ def test_serve_skips_undecodable_file(wav_dataset, tmp_path, capsys):
     n_valid = len(list(Path(root).rglob("*.wav"))) - 1
     assert len(keys) == n_valid
     assert not any("garbage" in k for k in keys)
+
+
+def test_benchmark_pipelined_matches_serial(wav_dataset, tmp_path, capsys):
+    """--pipeline packs chunks across files into async device batches; its
+    per-file top-1 results must match the serial driver's (and --int16_io
+    must stay within one PCM16 LSB of the float path)."""
+    import csv
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+
+    def rows_of(csv_path):
+        with open(csv_path) as f:
+            return {r["file"]: r for r in csv.DictReader(f)}
+
+    def run(tag, *extra):
+        out_csv = tmp_path / f"bench_{tag}.csv"
+        assert dispatch(["benchmark", "--model_path", str(run_dir),
+                         "--audio_dir", str(root), "--csv", str(out_csv),
+                         "--batch_size", "4", *extra]) == 0
+        assert "=== DONE ===" in capsys.readouterr().out
+        return rows_of(out_csv)
+
+    serial = run("serial")
+    piped = run("piped", "--pipeline", "2")
+    assert serial.keys() == piped.keys() and len(serial) > 0
+    for k in serial:
+        # Per-sample compute is row-independent, so cross-file batch
+        # packing must not change any result.
+        assert piped[k]["top1"] == serial[k]["top1"], k
+        assert abs(float(piped[k]["score"]) - float(serial[k]["score"])) < 1e-6, k
+        assert piped[k]["chunks"] == serial[k]["chunks"], k
+
+    piped16 = run("piped16", "--pipeline", "2", "--int16_io")
+    for k in serial:
+        assert abs(float(piped16[k]["score"]) - float(serial[k]["score"])) < 2e-3, k
