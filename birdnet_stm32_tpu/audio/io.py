@@ -425,13 +425,17 @@ def split_audio_into_chunks(
     sample_rate: int = 24000,
     chunk_duration: float = 3.0,
     chunk_overlap: float = 0.0,
+    dtype=np.float32,
 ) -> np.ndarray:
     """[T] -> [num_chunks, chunk_size]; short input is zero-padded once;
-    a shifted tail chunk covers the remainder (reference io.py:133-174)."""
+    a shifted tail chunk covers the remainder (reference io.py:133-174).
+
+    dtype=np.int16 chunks raw PCM codes without a float round-trip
+    (load_chunks_int16's exactness-preserving shipping path)."""
     chunk_size = int(sample_rate * chunk_duration)
     if audio.size == 0 or chunk_size <= 0:
-        return np.empty((0, max(chunk_size, 0)), np.float32)
-    y = np.asarray(audio, np.float32).reshape(-1)
+        return np.empty((0, max(chunk_size, 0)), dtype)
+    y = np.asarray(audio, dtype).reshape(-1)
     if y.shape[0] <= chunk_size:
         return np.pad(y, (0, chunk_size - y.shape[0]))[None, :]
     max_overlap = max(0.0, min(chunk_overlap, chunk_duration - 0.1))
@@ -466,6 +470,60 @@ def load_audio_file(
     return split_audio_into_chunks(
         audio, sample_rate=sample_rate, chunk_duration=chunk_duration, chunk_overlap=chunk_overlap
     )
+
+
+def load_chunks_int16(
+    path: str | Path,
+    sample_rate: int,
+    chunk_duration: float = 3.0,
+    chunk_overlap: float = 0.0,
+    max_duration: float | None = None,
+) -> np.ndarray | None:
+    """Raw PCM16 codes for exactness-preserving int16 waveform shipping.
+
+    For mono PCM16 WAV files already at `sample_rate`, returns
+    [n_chunks, chunk_size + 1] int16: each row is the file's RAW sample
+    codes (no float round-trip) plus one trailing scale element holding the
+    read window's peak code (-32768 encodes a peak of 32768; 32767 would
+    overflow int16). The device dequant (models/serving.py) divides codes
+    by |scale| with correctly-rounded f32 division, reproducing
+    load_audio_window's decode -> peak-normalize floats BIT-EXACTLY:
+    c/32768 and peak/32768 are exact (powers of two, the reference
+    wav_reader.c:76-129 PCM16->f32 semantics), so the host's
+    (c/32768)/(peak/32768) and the device's c/peak round the same real
+    quotient.
+
+    Returns None when the file is ineligible (non-WAV, not mono PCM16, or
+    a different rate) — callers fall back to the float decode +
+    quantize_waveform_int16 path (1 requantization LSB of error). Same
+    window policy as load_audio_window (random_offset=False).
+    """
+    try:
+        p = Path(path)
+        if p.suffix.lower() != ".wav":
+            return None
+        info = wav_info(p)
+        if not (info.audio_format == 1 and info.bits == 16
+                and info.channels == 1 and info.sample_rate == sample_rate
+                and info.frames > 0):
+            return None
+        start, n = _window_bounds(info.frames, info.sample_rate, max_duration,
+                                  chunk_duration, False, None)
+        if n <= 0:
+            return None
+        raw = np.memmap(p, dtype=np.uint8, mode="r",
+                        offset=info.data_offset + start * 2, shape=(n * 2,))
+        codes = np.frombuffer(raw, dtype="<i2")
+        # int32 before abs: |int16 -32768| overflows back to -32768.
+        peak = int(np.max(np.abs(codes.astype(np.int32))))
+        chunks = split_audio_into_chunks(
+            codes, sample_rate=sample_rate, chunk_duration=chunk_duration,
+            chunk_overlap=chunk_overlap, dtype=np.int16)
+        scale = np.full((chunks.shape[0], 1),
+                        peak if peak < 32768 else -32768, np.int16)
+        return np.concatenate([chunks, scale], axis=1)
+    except Exception:
+        return None
 
 
 def save_wav(audio: np.ndarray, path: str | Path, sample_rate: int = 24000) -> None:

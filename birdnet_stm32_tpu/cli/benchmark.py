@@ -47,8 +47,10 @@ def get_args(argv=None):
                    help="ship waveforms to the device as int16 PCM codes "
                         "and dequantize on device: halves the host->device "
                         "stream (13.7 GB/s of float32 at the measured "
-                        "device rate); one PCM16 LSB (~3e-5) of waveform "
-                        "error, far inside every serving gate")
+                        "device rate). Mono PCM16 WAVs at the model rate "
+                        "ship their RAW codes — scores are BIT-EXACT vs "
+                        "the float path; other sources requantize (one "
+                        "PCM16 LSB, ~3e-5)")
     p.add_argument("--cache_dir", default=None,
                    help="decoded-waveform cache directory (audio/io."
                         "cached_waveform): the first pass decodes each file "
@@ -89,7 +91,9 @@ def _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample,
             except Exception:
                 pass
     for r in sorted(rates):
-        _warmup(classifier_for(r), int(r * cfg.chunk_duration), batch_size, dtype)
+        # int16 shipping carries one trailing scale element per row.
+        n = int(r * cfg.chunk_duration) + (1 if dtype == np.int16 else 0)
+        _warmup(classifier_for(r), n, batch_size, dtype)
 
 
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
@@ -137,15 +141,12 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         # board-test loop processes every chunk). One probe + one decode.
         chunks, src_rate, dur_s, read_ms = decode_for_classify(
             path, cfg, overlap, max_duration=None,
-            device_resample=device_resample, cache_dir=cache_dir)
+            device_resample=device_resample, cache_dir=cache_dir,
+            int16_io=int16_io)
         if chunks.shape[0] == 0:
             print(f"file: {Path(path).name}  SKIP (no audio)")
             continue
         classify = classifier_for(src_rate)
-        if int16_io:
-            from birdnet_stm32_tpu.models.serving import quantize_waveform_int16
-
-            chunks = quantize_waveform_int16(chunks)
         fe_s = 0.0
         scores, mdl_s = classify_in_batches(classify, chunks, batch_size)
         total_chunks += len(chunks)
@@ -223,14 +224,12 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
         runner, cfg, as_numpy=False, input_dtype="int16" if int16_io else None)
 
     def decode(path):
-        chunks, src_rate, dur_s, read_ms = decode_for_classify(
+        # int16 conversion happens inside decode_for_classify, on this
+        # decode thread (raw PCM16 codes when eligible, requantize else).
+        return decode_for_classify(
             path, cfg, overlap, max_duration=None,
-            device_resample=device_resample, cache_dir=cache_dir)
-        if int16_io and chunks.size:
-            from birdnet_stm32_tpu.models.serving import quantize_waveform_int16
-
-            chunks = quantize_waveform_int16(chunks)  # in the decode thread
-        return chunks, src_rate, dur_s, read_ms
+            device_resample=device_resample, cache_dir=cache_dir,
+            int16_io=int16_io)
 
     print(f"[info] pipelined serving: {decode_workers} decode threads, "
           f"<= {max_outstanding} device batches in flight")

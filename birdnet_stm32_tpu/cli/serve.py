@@ -44,8 +44,10 @@ def get_args(argv=None):
                    help="decode at native rate, resample on device")
     p.add_argument("--int16_io", action="store_true",
                    help="ship waveforms to the device as int16 PCM codes "
-                        "(half the host->device bandwidth, ~1 LSB error; "
-                        "dequantized inside the fused dispatch)")
+                        "(half the host->device bandwidth; dequantized "
+                        "inside the fused dispatch). BIT-EXACT vs the "
+                        "float path for mono PCM16 WAVs at the model "
+                        "rate (raw codes); ~1 LSB error otherwise")
     p.add_argument("--decode_threads", type=int, default=0,
                    help="decode N files ahead on threads, overlapping host "
                         "decode with device compute (0 = serial)")
@@ -86,7 +88,6 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
         classify_in_batches,
         decode_for_classify,
         make_classifier_cache,
-        quantize_waveform_int16,
         top_predictions,
     )
 
@@ -108,15 +109,13 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
         policy is shared with the benchmark driver (decode_for_classify)."""
         rel = str(path.relative_to(audio_dir))
         try:
+            # int16 conversion happens inside decode_for_classify, on this
+            # thread (raw PCM16 codes when eligible, requantize fallback).
             chunks, src_rate, _dur, _ms = decode_for_classify(
                 path, cfg, overlap, max_duration=None,
-                device_resample=device_resample)
+                device_resample=device_resample, int16_io=int16_io)
         except Exception as e:
             return rel, None, cfg.sample_rate, e
-        if int16_io and chunks.size:
-            # Quantize on the decode thread (same placement as the
-            # benchmark --pipeline driver) so the main loop ships codes.
-            chunks = quantize_waveform_int16(chunks)
         return rel, chunks, src_rate, None
 
     served = 0

@@ -60,6 +60,7 @@ def evaluate(
     decode_workers: int = 0,
     max_duration: float = 60.0,
     cache_dir: str | None = None,
+    int16_io: bool = False,
 ) -> tuple[dict, list[dict], np.ndarray, np.ndarray]:
     """Per-chunk inference -> pooled file scores -> metrics.
 
@@ -80,6 +81,10 @@ def evaluate(
             and results are unchanged).
         max_duration: Per-file decode cap in seconds (reference
             metrics.py:45 hardcodes 60).
+        int16_io: Ship waveforms to the device as int16 codes + scale
+            column (models/serving.py): raw PCM codes (bit-exact) for
+            mono PCM16 WAVs at the model rate, requantized (one LSB)
+            otherwise — the production bulk-serving transfer mode.
 
     Returns:
         (metrics dict, per_file list, y_true [N,C], y_scores [N,C]).
@@ -100,9 +105,20 @@ def evaluate(
     file_records: list[tuple[str, str, np.ndarray]] = []  # (path, label, target)
     chunk_scores_per_file: dict[int, list[np.ndarray]] = {}
 
-    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+    from birdnet_stm32_tpu.models.serving import (
+        chunks_for_classify_int16,
+        make_fused_classifier,
+    )
 
-    classify = make_fused_classifier(runner, cfg)
+    classify = make_fused_classifier(
+        runner, cfg, input_dtype="int16" if int16_io else None)
+    if int16_io:
+        def _chunks(path, cfg, overlap, max_duration, _rate, cache_dir):
+            return chunks_for_classify_int16(
+                path, cfg, overlap, max_duration=max_duration,
+                cache_dir=cache_dir)
+    else:
+        _chunks = chunks_for_file
     warmed = False
 
     def flush(force=False):
@@ -155,7 +171,7 @@ def evaluate(
             # Bounded decode-ahead window (RAM-safe on large test sets).
             window = max(2 * decode_workers, 4)
             futs = deque(
-                (p, lb, ex.submit(chunks_for_file, p, cfg, overlap, max_duration, None, cache_dir))
+                (p, lb, ex.submit(_chunks, p, cfg, overlap, max_duration, None, cache_dir))
                 for p, lb in labeled[:window])
             nxt = window
             while futs:
@@ -163,13 +179,13 @@ def evaluate(
                 if nxt < len(labeled):
                     p, lb = labeled[nxt]
                     futs.append((p, lb, ex.submit(
-                        chunks_for_file, p, cfg, overlap, max_duration, None, cache_dir)))
+                        _chunks, p, cfg, overlap, max_duration, None, cache_dir)))
                     nxt += 1
                 consume(path, label, fut.result())
     else:
         for path, label in labeled:
             consume(path, label,
-                    chunks_for_file(path, cfg, overlap, max_duration, None, cache_dir))
+                    _chunks(path, cfg, overlap, max_duration, None, cache_dir))
     flush(force=True)
 
     for fi, (path, label, target) in enumerate(file_records):

@@ -20,15 +20,93 @@ from birdnet_stm32_tpu.ops.frontend import inputs_for_config
 
 
 def quantize_waveform_int16(wave: np.ndarray) -> np.ndarray:
-    """[-1, 1] float waveforms -> int16 codes for half-bandwidth shipping
-    (make_fused_classifier(input_dtype='int16') dequantizes on device).
+    """[-1, 1] float waveforms -> [B, T+1] int16 codes + scale column for
+    half-bandwidth shipping (make_fused_classifier(input_dtype='int16')
+    dequantizes on device by dividing codes by |scale|).
 
     At the device's measured 51.6k chunks/s, float32 3-s/22.05 kHz
     waveforms are a 13.7 GB/s host->device stream — int16 halves that on
-    any link (and quadruples throughput on the ~20 MB/s tunnel). Error is
-    one PCM16 LSB (~3e-5), far inside every serving gate.
+    any link (and quadruples throughput on the ~20 MB/s tunnel). This
+    REQUANTIZING path costs one PCM16 LSB (~3e-5) of waveform error — the
+    fallback for floats that aren't raw PCM16 codes (resampled, downmixed,
+    codec-decoded). PCM16 sources at the model rate take the exact path
+    instead (audio/io.load_chunks_int16 ships the decoder's raw codes with
+    the window peak in the scale column; bit-exact vs the float32 path).
     """
-    return np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+    codes = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+    scale = np.full((codes.shape[0], 1), 32767, np.int16)
+    return np.concatenate([codes, scale], axis=1)
+
+
+def _two_prod_f32(x, y):
+    """Exact f32 product x*y = (hi, lo) via Dekker splitting (no FMA).
+
+    Valid when the exact product fits in 48 significand bits — true for
+    the dequant residuals here (24-bit quotient x 16-bit integer scale).
+    """
+    split = jnp.float32(4097.0)  # 2**12 + 1
+    cx = split * x
+    x_hi = cx - (cx - x)
+    x_lo = x - x_hi
+    cy = split * y
+    y_hi = cy - (cy - y)
+    y_lo = y - y_hi
+    hi = x * y
+    lo = ((x_hi * y_hi - hi) + x_hi * y_lo + x_lo * y_hi) + x_lo * y_lo
+    return hi, lo
+
+
+def _div_exact_int(c, b, q0=None):
+    """Correctly-rounded f32 division c/b for integer-valued operands.
+
+    TPU f32 division is reciprocal-based and off by 1 ulp on ~all
+    operands (measured), so a plain `c / b` cannot reproduce the host's
+    IEEE-754 numpy division bit-for-bit. For |c| <= 32768 and
+    1 <= b <= 32768 (both integers), the residual c - q*b of a candidate
+    quotient q is computable EXACTLY in f32 (Dekker 2Prod, then Sterbenz
+    subtraction — every term lands on a shared 17-bit grid), and the
+    correctly-rounded quotient is the unique candidate minimizing |c - q*b|
+    (ties are impossible: a ratio of 16-bit integers is either exactly
+    representable or has an infinite binary expansion, never a 25-bit
+    midpoint). Five candidates cover a 2-ulp-wrong fast division.
+
+    Pure elementwise VPU ops (~60 flops/element): ~0.26 TFLOPS at the
+    100k-chunks/s serving rate, invisible next to the frontend matmuls.
+
+    q0 overrides the fast-division starting point (tests perturb it to
+    prove the candidate search recovers from a backend whose division is
+    up to 2 ulp off).
+    """
+    if q0 is None:
+        q0 = c / b
+    inf = jnp.float32(jnp.inf)
+
+    def err(q):
+        hi, lo = _two_prod_f32(q, b)
+        return jnp.abs((c - hi) - lo)
+
+    best_q, best_e = q0, err(q0)
+    up1 = jnp.nextafter(q0, inf)
+    dn1 = jnp.nextafter(q0, -inf)
+    for q in (up1, dn1, jnp.nextafter(up1, inf), jnp.nextafter(dn1, -inf)):
+        e = err(q)
+        take = e < best_e
+        best_q = jnp.where(take, q, best_q)
+        best_e = jnp.where(take, e, best_e)
+    return best_q
+
+
+def _dequantize_int16(w):
+    """[B, T+1] int16 codes + scale column -> [B, T] float32 waveforms.
+
+    scale = |last column| (−32768 encodes a peak of 32768); rows from
+    load_chunks_int16 carry their window's peak code (bit-exact
+    reconstruction of the host's peak-normalized floats), rows from
+    quantize_waveform_int16 carry 32767 (the requantizing fallback).
+    """
+    codes = w[:, :-1].astype(jnp.float32)
+    scale = jnp.maximum(jnp.abs(w[:, -1:].astype(jnp.float32)), 1.0)
+    return _div_exact_int(codes, scale)
 
 
 def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
@@ -65,10 +143,13 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
             feeds the integer graph directly (prequantized_input). 'off'
             forces the XLA composition; 'interpret' runs the kernel in
             interpreter mode (validation/tests only — slow).
-        input_dtype: 'int16' accepts quantize_waveform_int16 codes and
-            dequantizes on device inside the same dispatch — halves the
-            host->device waveform stream (13.7 GB/s of float32 at the
-            device's measured rate). None = float32 waveforms.
+        input_dtype: 'int16' accepts [B, T+1] int16 codes + scale column
+            (audio/io.load_chunks_int16 raw PCM codes — bit-exact vs the
+            float path — or quantize_waveform_int16 requantized floats)
+            and dequantizes on device inside the same dispatch with
+            correctly-rounded division — halves the host->device waveform
+            stream (13.7 GB/s of float32 at the device's measured rate).
+            None = float32 waveforms [B, T].
     """
     if stft_precision is None:
         stft_precision = ("high" if getattr(runner, "dtype", None) is not None
@@ -96,12 +177,12 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
 
         def _wave(wave):
             if _dequant_in:
-                wave = wave.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+                wave = _dequantize_int16(wave)
             return resample_chunk_batch(wave, input_sample_rate, cfg)
     else:
         def _wave(wave):
             if _dequant_in:
-                wave = wave.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+                wave = _dequantize_int16(wave)
             return wave
 
     def _inputs(wave, cfg=cfg):
@@ -238,7 +319,8 @@ def make_embedder(runner, cfg, stft_precision: str | None = None):
 
 def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
                         device_resample: bool = False,
-                        cache_dir: str | None = None):
+                        cache_dir: str | None = None,
+                        int16_io: bool = False):
     """One probe + one decode for the serving drivers (cli/benchmark.py,
     cli/serve.py): (chunks [N, T], src_rate, audio_seconds, read_ms).
 
@@ -249,6 +331,12 @@ def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
     worker threads. cache_dir routes decode through the decoded-waveform
     cache (audio/io.cached_waveform): pre-staged bulk serving decodes each
     file once, later passes read memmap slices.
+
+    int16_io=True returns [N, T+1] int16 codes + scale column instead:
+    mono PCM16 WAVs already at the decode rate ship their RAW sample codes
+    (bit-exact vs the float path after the device dequant); everything
+    else decodes to float and requantizes (quantize_waveform_int16, one
+    PCM16 LSB of error).
     """
     from birdnet_stm32_tpu.audio.io import audio_info
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
@@ -264,13 +352,47 @@ def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
                 src_rate = int(info.sample_rate)
     except Exception:
         pass  # unparseable header: decode below yields 0 chunks
-    chunks = chunks_for_file(str(path), cfg, overlap, max_duration=max_duration,
-                             sample_rate=src_rate, cache_dir=cache_dir)
+    if int16_io:
+        chunks = chunks_for_classify_int16(str(path), cfg, overlap,
+                                           max_duration=max_duration,
+                                           sample_rate=src_rate,
+                                           cache_dir=cache_dir)
+    else:
+        chunks = chunks_for_file(str(path), cfg, overlap,
+                                 max_duration=max_duration,
+                                 sample_rate=src_rate, cache_dir=cache_dir)
     if duration <= 0.0 and len(chunks):
         # No header duration (e.g. stream estimate failed): approximate
         # from the chunk count (overlapped chunks double-count time).
         duration = len(chunks) * (cfg.chunk_duration - overlap) + overlap
     return chunks, src_rate, duration, (time.perf_counter() - t0) * 1000.0
+
+
+def chunks_for_classify_int16(path, cfg, overlap: float = 0.0,
+                              max_duration=None, sample_rate=None,
+                              cache_dir: str | None = None) -> np.ndarray:
+    """[N, T+1] int16 chunks + scale column for one file.
+
+    Mono PCM16 WAVs at the decode rate ship their RAW codes (window peak
+    in the scale column — bit-exact after the device dequant); everything
+    else (resampled, multi-channel, codec formats, cached float decodes)
+    falls back to float decode + quantize_waveform_int16 (scale 32767,
+    one PCM16 LSB of error). Shared by decode_for_classify and
+    evaluation.metrics.evaluate(int16_io=True).
+    """
+    from birdnet_stm32_tpu.audio.io import load_chunks_int16
+    from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
+
+    rate = sample_rate or cfg.sample_rate
+    chunks = load_chunks_int16(path, sample_rate=rate,
+                               chunk_duration=cfg.chunk_duration,
+                               chunk_overlap=overlap,
+                               max_duration=max_duration)
+    if chunks is None:
+        chunks = quantize_waveform_int16(
+            chunks_for_file(path, cfg, overlap, max_duration=max_duration,
+                            sample_rate=rate, cache_dir=cache_dir))
+    return chunks
 
 
 def classify_in_batches(classify, chunks: np.ndarray, batch_size: int):
