@@ -141,10 +141,13 @@ def main(argv=None) -> int:
     print("\n=== Evaluation ===")
     for k in ("roc-auc", "cmAP", "mAP", "precision", "recall", "f1",
               "latency_mean_ms", "latency_median_ms", "latency_p95_ms",
-              "latency_p99_ms", "total_chunks", "peak_rss_mb"):
+              "latency_p99_ms", "blocking_read_floor_ms",
+              "latency_mean_device_est_ms", "total_chunks", "peak_rss_mb"):
         if k in results:
             v = results[k]
-            print(f"{k:>18}: {v:.4f}" if isinstance(v, float) else f"{k:>18}: {v}")
+            print(f"{k:>26}: {v:.4f}" if isinstance(v, float) else f"{k:>26}: {v}")
+    if "latency_note" in results:
+        print(f"[note] {results['latency_note']}")
 
     # Top/bottom-10 AP (reference evaluate.py:133-146).
     aps = dict(zip(classes, results.get("ap_per_class", [])))

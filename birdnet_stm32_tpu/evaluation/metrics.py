@@ -238,6 +238,35 @@ def evaluate(
         metrics["latency_median_ms"] = float(np.median(lat))
         metrics["latency_p95_ms"] = float(np.percentile(lat, 95))
         metrics["latency_p99_ms"] = float(np.percentile(lat, 99))
+        # Every timed batch blocks on ONE host read, so the stats above
+        # include a per-batch transport constant (~28 ms on tunneled
+        # backends, ~0 on-host). Measure it directly with tiny round
+        # trips and report a device-time estimate; without this the
+        # percentiles read as device latency when they are mostly
+        # transport on a tunnel (docs/troubleshooting.md).
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            tiny = jax.jit(lambda x: x + 1.0)
+            np.asarray(tiny(jnp.zeros((), jnp.float32)))  # compile
+            reads = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(tiny(jnp.zeros((), jnp.float32)))
+                reads.append((time.perf_counter() - t0) * 1000.0)
+            floor_ms = float(np.median(reads))
+            metrics["blocking_read_floor_ms"] = floor_ms
+            metrics["latency_mean_device_est_ms"] = max(
+                0.0, metrics["latency_mean_ms"] - floor_ms / batch_size)
+            metrics["latency_note"] = (
+                f"per-chunk stats include a {floor_ms:.1f} ms blocking "
+                f"host-read floor per {batch_size}-chunk batch; "
+                "latency_mean_device_est_ms subtracts it. For transport-"
+                "free throughput use the enqueue-many protocol "
+                "(bench.py / benchmark --pipeline).")
+        except Exception:  # noqa: BLE001 — the caveat is best-effort
+            pass
     if profile_memory:
         rss_after_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         metrics["peak_rss_mb"] = round(rss_after_kb / 1024, 1)
