@@ -1,13 +1,17 @@
-"""Accuracy table on the hard synthetic benchmark: float32 vs INT8 vs QAT.
+"""Accuracy ladder on the hard synthetic benchmark -> ACCURACY.json.
 
 Trains a small model on the hard fixture set (six confusable same-band
 classes, SNR sweep to -10 dB, overlapping distractors —
 tests/fixtures/generate_fixtures.generate_hard_fixtures), PTQ-converts it,
-QAT-finetunes it, and evaluates all three artifacts on the held-out split.
-Prints one JSON line per artifact; the tracked table lives in
-docs/evaluation.md. Unlike the 3-class fixture set, metrics here sit
-meaningfully below 1.0, so regressions in the frontend, training, or
-quantization move them.
+QAT-finetunes it, and evaluates four artifacts on the held-out split:
+float32, INT8-PTQ, INT8-QAT, and INT8-PTQ served with --int16_io waveform
+shipping (raw PCM16 codes; must match the PTQ row BIT-EXACTLY on these
+mono PCM16 fixtures — models/serving.py exactness guarantee).
+
+Writes the committed round-over-round artifact `ACCURACY.json` at the
+repo root (seeds and geometry recorded). tests/test_hard_benchmark.py
+gates its own training run to the committed float32 row +/- 0.07 cmAP, so
+a regression that costs more than 0.07 cmAP fails the suite.
 
 Usage: JAX_PLATFORMS=cpu python scripts/bench_accuracy.py [out_dir]
 """
@@ -90,13 +94,18 @@ def main() -> None:
     test_files, _, _ = load_file_paths_from_directory(str(data / "test"),
                                                       classes=list(classes))
 
-    def report(tag, runner):
-        m, _, _, _ = evaluate(runner, test_files, list(classes), cfg, batch_size=32)
-        print(json.dumps({"artifact": tag, "cmAP": round(m["cmAP"], 4),
-                          "roc_auc": round(m["roc-auc"], 4),
-                          "mAP": round(m.get("mAP", float("nan")), 4),
-                          "f1": round(m["f1"], 4)}), flush=True)
-        return m
+    rows = []
+
+    def report(tag, runner, **eval_kw):
+        m, _, _, ys = evaluate(runner, test_files, list(classes), cfg,
+                               batch_size=32, **eval_kw)
+        row = {"artifact": tag, "cmAP": round(m["cmAP"], 4),
+               "roc_auc": round(m["roc-auc"], 4),
+               "mAP": round(m.get("mAP", float("nan")), 4),
+               "f1": round(m["f1"], 4)}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+        return ys
 
     report("float32", FlaxRunner(model_f, vars_f, cfg))
 
@@ -113,7 +122,20 @@ def main() -> None:
                                        "batch_stats": vars_f.get("batch_stats", {})},
                                       cfg, calib, quantize="int8",
                                       class_activation="sigmoid"))
-    report("int8_ptq", TFLiteSimRunner(str(tfl)))
+    ys_ptq = report("int8_ptq", TFLiteSimRunner(str(tfl)))
+
+    # The same PTQ artifact served with int16 waveform shipping: the hard
+    # fixtures are mono PCM16 WAVs at the model rate, so the raw-code path
+    # applies and the scores must be BIT-IDENTICAL to the float-shipped
+    # PTQ row (serving._div_exact_int correctly-rounded device dequant).
+    ys_i16 = report("int8_ptq_int16_io", TFLiteSimRunner(str(tfl)),
+                    int16_io=True)
+    int16_bitwise = bool(np.array_equal(
+        ys_i16.view(np.int32), ys_ptq.view(np.int32)))
+    print(json.dumps({"int16_io_matches_ptq_bitwise": int16_bitwise}), flush=True)
+    if not int16_bitwise:
+        raise SystemExit("int16_io scores diverged from the float-shipped "
+                         "PTQ scores on PCM16 sources — exactness broken")
 
     # QAT: short STE fine-tune from the float checkpoint, then re-convert.
     qat_dir = out_dir / "qat"
@@ -129,6 +151,25 @@ def main() -> None:
     tfl_q.write_bytes(convert_to_tflite(vars_q, cfg, calib, quantize="int8",
                                         class_activation="sigmoid"))
     report("int8_qat", TFLiteSimRunner(str(tfl_q)))
+
+    artifact = {
+        "benchmark": "hard synthetic set (generate_hard_fixtures: 6 "
+                     "confusable classes, SNR to -10 dB, distractors)",
+        "geometry": {"train_per_class": 24, "test_per_class": 10,
+                     "sample_rate": 8000, "num_mels": 32, "spec_width": 32,
+                     "fft_length": 256, "alpha": 0.5, "epochs": 12,
+                     "steps_per_epoch": 16, "batch_size": 32,
+                     "learning_rate": 3e-3, "bn_momentum": 0.7},
+        "seeds": {"fixtures": "generate_hard_fixtures default",
+                  "init": 0, "train": 0, "qat": 1, "calib": 0},
+        "int16_io_matches_ptq_bitwise": int16_bitwise,
+        "suite_gate": "tests/test_hard_benchmark.py asserts its float32 "
+                      "run within +/- 0.07 cmAP of the float32 row",
+        "rows": rows,
+    }
+    out = Path(__file__).resolve().parents[1] / "ACCURACY.json"
+    out.write_text(json.dumps(artifact, indent=1) + "\n")
+    print(f"[accuracy] wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
