@@ -147,11 +147,157 @@ def generate_hard_fixtures(out_dir: str | Path, sample_rate: int = 8000,
     return out_dir
 
 
+# --- Flagship benchmark (round 3) --------------------------------------------
+#
+# A 100-class corpus at the shipped checkpoint's geometry (22.05 kHz, 3-s
+# chunks; reference checkpoints/birdnet_stm32n6_100_model_config.json) so the
+# training stack can be driven end-to-end at its design point. Every class is
+# a procedurally sampled "species": a frequency band plus a syllable grammar
+# (sweeps / trills / warbles / two-tones with per-class AM, harmonics, and
+# timing), consistent within the class and jittered per call. Files are long
+# (default 30 s) with several calls each, so chunking, activity gating, and
+# the decoded-waveform cache all run exactly as they would on field data.
+
+
+def _species_params(ci: int, seed: int) -> dict:
+    """Deterministic per-class vocalization grammar."""
+    rng = np.random.default_rng((seed, ci))
+    f_center = float(np.exp(rng.uniform(np.log(700.0), np.log(8500.0))))
+    band = float(rng.uniform(1.25, 2.1))
+    kinds = ("up", "down", "ushape", "trill", "warble", "two_tone")
+    w = rng.dirichlet(np.ones(len(kinds)) * 0.7)
+    return {
+        "f_lo": f_center / band,
+        "f_hi": f_center * band,
+        "kind_weights": w,
+        "kinds": kinds,
+        "n_syll": int(rng.integers(1, 6)),
+        "syll_dur": float(rng.uniform(0.08, 0.5)),
+        "gap": float(rng.uniform(0.02, 0.25)),
+        "am_rate": float(rng.uniform(2.0, 14.0)),
+        "am_depth": float(rng.uniform(0.0, 0.8)),
+        "trill_rate": float(rng.uniform(8.0, 30.0)),
+        "vib_rate": float(rng.uniform(3.0, 9.0)),
+        "vib_depth_hz": float(rng.uniform(40.0, 300.0)),
+        "h2": float(rng.uniform(0.0, 0.5)),
+        "h3": float(rng.uniform(0.0, 0.25)),
+    }
+
+
+def _syllable(p: dict, kind: str, sr: int, rng: np.random.Generator) -> np.ndarray:
+    dur = p["syll_dur"] * rng.uniform(0.85, 1.15)
+    t = np.arange(int(sr * dur)) / sr
+    if len(t) < 8:
+        t = np.arange(8) / sr
+    jit = rng.uniform(0.95, 1.05)
+    f_lo, f_hi = p["f_lo"] * jit, p["f_hi"] * jit
+    T = t[-1] + 1e-9
+    if kind == "up":
+        f = f_lo + (f_hi - f_lo) * t / T
+    elif kind == "down":
+        f = f_hi - (f_hi - f_lo) * t / T
+    elif kind == "ushape":
+        f = f_lo + (f_hi - f_lo) * (2 * t / T - 1) ** 2
+    elif kind == "warble":
+        f = (f_lo + f_hi) / 2 + p["vib_depth_hz"] * np.sin(2 * np.pi * p["vib_rate"] * t)
+    elif kind == "two_tone":
+        f = np.where(np.sin(2 * np.pi * 2 * p["am_rate"] * t) > 0, f_lo, f_hi)
+    else:  # trill
+        f = np.full_like(t, (f_lo + f_hi) / 2)
+    phase = 2 * np.pi * np.cumsum(f) / sr
+    y = np.sin(phase) + p["h2"] * np.sin(2 * phase) + p["h3"] * np.sin(3 * phase)
+    am = 1.0 - p["am_depth"] * 0.5 * (1 + np.sin(2 * np.pi * p["am_rate"] * t))
+    if kind == "trill":
+        am = am * (np.sin(2 * np.pi * p["trill_rate"] * t) > 0)
+    ramp = max(1, len(t) // 12)
+    env = np.ones(len(t))
+    env[:ramp] = np.linspace(0, 1, ramp)
+    env[-ramp:] = np.linspace(1, 0, ramp)
+    return (y * am * env).astype(np.float64)
+
+
+def _call(p: dict, sr: int, rng: np.random.Generator) -> np.ndarray:
+    parts = []
+    gap = np.zeros(int(sr * p["gap"] * rng.uniform(0.7, 1.3)))
+    for _ in range(p["n_syll"]):
+        kind = rng.choice(p["kinds"], p=p["kind_weights"])
+        parts.append(_syllable(p, str(kind), sr, rng))
+        parts.append(gap)
+    return np.concatenate(parts[:-1]) if parts else np.zeros(8)
+
+
+def _place_calls(p: dict, n: int, sr: int, chunk_s: float,
+                 rng: np.random.Generator) -> np.ndarray:
+    """Calls of species `p` across an n-sample file: >= 1 call per chunk
+    window so activity gating keeps every labeled chunk."""
+    sig = np.zeros(n)
+    chunk = int(sr * chunk_s)
+    for start in range(0, n - chunk + 1, chunk):
+        for _ in range(int(rng.integers(1, 3))):
+            c = _call(p, sr, rng)
+            if len(c) >= chunk:
+                c = c[:chunk - 16]
+            off = start + int(rng.integers(0, chunk - len(c)))
+            sig[off:off + len(c)] += c
+    return sig
+
+
+def generate_flagship_fixtures(out_dir: str | Path, num_classes: int = 100,
+                               sample_rate: int = 22050,
+                               file_duration: float = 30.0,
+                               chunk_duration: float = 3.0,
+                               train_per_class: int = 6,
+                               test_per_class: int = 2,
+                               seed: int = 2026) -> Path:
+    """100-class flagship-geometry corpus (multi-call 30-s files).
+
+    Train files draw SNR ~ U[0, 20] dB; test files sweep the
+    {-5, 0, 5, 10, 20} dB ladder and every other one carries a -6 dB
+    distractor from another class. Class names follow the reference
+    label format '<scientific>_<common>'.
+    """
+    from birdnet_stm32_tpu.audio.io import save_wav
+
+    out_dir = Path(out_dir)
+    n = int(sample_rate * file_duration)
+    species = [_species_params(ci, seed) for ci in range(num_classes)]
+    names = [f"Synthia sp{ci:03d}_Synthetic Species {ci:03d}"
+             for ci in range(num_classes)]
+    snr_ladder = (-5.0, 0.0, 5.0, 10.0, 20.0)
+
+    for split, per_class in (("train", train_per_class), ("test", test_per_class)):
+        for ci, (p, name) in enumerate(zip(species, names)):
+            d = out_dir / split / name
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(per_class):
+                rng = np.random.default_rng((seed, ci, i, split == "train"))
+                sig = _place_calls(p, n, sample_rate, chunk_duration, rng)
+                if split == "train":
+                    snr = float(rng.uniform(0.0, 20.0))
+                else:
+                    snr = snr_ladder[i % len(snr_ladder)]
+                    if i % 2:
+                        dj = int(rng.integers(1, num_classes))
+                        sig = sig + 0.5 * _place_calls(
+                            species[(ci + dj) % num_classes], n, sample_rate,
+                            chunk_duration, rng)
+                noise = rng.normal(0.0, 1.0, n)
+                sig_p = np.mean(sig ** 2) + 1e-12
+                noise *= np.sqrt(sig_p / (10.0 ** (snr / 10.0)))
+                y = sig + noise
+                y = (0.9 * y / (np.abs(y).max() + 1e-9)).astype(np.float32)
+                save_wav(y, d / f"sp{ci:03d}_{i:02d}_snr{int(snr):+03d}.wav",
+                         sample_rate)
+    return out_dir
+
+
 if __name__ == "__main__":
     # Script mode puts tests/fixtures/ on sys.path, not the repo root.
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     dest = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).parent / "data")
     if len(sys.argv) > 2 and sys.argv[2] == "hard":
         print(f"hard fixtures written to {generate_hard_fixtures(dest)}")
+    elif len(sys.argv) > 2 and sys.argv[2] == "flagship":
+        print(f"flagship fixtures written to {generate_flagship_fixtures(dest)}")
     else:
         print(f"fixtures written to {generate_fixtures(dest)}")
