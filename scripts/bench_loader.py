@@ -27,7 +27,8 @@ from birdnet_stm32_tpu.data.pipeline import AudioLoader
 from birdnet_stm32_tpu.data.worker import LoaderConfig
 
 
-def measure(paths, workers, batch_size, n_batches, cache_dir):
+def measure(paths, workers, batch_size, n_batches, cache_dir,
+            executor="thread"):
     cfg = LoaderConfig(
         sample_rate=22050, chunk_duration=3.0, num_classes=2,
         max_chunks_per_file=20, snr_threshold=0.0, seed=0,
@@ -36,7 +37,7 @@ def measure(paths, workers, batch_size, n_batches, cache_dir):
     labels = np.tile(np.eye(2, dtype=np.float32)[0], (len(paths), 1))
     loader = AudioLoader(paths=paths, labels=labels, cfg=cfg,
                          batch_size=batch_size, num_workers=workers,
-                         shuffle=True, infinite=True)
+                         shuffle=True, infinite=True, executor=executor)
     it = iter(loader)
     next(it)  # warm the pool (thread spin-up, first decodes)
     t0 = time.perf_counter()
@@ -52,6 +53,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("audio_dir")
     p.add_argument("--workers", default="4,8,16")
+    p.add_argument("--executors", default="thread",
+                   help="comma list of AudioLoader executors to sweep "
+                        "(thread = production default, process = spawn pool)")
     p.add_argument("--cache_dir", default=None)
     p.add_argument("--batches", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=256)
@@ -61,17 +65,33 @@ def main() -> None:
     if not paths:
         raise SystemExit(f"no WAVs under {args.audio_dir}")
 
-    for w in (int(x) for x in args.workers.split(",")):
-        rate = measure(paths, w, args.batch_size, args.batches, None)
-        print(json.dumps({"mode": "decode", "workers": w,
-                          "loader_chunks_per_sec": round(rate, 1)}), flush=True)
-        if args.cache_dir:
-            # First pass populates the cache (unmeasured), second serves
-            # memmap slices — the pre-staged configuration.
-            measure(paths, w, args.batch_size, args.batches, args.cache_dir)
-            rate = measure(paths, w, args.batch_size, args.batches, args.cache_dir)
-            print(json.dumps({"mode": "cached", "workers": w,
-                              "loader_chunks_per_sec": round(rate, 1)}), flush=True)
+    import os
+
+    nproc = os.cpu_count() or 1
+    # The honest unit on a shared/small machine is chunks/s PER CORE: the
+    # worker count only controls oversubscription; total throughput is
+    # bounded by cores. Host capability = per-core rate x host cores.
+    for ex in args.executors.split(","):
+        for w in (int(x) for x in args.workers.split(",")):
+            rate = measure(paths, w, args.batch_size, args.batches, None,
+                           executor=ex)
+            print(json.dumps({"mode": "decode", "executor": ex, "workers": w,
+                              "nproc": nproc,
+                              "loader_chunks_per_sec": round(rate, 1),
+                              "chunks_per_sec_per_core": round(rate / nproc, 1)}),
+                  flush=True)
+            if args.cache_dir:
+                # First pass populates the cache (unmeasured), second
+                # serves memmap slices — the pre-staged configuration.
+                measure(paths, w, args.batch_size, args.batches,
+                        args.cache_dir, executor=ex)
+                rate = measure(paths, w, args.batch_size, args.batches,
+                               args.cache_dir, executor=ex)
+                print(json.dumps({"mode": "cached", "executor": ex,
+                                  "workers": w, "nproc": nproc,
+                                  "loader_chunks_per_sec": round(rate, 1),
+                                  "chunks_per_sec_per_core": round(rate / nproc, 1)}),
+                      flush=True)
 
 
 if __name__ == "__main__":
