@@ -18,7 +18,11 @@ from pathlib import Path
 import numpy as np
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
-_SO_PATH = _REPO_ROOT / "native" / "build" / "libaudio_native.so"
+# Wheel installs have no repo-relative native/ tree; BIRDNET_TPU_NATIVE_LIB
+# points them at a prebuilt library (docs/release-process.md).
+_SO_PATH = Path(os.environ.get(
+    "BIRDNET_TPU_NATIVE_LIB",
+    _REPO_ROOT / "native" / "build" / "libaudio_native.so"))
 _lib = None
 _load_failed = False
 _load_lock = threading.Lock()
@@ -156,7 +160,9 @@ def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 # libsndfile). Built by the same `make -C native` when the libav dev
 # packages exist; everything degrades to WAV-only when absent.
 
-_CODEC_PATH = _REPO_ROOT / "native" / "build" / "libaudio_codec.so"
+_CODEC_PATH = Path(os.environ.get(
+    "BIRDNET_TPU_NATIVE_CODEC_LIB",
+    _REPO_ROOT / "native" / "build" / "libaudio_codec.so"))
 _codec = None
 _codec_failed = False
 
