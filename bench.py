@@ -13,6 +13,11 @@ configuration: the first rows of the measured batch are checked
 element-for-element against the TFLite interpreter before the clock starts.
 MFU/roofline fields (FLOPs from XLA's cost analysis vs the v5e bf16 peak)
 ride along in the same JSON line so perf headroom stays legible.
+
+A second headline rides along: bf16 serving (bf16 transplant + bf16-I/O
+HIGH STFT), whose in-bench gate is mean score cosine >= 0.999 vs the
+float32 transplant. One chip at >= 100k chunks/s on this path meets the
+ENTIRE v5e-8 BASELINE target on 1/8 of the hardware.
 """
 
 from __future__ import annotations
@@ -106,6 +111,42 @@ def main() -> None:
 
     chunks_per_sec = sustained_chunks_per_sec(classify_int8, wave)
 
+    # Second headline: bf16 serving (bf16 transplant + bf16-I/O HIGH STFT,
+    # ops/stft.py) — the fastest path; its gate is fidelity vs the float32
+    # transplant (mean cosine >= 0.999, asserted on a probe below), where
+    # the INT8 path's gate is bit-exactness vs the shipped TFLite. Knee is
+    # B=2048 (scripts/bench_bf16_knee.py; 4096+ regress, 16384 OOMs).
+    from birdnet_stm32_tpu.models.transplant import load_reference_model
+
+    model, variables, _ = load_reference_model(
+        "/root/reference/checkpoints/birdnet_stm32n6_100.keras",
+        "/root/reference/checkpoints/birdnet_stm32n6_100_model_config.json")
+    v16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+        variables)
+    B16 = 2048
+    wave16 = wave[:B16]
+
+    def _bf16_scores(w):
+        x = inputs_for_config(w, cfg, stft_precision="high",
+                              feature_dtype=jnp.bfloat16)
+        return model.apply(v16, x, train=False).astype(jnp.float32)
+
+    classify_bf16 = jax.jit(lambda w: _bf16_scores(w).sum())
+
+    probe = wave16[:256]
+    s32 = np.asarray(jax.jit(lambda w: model.apply(
+        variables, inputs_for_config(w, cfg), train=False))(probe))
+    s16 = np.asarray(jax.jit(_bf16_scores)(probe))
+    bf16_cos = float(np.mean(
+        np.sum(s32 * s16, -1) / (np.linalg.norm(s32, axis=-1)
+                                 * np.linalg.norm(s16, axis=-1) + 1e-12)))
+    assert bf16_cos >= 0.999, (
+        f"bf16 serving cosine {bf16_cos:.6f} < 0.999 vs the f32 transplant")
+
+    bf16_chunks_per_sec = sustained_chunks_per_sec(classify_bf16, wave16)
+
     # Roofline accounting: XLA's own FLOP count for the whole compiled
     # program (frontend + integer model), normalized per chunk. int8 MACs
     # run at the bf16 rate through XLA (docs/performance.md), so the bf16
@@ -126,6 +167,10 @@ def main() -> None:
         "unit": "chunks/sec/chip",
         "vs_baseline": round(chunks_per_sec / TARGET_PER_CHIP, 4),
         "bit_exact_asserted_rows": GOLDEN_ROWS,
+        "bf16_chunks_per_sec": round(bf16_chunks_per_sec, 1),
+        "bf16_vs_baseline": round(bf16_chunks_per_sec / TARGET_PER_CHIP, 4),
+        "bf16_cosine_vs_f32": round(bf16_cos, 6),
+        "bf16_batch": B16,
     }
     if flops_per_chunk is not None:
         out.update({

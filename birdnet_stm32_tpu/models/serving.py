@@ -185,13 +185,22 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
                 wave = _dequantize_int16(wave)
             return wave
 
+    # bf16 float runners consume bf16 features: request them from the
+    # frontend (bf16-I/O STFT, ops/stft.py — halves the frontend's
+    # intermediate HBM traffic, the measured bottleneck; 98.5k -> 115k
+    # chunks/s on the flagship at B=2048) instead of casting f32 features
+    # after the fact. mfcc keeps the f32 pipeline internally either way.
+    _feat_dtype = (getattr(runner, "dtype", None)
+                   if stft_precision != "highest" else None)
+
     def _inputs(wave, cfg=cfg):
         w = _wave(wave)
         if use_kernel:
             # Falls back to the XLA composition internally when the
             # geometry violates the kernel's 2*hop >= n_fft precondition.
             return frontend_input(w, cfg, interpret=_interp)
-        return inputs_for_config(w, cfg, stft_precision=stft_precision)
+        return inputs_for_config(w, cfg, stft_precision=stft_precision,
+                                 feature_dtype=_feat_dtype)
 
     _out = np.asarray if as_numpy else (lambda a: a)
     mesh = getattr(runner, "mesh", None)
@@ -294,9 +303,11 @@ def make_embedder(runner, cfg, stft_precision: str | None = None):
     dtype = getattr(runner, "dtype", None)
 
     def fn(v, w):
-        x = inputs_for_config(w, cfg, stft_precision=stft_precision)
+        x = inputs_for_config(w, cfg, stft_precision=stft_precision,
+                              feature_dtype=(dtype if stft_precision != "highest"
+                                             else None))
         if dtype is not None:
-            x = x.astype(dtype)
+            x = x.astype(dtype)  # no-op when the frontend already emitted bf16
         _, emb = runner.model.apply(v, x, train=False, return_embeddings=True)
         return emb.astype(jnp.float32)
 

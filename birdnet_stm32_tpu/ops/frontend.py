@@ -37,6 +37,7 @@ from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
         "n_mfcc",
         "chunk_samples",
         "stft_precision",
+        "feature_dtype",
     ),
 )
 def waveform_to_input(
@@ -50,32 +51,38 @@ def waveform_to_input(
     n_mfcc: int,
     chunk_samples: int,
     stft_precision: str = "highest",
+    feature_dtype=None,
 ) -> jax.Array:
-    """Map [B, T] waveforms to the model input for the given frontend."""
+    """Map [B, T] waveforms to the model input for the given frontend.
+
+    feature_dtype=jnp.bfloat16 emits bf16 features via the bf16-I/O STFT
+    (ops/stft.py) — for consumers (bf16 serving) that cast to bf16 anyway.
+    """
     if audio_frontend == "raw":
         x = audio[:, :chunk_samples]
         if x.shape[1] < chunk_samples:
             x = jnp.pad(x, ((0, 0), (0, chunk_samples - x.shape[1])))
         peak = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-        return (x / (peak + 1e-6))[..., None]  # [B, T, 1]
+        x = (x / (peak + 1e-6))[..., None]  # [B, T, 1]
+        return x.astype(feature_dtype) if feature_dtype is not None else x
 
     if audio_frontend == "hybrid":
         S = spectrogram_batch(
             audio, sample_rate=sample_rate, n_fft=n_fft, mel_bins=-1,
             spec_width=spec_width, mag_scale="none", mode="linear",
-            stft_precision=stft_precision,
+            stft_precision=stft_precision, feature_dtype=feature_dtype,
         )
     elif audio_frontend in ("mfcc", "log_mel"):
         S = spectrogram_batch(
             audio, sample_rate=sample_rate, n_fft=n_fft, mel_bins=mel_bins,
             spec_width=spec_width, mag_scale="none", mode=audio_frontend, n_mfcc=n_mfcc,
-            stft_precision=stft_precision,
+            stft_precision=stft_precision, feature_dtype=feature_dtype,
         )
     elif audio_frontend == "librosa":
         S = spectrogram_batch(
             audio, sample_rate=sample_rate, n_fft=n_fft, mel_bins=mel_bins,
             spec_width=spec_width, mag_scale=mag_scale, mode="mel",
-            stft_precision=stft_precision,
+            stft_precision=stft_precision, feature_dtype=feature_dtype,
         )
     else:
         raise ValueError(f"Invalid audio frontend: {audio_frontend!r}")
@@ -83,12 +90,15 @@ def waveform_to_input(
 
 
 def inputs_for_config(audio: jax.Array, cfg: ModelConfig,
-                      stft_precision: str = "highest") -> jax.Array:
+                      stft_precision: str = "highest",
+                      feature_dtype=None) -> jax.Array:
     """Convenience wrapper taking a ModelConfig.
 
     stft_precision: 'highest' (librosa-parity, default) | 'high'
     (serving-grade, ~1e-6 relative error, ~half the frontend MXU work) |
     'default' (fastest, measurable score drift — see docs/performance.md).
+    feature_dtype: None (parity) | jnp.bfloat16 (bf16 serving — bf16-I/O
+    STFT, half the frontend's intermediate HBM traffic).
     """
     return waveform_to_input(
         audio,
@@ -101,4 +111,5 @@ def inputs_for_config(audio: jax.Array, cfg: ModelConfig,
         n_mfcc=cfg.n_mfcc,
         chunk_samples=cfg.chunk_samples,
         stft_precision=stft_precision,
+        feature_dtype=feature_dtype,
     )

@@ -29,7 +29,7 @@ VALID_MODES = ("mel", "mfcc", "log_mel", "linear")
 
 @partial(
     jax.jit,
-    static_argnames=("sample_rate", "n_fft", "mel_bins", "spec_width", "mag_scale", "mode", "n_mfcc", "stft_precision"),
+    static_argnames=("sample_rate", "n_fft", "mel_bins", "spec_width", "mag_scale", "mode", "n_mfcc", "stft_precision", "feature_dtype"),
 )
 def spectrogram_batch(
     audio: jax.Array,
@@ -41,6 +41,7 @@ def spectrogram_batch(
     mode: str = "mel",
     n_mfcc: int = 20,
     stft_precision: str = "highest",
+    feature_dtype=None,
 ) -> jax.Array:
     """Compute magnitude spectrogram features for a batch of waveforms.
 
@@ -53,6 +54,14 @@ def spectrogram_batch(
         mag_scale: 'none' | 'pcen' | 'pwl' | 'db' (mel/linear modes only).
         mode: 'mel' | 'mfcc' | 'log_mel' | 'linear'.
         n_mfcc: Coefficients kept in mfcc mode.
+        feature_dtype: None keeps audio.dtype end-to-end (the parity
+            path). jnp.bfloat16 serves consumers that cast features to
+            bf16 anyway (bf16 serving): the STFT runs its bf16-I/O
+            formulation (ops/stft.py — half the intermediate HBM traffic),
+            the epilogue computes in f32 off bf16-resident tensors, and
+            the output is bf16. Ignored in mfcc mode (power_to_db's
+            dynamic range wants the f32 pipeline; only the final cast
+            applies).
 
     Returns:
         [B, bins, spec_width] features in [0, 1] (bins = mel_bins, n_mfcc,
@@ -81,7 +90,8 @@ def spectrogram_batch(
         n_frames = min(spec_width, n_frames_full)
 
     S = stft_magnitude(audio, n_fft=n_fft, hop=hop, n_frames=n_frames, center=True,
-                       precision=stft_precision)  # [B, W, F]
+                       precision=stft_precision,
+                       out_dtype=None if mode == "mfcc" else feature_dtype)  # [B, W, F]
 
     if not linear_mode:
         power = 2.0 if mode == "mfcc" else 1.0
@@ -97,6 +107,7 @@ def spectrogram_batch(
         S = S @ fb  # [B, W, M] on the MXU
 
     S = jnp.swapaxes(S, 1, 2)  # [B, bins, W] freq-major
+    out_dtype = feature_dtype or S.dtype
 
     if mode == "mfcc":
         ref = jnp.max(S, axis=sample_axes, keepdims=True)
@@ -105,11 +116,16 @@ def spectrogram_batch(
         S = jnp.swapaxes(S, 1, 2)
         if spec_width > 0:
             S = S[:, :, :spec_width]
-        return mag_ops.normalize_minmax(S, axis=sample_axes)
+        return mag_ops.normalize_minmax(S, axis=sample_axes).astype(out_dtype)
+
+    if feature_dtype is not None and S.dtype != jnp.float32:
+        # Epilogue math in f32 (XLA fuses the upcast into the reads of the
+        # bf16-resident magnitude/mel tensor — no extra HBM traffic).
+        S = S.astype(jnp.float32)
 
     if mode == "log_mel":
         S = jnp.log1p(S)
-        return mag_ops.normalize_minmax(S, axis=sample_axes)
+        return mag_ops.normalize_minmax(S, axis=sample_axes).astype(out_dtype)
 
     # 'mel' and 'linear' modes share the mag_scale behavior matrix.
     if mag_scale == "pcen":
@@ -120,4 +136,4 @@ def spectrogram_batch(
         ref = jnp.max(S, axis=sample_axes, keepdims=True)
         S = mag_ops.amplitude_to_db(S, ref=ref, top_db=80.0, axis=sample_axes)
 
-    return mag_ops.normalize_minmax(S, axis=sample_axes)
+    return mag_ops.normalize_minmax(S, axis=sample_axes).astype(out_dtype)

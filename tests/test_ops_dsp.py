@@ -131,6 +131,52 @@ def test_stft_precision_api():
         stft_magnitude(y, n_fft=128, hop=125, n_frames=32, precision="fast")
 
 
+def test_stft_bf16_io_tracks_f32():
+    """The bf16-I/O STFT (out_dtype=bfloat16, the bf16-serving frontend)
+    tracks the f32 path within bf16 rounding on BOTH formulations: the
+    size-2 conv path (2*hop >= n_fft) and the gather fallback. The 2-limb
+    kernel split keeps the DFT bases at ~2^-17 relative error, so the
+    only losses are the one-time input rounding and the output store."""
+    from birdnet_stm32_tpu.ops.stft import stft_magnitude
+
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4000)).astype(np.float32))
+    for hop in (125, 40):  # conv path; gather path (2*40 < 128)
+        n_frames = (4000 - 128) // hop
+        ref = np.asarray(stft_magnitude(y, n_fft=128, hop=hop, n_frames=n_frames,
+                                        precision="highest"))
+        lo = stft_magnitude(y, n_fft=128, hop=hop, n_frames=n_frames,
+                            precision="high", out_dtype=jnp.bfloat16)
+        assert lo.dtype == jnp.bfloat16
+        scale = ref.max()
+        np.testing.assert_allclose(np.asarray(lo, np.float32) / scale, ref / scale,
+                                   atol=0.02)
+    # out_dtype=bfloat16 with precision='highest' stays on the f32 pipeline
+    # (librosa-parity compute) and only casts the result.
+    hi16 = stft_magnitude(y, n_fft=128, hop=125, n_frames=30,
+                          precision="highest", out_dtype=jnp.bfloat16)
+    assert hi16.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("mode,mag", [("linear", "none"), ("mel", "pwl"),
+                                      ("log_mel", "none"), ("mfcc", "none"),
+                                      ("mel", "db"), ("mel", "pcen")])
+def test_spectrogram_feature_dtype_bf16(noise_wave, mode, mag):
+    """feature_dtype=bfloat16 emits bf16 features that track the f32
+    pipeline within bf16 resolution for every mode x mag_scale combo
+    (mfcc keeps its f32 internals and only casts the output)."""
+    y, sr = noise_wave
+    kw = dict(sample_rate=sr, n_fft=256, mel_bins=20, spec_width=64,
+              mode=mode, mag_scale=mag, n_mfcc=8)
+    ref = np.asarray(spectrogram_batch(jnp.asarray(y)[None], **kw))
+    lo = spectrogram_batch(jnp.asarray(y)[None], stft_precision="high",
+                           feature_dtype=jnp.bfloat16, **kw)
+    assert lo.dtype == jnp.bfloat16
+    assert lo.shape == ref.shape
+    # Features are [0, 1]-normalized (or DCT coefficients of a normalized
+    # log spectrum); absolute tolerance at bf16 resolution of that range.
+    np.testing.assert_allclose(np.asarray(lo, np.float32), ref, atol=0.05)
+
+
 def test_spectrogram_odd_sample_rate_fmax_floors(rng):
     """fmax floors to sr // 2 like the reference (spectrogram.py:74), so odd
     sample rates produce identical mel band edges."""
