@@ -354,12 +354,15 @@ def main(argv=None) -> int:
     # Smoothing is applied in the LOSS (reference cli/train.py:475-479 via
     # the Keras losses); its mixup never smooths (generator.py:410), so
     # passing label_smoothing to the batcher too would smooth twice.
+    import jax.numpy as jnp
+
     batcher = make_train_batcher(
         cfg, spec_augment=not args.no_spec_augment,
         mixup_alpha=args.mixup_alpha,
         mixup_probability=0.0 if args.no_mixup else args.mixup_probability,
         freq_mask_max=args.freq_mask_max, time_mask_max=args.time_mask_max,
-        stft_precision="high" if args.mixed_precision else "highest")
+        stft_precision="high" if args.mixed_precision else "highest",
+        feature_dtype=jnp.bfloat16 if args.mixed_precision else None)
     class_weights = None if args.no_class_weights else balanced_class_weights(
         raw_labels, class_names)
 

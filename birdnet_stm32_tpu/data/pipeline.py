@@ -298,6 +298,7 @@ def make_train_batcher(
     freq_mask_max: int = 8,
     time_mask_max: int = 25,
     stft_precision: str = "highest",
+    feature_dtype=None,
 ):
     """Jitted device transform: waveform batch -> (model inputs, labels).
 
@@ -308,6 +309,11 @@ def make_train_batcher(
     stft_precision: 'high' halves the frontend DFT matmul cost (~1e-6
     relative error — irrelevant for training); mixed-precision training
     uses it by default via the CLI.
+    feature_dtype: jnp.bfloat16 runs the frontend through the bf16-I/O
+    STFT (ops/stft.py — half the intermediate HBM traffic) and hands the
+    train step bf16 features directly, skipping its input cast;
+    mixed-precision training uses it by default via the CLI. Augmentation
+    mask/mix math stays f32 and rounds once at the output.
     """
 
     @partial(jax.jit)
@@ -323,6 +329,7 @@ def make_train_batcher(
             n_mfcc=cfg.n_mfcc,
             chunk_samples=cfg.chunk_samples,
             stft_precision=stft_precision,
+            feature_dtype=feature_dtype,
         )
         k1, k2 = jax.random.split(key)
         if spec_augment and cfg.audio_frontend != "raw":
@@ -331,6 +338,11 @@ def make_train_batcher(
             k2, x, labels, alpha=mixup_alpha, probability=mixup_probability,
             label_smoothing=label_smoothing,
         )
+        if feature_dtype is not None:
+            # Mixup's f32 mixing weights promote x; round back once (XLA
+            # fuses the whole augment+cast chain into the single output
+            # materialization).
+            x = x.astype(feature_dtype)
         return x, labels
 
     return batcher

@@ -121,6 +121,31 @@ def test_train_batcher_shapes(wav_dataset):
     assert y2.shape == (8, 2)
 
 
+def test_train_batcher_feature_dtype_bf16(wav_dataset):
+    """Mixed-precision training's bf16 batcher (feature_dtype=bfloat16,
+    bf16-I/O STFT) emits bf16 features that track the f32 batcher within
+    bf16 resolution when augmentation is deterministic-off."""
+    import jax.numpy as jnp
+
+    from birdnet_stm32_tpu.config import ModelConfig
+
+    root, sr = wav_dataset
+    mcfg = ModelConfig(sample_rate=sr, num_mels=16, spec_width=32, fft_length=128,
+                       chunk_duration=1.0, embeddings_size=32, num_classes=2,
+                       audio_frontend="hybrid", mag_scale="pwl")
+    wave = np.random.default_rng(0).normal(0, 0.3, (8, sr)).astype(np.float32)
+    lab = np.eye(2, dtype=np.float32)[np.arange(8) % 2]
+    kw = dict(spec_augment=False, mixup_probability=0.0)
+    x32, _ = make_train_batcher(mcfg, **kw)(jax.random.key(0), wave, lab)
+    x16, y16 = make_train_batcher(mcfg, stft_precision="high",
+                                  feature_dtype=jnp.bfloat16, **kw)(
+        jax.random.key(0), wave, lab)
+    assert x16.dtype == jnp.bfloat16
+    assert y16.dtype == jnp.float32  # labels stay f32
+    np.testing.assert_allclose(np.asarray(x16, np.float32), np.asarray(x32),
+                               atol=0.02)
+
+
 def test_train_batcher_raw_frontend(wav_dataset):
     from birdnet_stm32_tpu.config import ModelConfig
 
