@@ -218,12 +218,15 @@ def test_process_pool_pause_does_not_trip_watchdog(wav_dataset):
     cfg = LoaderConfig(sample_rate=sr, chunk_duration=1.0, num_classes=2,
                        max_chunks_per_file=2, random_offset=False, seed=1)
     control = {"max_inflight_files": 0}  # start paused
+    # worker_timeout must exceed the spawn-bootstrap time (workers re-import
+    # numpy/jax — production default is 120 s); 6 s flaked on a fully loaded
+    # single-core machine, so keep a 20 s budget and pause strictly longer.
     loader = AudioLoader(paths, y, cfg, batch_size=4, num_workers=2,
                          shuffle=False, infinite=False, executor="process",
-                         worker_timeout=6.0, loader_control=control)
+                         worker_timeout=20.0, loader_control=control)
 
     def unpause():
-        _time.sleep(8.0)  # pause strictly longer than worker_timeout
+        _time.sleep(24.0)  # pause strictly longer than worker_timeout
         control["max_inflight_files"] = 64
 
     threading.Thread(target=unpause, daemon=True).start()
