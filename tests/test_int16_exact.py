@@ -200,6 +200,38 @@ def test_int16_scores_bit_exact_vs_float_path(tmp_path, rng):
         err_msg="int16-shipped scores != float32-path scores bitwise")
 
 
+def test_int16_composes_with_bf16_serving(tmp_path, rng):
+    """--int16_io + --bf16 in one dispatch: raw PCM16 codes are dequantized
+    exactly on device, then flow through the bf16-I/O frontend into the
+    bf16 model. Scores must track the f32 int16 path within bf16
+    resolution (the bf16 tier's own gate, not the bit-exact one — shipping
+    stays exact, the bf16 compute tier is the approximation)."""
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+
+    sr = 8000
+    cfg = ModelConfig(sample_rate=sr, num_mels=32, spec_width=32,
+                      fft_length=256, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=4, class_names=list("abcd"), alpha=0.25,
+                      audio_frontend="hybrid", mag_scale="pwl")
+    model = build_dscnn(cfg, class_activation="softmax")
+    v = init_model(model, cfg, jax.random.key(0))
+
+    wave = np.clip(rng.normal(0, 0.1, int(sr * 2.2)), -0.999, 0.999).astype(np.float32)
+    path = tmp_path / "c16.wav"
+    save_wav(wave * 0.7, path, sample_rate=sr)
+    i16_chunks, *_ = decode_for_classify(path, cfg, int16_io=True)
+
+    r32 = FlaxRunner(model, v, cfg)
+    r16 = FlaxRunner(model, v, cfg, dtype=jnp.bfloat16)
+    s_f32 = make_fused_classifier(r32, cfg, input_dtype="int16")(i16_chunks)
+    s_b16 = make_fused_classifier(r16, cfg, input_dtype="int16")(i16_chunks)
+    assert s_b16.dtype == np.float32
+    np.testing.assert_allclose(s_b16, s_f32, atol=0.02)
+
+
 def test_quantize_waveform_int16_wire_format(rng):
     """Requantizing fallback emits [B, T+1] with scale 32767 and one-LSB
     round-trip error through the device dequant."""
