@@ -12,7 +12,7 @@ residuals instead. This script verifies, ON THE REAL CHIP:
    floats bitwise, including the -32768 encoding of peak 32768.
 
 CPU equivalents run in-suite (tests/test_int16_exact.py); this is the
-hardware leg. Last verified: 2026-08-19, 0 mismatches (371 peaks).
+hardware leg. Last verified: 2026-08-21, 0 mismatches (371 peaks).
 
 Usage: python scripts/verify_int16_exact_tpu.py
 """
