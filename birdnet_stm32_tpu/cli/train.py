@@ -238,6 +238,15 @@ def main(argv=None) -> int:
 
     set_global_seed(args.seed)
     args.audio_frontend = normalize_frontend_name(args.audio_frontend)
+    # Reference head rule (cli/train.py:432,471 there): the head is sigmoid /
+    # the loss BCE whenever mixup is active — mixup's label-union targets are
+    # multilabel by construction, and softmax-vs-union training produces the
+    # under-confident operating points the reference never ships. --multilabel
+    # stays as an explicit opt-in for --no_mixup runs. QAT / linear-probe
+    # branches below override this from the BASE checkpoint's recorded head.
+    explicit_multilabel = args.multilabel
+    if not args.no_mixup and args.mixup_probability > 0:
+        args.multilabel = True
     run_dir = Path(args.run_dir)
     keras_stem = None
     if run_dir.suffix == ".keras":
@@ -253,7 +262,13 @@ def main(argv=None) -> int:
 
     if args.qat:
         from birdnet_stm32_tpu.quant.qat import run_qat
+        from birdnet_stm32_tpu.training.checkpoint import _is_multilabel
 
+        # The QAT fine-tune keeps the BASE checkpoint's head: its loss and
+        # the recorded head of the QAT'd run must match what the base run
+        # trained (mixup is off during QAT, so the mixup rule above does
+        # not apply here).
+        args.multilabel = explicit_multilabel or _is_multilabel(run_dir)
         cfg = ModelConfig.load(run_dir / "model_config.json")
         for f in ("sample_rate", "chunk_duration", "num_mels", "spec_width",
                   "fft_length", "audio_frontend", "mag_scale"):
@@ -287,6 +302,10 @@ def main(argv=None) -> int:
         n_mfcc=args.n_mfcc,
     )
     if args.linear_probe:
+        # The probe's new head trains WITHOUT mixup (plain feature batches
+        # below), so the mixup->sigmoid rule does not apply; only an
+        # explicit --multilabel opts the probe head into sigmoid.
+        args.multilabel = explicit_multilabel
         # The probe trains on the BASE checkpoint's audio geometry: loaders
         # must read at ITS sample rate / chunk length, not the CLI defaults
         # (the QAT branch syncs the same way) — otherwise waveforms are

@@ -62,7 +62,14 @@ class ModelConfig:
     spec_width: int = 256
     fft_length: int = 512
     chunk_duration: float = 3.0
-    hop_length: int = 281
+    # STFT hop in samples. The reference computes hop at train time and
+    # persists it (cli/train.py:324,449 there; always chunk_samples //
+    # spec_width — its static default 281 is that formula at the default
+    # 24 kHz/3 s/256-frame geometry). None -> computed from the geometry;
+    # an inconsistent stored value (a stale sidecar) is healed with a
+    # warning, since every consumer (trainer, firmware frontend) derives
+    # frames from this same contract.
+    hop_length: int | None = None
     audio_frontend: str = "hybrid"
     mag_scale: str = "pwl"
     n_mfcc: int = 20
@@ -108,6 +115,20 @@ class ModelConfig:
             raise ValueError(
                 f"class_names length ({len(self.class_names)}) != num_classes ({self.num_classes})"
             )
+        expected_hop = self.compute_hop_length()
+        if self.hop_length is None:
+            self.hop_length = expected_hop
+        elif self.hop_length != expected_hop:
+            warnings.warn(
+                f"hop_length={self.hop_length} is inconsistent with the "
+                f"geometry contract chunk_samples // spec_width = "
+                f"{expected_hop} (sample_rate={self.sample_rate}, "
+                f"chunk_duration={self.chunk_duration}, "
+                f"spec_width={self.spec_width}); healing to {expected_hop}. "
+                "Re-save this sidecar to fix it permanently.",
+                stacklevel=2,
+            )
+            self.hop_length = expected_hop
 
     # -- Derived quantities ---------------------------------------------------
 

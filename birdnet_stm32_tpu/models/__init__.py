@@ -27,7 +27,9 @@ def register_model(name: str):
 
     def decorator(fn: Callable[..., Any]) -> Callable[..., Any]:
         if name in _MODEL_REGISTRY:
-            raise ValueError(f"Model '{name}' is already registered.")
+            raise ValueError(
+                f"a model builder named {name!r} exists; pick another name "
+                "or remove the old registration first")
         _MODEL_REGISTRY[name] = fn
         return fn
 
@@ -41,7 +43,9 @@ def build_model(name: str, cfg, **kwargs: Any):
         KeyError: If no model with the given name is registered.
     """
     if name not in _MODEL_REGISTRY:
-        raise KeyError(f"Unknown model: '{name}'. Available: {list_models()}")
+        raise KeyError(
+            f"no model builder registered under {name!r} "
+            f"(registered: {list_models()})")
     return _MODEL_REGISTRY[name](cfg, **kwargs)
 
 

@@ -24,8 +24,8 @@ def quantize_waveform_int16(wave: np.ndarray) -> np.ndarray:
     half-bandwidth shipping (make_fused_classifier(input_dtype='int16')
     dequantizes on device by dividing codes by |scale|).
 
-    At the device's measured 51.6k chunks/s, float32 3-s/22.05 kHz
-    waveforms are a 13.7 GB/s host->device stream — int16 halves that on
+    At the device's measured 61.1k INT8 / 115.6k bf16 chunks/s, float32
+    3-s/22.05 kHz waveforms are a 16-30 GB/s host->device stream — int16 halves that on
     any link (and quadruples throughput on the ~20 MB/s tunnel). This
     REQUANTIZING path costs one PCM16 LSB (~3e-5) of waveform error — the
     fallback for floats that aren't raw PCM16 codes (resampled, downmixed,

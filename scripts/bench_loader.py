@@ -8,7 +8,8 @@ on a bulk corpus, sweeping worker counts, with and without the decoded-
 waveform cache, and prints one JSON line per configuration.
 
 Usage: python scripts/bench_loader.py AUDIO_DIR [--workers 4,8,16]
-       [--cache_dir DIR] [--batches N] [--batch_size B]
+       [--executors thread,process] [--cache_dir DIR] [--batches N]
+       [--batch_size B]
 """
 
 from __future__ import annotations

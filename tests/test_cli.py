@@ -154,6 +154,15 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     assert (run_dir / "labels.txt").exists()
     assert (run_dir / "best").exists()
     assert (run_dir / "history.csv").exists()
+    # Sidecar contract: the persisted hop_length must equal the hop the
+    # model trained with (chunk_samples // spec_width), at ANY sample rate
+    # — a reference firmware build consumes this field verbatim.
+    sidecar = json.loads((run_dir / "model_config.json").read_text())
+    assert sidecar["hop_length"] == 4000 // 32 == 125
+    # Reference head rule: mixup is on by default, so the run records a
+    # multilabel (sigmoid) head like the reference's default trains.
+    state = json.loads((run_dir / "train_state.json").read_text())
+    assert state["multilabel"] is True
 
     # Convert (dynamic mode: fast, no INT8 calibration loop on CPU).
     out_tfl = tmp_path / "model.tflite"

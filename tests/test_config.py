@@ -41,7 +41,33 @@ def test_loads_reference_shipped_config():
     assert cfg.num_classes == 100
     assert len(cfg.class_names) == 100
     assert cfg.compute_hop_length() == 258
+    assert cfg.hop_length == 258  # shipped value preserved, no healing
     assert cfg.input_shape() == (257, 256, 1)
+
+
+def test_hop_length_computed_from_geometry():
+    """hop_length follows chunk_samples // spec_width at any rate (the
+    reference computes + persists it at train time, cli/train.py:324,449
+    there); the static-281 default only ever matched 24 kHz/3 s/256."""
+    assert ModelConfig().hop_length == 281
+    assert ModelConfig(sample_rate=22050).hop_length == 258
+    assert ModelConfig(sample_rate=48000, chunk_duration=2.0).hop_length == 375
+
+
+def test_hop_length_stale_sidecar_healed(tmp_path):
+    """A sidecar carrying the 24 kHz default hop at a different rate (what
+    this repo wrote before round 4) loads with a warning and a corrected
+    value, so downstream consumers (headers, conversion) stay consistent."""
+    data = ModelConfig(sample_rate=22050).to_dict()
+    data["hop_length"] = 281  # stale
+    p = tmp_path / "stale.json"
+    p.write_text(json.dumps(data))
+    with pytest.warns(UserWarning, match="hop_length=281"):
+        cfg = ModelConfig.load(p)
+    assert cfg.hop_length == 258
+    # Re-saving repairs the file permanently.
+    cfg.save(p)
+    assert json.loads(p.read_text())["hop_length"] == 258
 
 
 @pytest.mark.parametrize("field,value", [

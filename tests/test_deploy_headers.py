@@ -10,7 +10,7 @@ from birdnet_stm32_tpu.deploy.headers import (
 
 def cfg(**kw):
     base = dict(sample_rate=22050, num_mels=64, spec_width=256, fft_length=512,
-                chunk_duration=3.0, hop_length=258, embeddings_size=256,
+                chunk_duration=3.0, embeddings_size=256,
                 num_classes=3, class_names=["a", "b", "c"],
                 audio_frontend="hybrid", mag_scale="pwl")
     base.update(kw)
@@ -55,6 +55,25 @@ def test_write_headers(tmp_path):
     p1, p2 = write_headers(cfg(), ["a", "b", "c"], tmp_path)
     assert p1.read_text().startswith("/* Auto-generated")
     assert "APP_LABELS[]" in p2.read_text()
+
+
+def test_header_hop_agrees_with_reference_firmware_read(tmp_path):
+    """The generated APP_HOP_LENGTH and a simulated reference
+    gen_app_config.py:36 read of the SAME sidecar must agree — this is the
+    ModelConfig-interchangeability contract the stale-281 bug broke."""
+    import json
+    import re
+
+    c = cfg()  # 22.05 kHz / 3 s / 256 frames
+    sidecar = tmp_path / "model_config.json"
+    c.save(sidecar)
+    # What the reference's firmware header generator would read:
+    model_cfg = json.loads(sidecar.read_text())
+    ref_hop = int(model_cfg.get("hop_length", c.fft_length // 2 + 2))
+    assert ref_hop == 66150 // 256 == 258
+    h = generate_app_config_h(c)
+    ours = int(re.search(r"#define APP_HOP_LENGTH\s+(\d+)", h).group(1))
+    assert ours == ref_hop
 
 
 def test_undeployable_frontend_rejected():
