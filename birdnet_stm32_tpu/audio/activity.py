@@ -35,17 +35,28 @@ def smart_crop(
     chunk_duration: float,
     max_chunks: int = 5,
     energy_percentile: float = 75.0,
-) -> list[np.ndarray]:
+    return_starts: bool = False,
+):
     """Extract the most salient chunks from a long recording.
 
     STE percentile threshold -> contiguous active regions -> one chunk
     centered on each region's energy peak -> dedup by half-chunk distance ->
     energy-ranked top max_chunks (reference activity.py:33-129).
+
+    return_starts=True additionally returns each chunk's start offset into
+    `audio` (-1 for the one short-input case, which zero-pads), so callers
+    can slice the SAME windows out of a parallel array (the int16 shipping
+    path slices raw PCM codes at the starts chosen on the float signal).
     """
+    def _done(chunks, starts):
+        return (chunks, starts) if return_starts else chunks
+
     chunk_size = int(sample_rate * chunk_duration)
     n = audio.shape[0]
     if n <= chunk_size:
-        return [np.pad(audio, (0, max(0, chunk_size - n)))[:chunk_size].astype(np.float32)]
+        return _done(
+            [np.pad(audio, (0, max(0, chunk_size - n)))[:chunk_size].astype(np.float32)],
+            [-1])
 
     frame_len = min(1024, chunk_size // 4)
     hop = frame_len // 2
@@ -54,7 +65,7 @@ def smart_crop(
     if ste.max() < 1e-10:
         mid = n // 2
         start = max(0, mid - chunk_size // 2)
-        return [audio[start : start + chunk_size].astype(np.float32)]
+        return _done([audio[start : start + chunk_size].astype(np.float32)], [start])
 
     above = ste >= np.percentile(ste, energy_percentile)
     # Contiguous region boundaries via diff of the boolean mask.
@@ -64,7 +75,7 @@ def smart_crop(
     if not regions:
         mid = n // 2
         start = max(0, mid - chunk_size // 2)
-        return [audio[start : start + chunk_size].astype(np.float32)]
+        return _done([audio[start : start + chunk_size].astype(np.float32)], [start])
 
     candidates = []
     for rs, re in regions:
@@ -81,8 +92,10 @@ def smart_crop(
         selected.append(start)
         if len(selected) >= max_chunks:
             break
-    chunks = [audio[s : s + chunk_size].astype(np.float32) for s in selected]
-    return chunks if chunks else [audio[:chunk_size].astype(np.float32)]
+    if not selected:
+        return _done([audio[:chunk_size].astype(np.float32)], [0])
+    return _done([audio[s : s + chunk_size].astype(np.float32) for s in selected],
+                 selected)
 
 
 def get_s2n(x: np.ndarray) -> float:
@@ -123,12 +136,21 @@ def get_activity_ratio(x: np.ndarray, k: float = 2.0, max_active: float = 0.8,
     return 0.0 if ratio > max_active else ratio
 
 
-def sort_by_activity(samples: list[np.ndarray], threshold: float = 0.25) -> list[np.ndarray]:
-    """Sort by activity ratio, filter, keep >= 1 (reference activity.py:217-233)."""
+def sort_by_activity(samples: list[np.ndarray], threshold: float = 0.25,
+                     return_indices: bool = False):
+    """Sort by activity ratio, filter, keep >= 1 (reference activity.py:217-233).
+
+    return_indices=True returns indices into `samples` instead of the
+    samples themselves (same order/filter), so a parallel array can be
+    selected identically (int16 shipping path)."""
     activity = np.array([get_activity_ratio(s) for s in samples])
     order = np.argsort(activity)[::-1]
-    kept = [samples[i] for i in order if activity[i] >= threshold]
-    return kept if kept else [samples[order[0]]]
+    kept = [i for i in order if activity[i] >= threshold]
+    if not kept:
+        kept = [order[0]]
+    if return_indices:
+        return [int(i) for i in kept]
+    return [samples[i] for i in kept]
 
 
 def pick_random_samples(samples: list, num_samples: int = 1, pick_first: bool = False,

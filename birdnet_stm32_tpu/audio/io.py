@@ -438,12 +438,22 @@ def split_audio_into_chunks(
     y = np.asarray(audio, dtype).reshape(-1)
     if y.shape[0] <= chunk_size:
         return np.pad(y, (0, chunk_size - y.shape[0]))[None, :]
+    starts = chunk_starts(y.shape[0], sample_rate, chunk_duration, chunk_overlap)
+    return np.stack([y[s : s + chunk_size] for s in starts])
+
+
+def chunk_starts(n: int, sample_rate: int, chunk_duration: float,
+                 chunk_overlap: float = 0.0) -> np.ndarray:
+    """Start offsets split_audio_into_chunks slices at for an input of
+    length n > chunk_size (shared so the int16 shipping path can slice the
+    SAME windows out of the raw code array)."""
+    chunk_size = int(sample_rate * chunk_duration)
     max_overlap = max(0.0, min(chunk_overlap, chunk_duration - 0.1))
     step = max(1, int(sample_rate * (chunk_duration - max_overlap)))
-    starts = np.arange(0, y.shape[0] - chunk_size + 1, step, dtype=np.int64)
-    if starts.size == 0 or starts[-1] + chunk_size < y.shape[0]:
-        starts = np.append(starts, y.shape[0] - chunk_size)
-    return np.stack([y[s : s + chunk_size] for s in starts])
+    starts = np.arange(0, n - chunk_size + 1, step, dtype=np.int64)
+    if starts.size == 0 or starts[-1] + chunk_size < n:
+        starts = np.append(starts, n - chunk_size)
+    return starts
 
 
 def load_audio_file(
@@ -499,6 +509,38 @@ def load_chunks_int16(
     window policy as load_audio_window (random_offset=False).
     """
     try:
+        codes = load_window_int16(path, sample_rate, max_duration=max_duration,
+                                  chunk_duration=chunk_duration)
+        if codes is None:
+            return None
+        # int32 before abs: |int16 -32768| overflows back to -32768.
+        peak = int(np.max(np.abs(codes.astype(np.int32))))
+        chunks = split_audio_into_chunks(
+            codes, sample_rate=sample_rate, chunk_duration=chunk_duration,
+            chunk_overlap=chunk_overlap, dtype=np.int16)
+        scale = np.full((chunks.shape[0], 1),
+                        peak if peak < 32768 else -32768, np.int16)
+        return np.concatenate([chunks, scale], axis=1)
+    except Exception:
+        return None
+
+
+def load_window_int16(
+    path: str | Path,
+    sample_rate: int,
+    max_duration: float | None = None,
+    chunk_duration: float = 3.0,
+    random_offset: bool = False,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray | None:
+    """Raw PCM16 codes of ONE read window — the int16 analog of
+    load_audio_window, sharing its _window_bounds offset policy (and its
+    rng draw order, so an identically-seeded float load reads the SAME
+    window). Returns None when the file is ineligible for exact int16
+    shipping: non-WAV, not mono PCM16, a different rate, or empty —
+    callers fall back to the float decode.
+    """
+    try:
         p = Path(path)
         if p.suffix.lower() != ".wav":
             return None
@@ -508,20 +550,12 @@ def load_chunks_int16(
                 and info.frames > 0):
             return None
         start, n = _window_bounds(info.frames, info.sample_rate, max_duration,
-                                  chunk_duration, False, None)
+                                  chunk_duration, random_offset, rng)
         if n <= 0:
             return None
         raw = np.memmap(p, dtype=np.uint8, mode="r",
                         offset=info.data_offset + start * 2, shape=(n * 2,))
-        codes = np.frombuffer(raw, dtype="<i2")
-        # int32 before abs: |int16 -32768| overflows back to -32768.
-        peak = int(np.max(np.abs(codes.astype(np.int32))))
-        chunks = split_audio_into_chunks(
-            codes, sample_rate=sample_rate, chunk_duration=chunk_duration,
-            chunk_overlap=chunk_overlap, dtype=np.int16)
-        scale = np.full((chunks.shape[0], 1),
-                        peak if peak < 32768 else -32768, np.int16)
-        return np.concatenate([chunks, scale], axis=1)
+        return np.frombuffer(raw, dtype="<i2")
     except Exception:
         return None
 

@@ -90,6 +90,12 @@ def get_args(argv=None):
                    help="override the auto-selected loss (reference --loss)")
     p.add_argument("--max_duration", type=float, default=30.0,
                    help="max seconds decoded per file during loading")
+    p.add_argument("--no_int16_feed", action="store_true",
+                   help="ship float32 waveforms to the device instead of the "
+                        "default int16 code rows (int16 halves the "
+                        "host->device stream; PCM16 WAVs at the model rate "
+                        "ship raw codes and dequantize BIT-EXACTLY on "
+                        "device, other sources requantize at ~1 LSB)")
     p.add_argument("--cache_dir", default=None,
                    help="decoded-waveform cache directory: files decode + "
                         "resample once (epoch 1); later epochs memmap-slice "
@@ -136,7 +142,7 @@ def get_args(argv=None):
     return args
 
 
-def build_loaders(args, for_qat: bool = False):
+def build_loaders(args, for_qat: bool = False, ship_int16: bool = False):
     """Discover files, split, upsample, and build train/val iterators."""
     from birdnet_stm32_tpu.data.dataset import (
         get_classes_with_most_samples,
@@ -179,6 +185,7 @@ def build_loaders(args, for_qat: bool = False):
         snr_threshold=args.snr_threshold, seed=args.seed,
         load_duration=getattr(args, "max_duration", 30.0),
         cache_dir=getattr(args, "cache_dir", None),
+        ship_int16=ship_int16,
     )
     from birdnet_stm32_tpu.parallel.distributed import host_shard
 
@@ -193,9 +200,12 @@ def build_loaders(args, for_qat: bool = False):
     # deterministic reads, ONE chunk per file, and the reference's 5x
     # activity-threshold jump (train 0.1 -> val 0.5, both hardcoded
     # there; scale the user's train threshold by the same ratio).
+    # Validation always ships float32: the trainer's val loop feeds
+    # inputs_for_config directly (no batcher to dequantize), and the val
+    # pass is a small fraction of the epoch's bytes.
     val_lcfg = dataclasses.replace(
         lcfg, random_offset=False, max_chunks_per_file=1,
-        snr_threshold=args.snr_threshold * 5.0)
+        snr_threshold=args.snr_threshold * 5.0, ship_int16=False)
     val_loader = AudioLoader(
         val_paths, one_hot_labels(val_labels, class_names), val_lcfg,
         batch_size=args.batch_size, num_workers=args.num_workers,
@@ -335,7 +345,12 @@ def main(argv=None) -> int:
             learning_rate=args.learning_rate, multilabel=args.multilabel, seed=args.seed)
         return 0
 
-    train_loader, val_loader, class_names, raw_labels = build_loaders(args)
+    # int16 feed (half the host->device bytes/step): standard training path
+    # only — find_lr/tune/probe feed model inputs without the dequantizing
+    # batcher, QAT keeps the reference's float feed for its short runs.
+    int16_feed = not args.no_int16_feed and not args.find_lr and not args.tune
+    train_loader, val_loader, class_names, raw_labels = build_loaders(
+        args, ship_int16=int16_feed)
     cfg = ModelConfig(num_classes=len(class_names), class_names=class_names, **cfg_kwargs)
     info("train", f"{len(train_loader.paths)} train files, "
                   f"{len(val_loader.paths)} val files, {len(class_names)} classes")
@@ -381,7 +396,8 @@ def main(argv=None) -> int:
         mixup_probability=0.0 if args.no_mixup else args.mixup_probability,
         freq_mask_max=args.freq_mask_max, time_mask_max=args.time_mask_max,
         stft_precision="high" if args.mixed_precision else "highest",
-        feature_dtype=jnp.bfloat16 if args.mixed_precision else None)
+        feature_dtype=jnp.bfloat16 if args.mixed_precision else None,
+        input_dtype="int16" if int16_feed else None)
     class_weights = None if args.no_class_weights else balanced_class_weights(
         raw_labels, class_names)
 

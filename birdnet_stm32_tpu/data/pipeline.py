@@ -299,6 +299,7 @@ def make_train_batcher(
     time_mask_max: int = 25,
     stft_precision: str = "highest",
     feature_dtype=None,
+    input_dtype: str | None = None,
 ):
     """Jitted device transform: waveform batch -> (model inputs, labels).
 
@@ -314,10 +315,23 @@ def make_train_batcher(
     train step bf16 features directly, skipping its input cast;
     mixed-precision training uses it by default via the CLI. Augmentation
     mask/mix math stays f32 and rounds once at the output.
+    input_dtype: 'int16' accepts [B, T+1] code+scale rows from a
+    ship_int16 loader (half the host->device bytes) and dequantizes on
+    device with the correctly-rounded division of models/serving before
+    the frontend — bit-exact vs the float32 feed for PCM16 sources.
     """
+    if input_dtype not in (None, "float32", "int16"):
+        raise ValueError(f"input_dtype must be None|'float32'|'int16', got {input_dtype!r}")
+    dequantize = None
+    if input_dtype == "int16":
+        from birdnet_stm32_tpu.models.serving import _dequantize_int16
+
+        dequantize = _dequantize_int16
 
     @partial(jax.jit)
     def batcher(key, wave, labels):
+        if dequantize is not None:
+            wave = dequantize(wave)
         x = waveform_to_input(
             wave,
             audio_frontend=cfg.audio_frontend,

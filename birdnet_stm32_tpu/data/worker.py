@@ -15,8 +15,10 @@ import numpy as np
 
 from birdnet_stm32_tpu.audio.activity import smart_crop, sort_by_activity
 from birdnet_stm32_tpu.audio.io import (
+    chunk_starts,
     estimate_num_chunks,
     load_audio_window,
+    load_window_int16,
     split_audio_into_chunks,
 )
 
@@ -42,6 +44,13 @@ class LoaderConfig:
     # their random-offset windows as memmap slices. None = decode per epoch
     # (reference behavior).
     cache_dir: str | None = None
+    # Ship chunks as int16 rows [T+1] (codes + scale column) instead of
+    # float32 [T] — HALF the host->device bytes per train step, dequantized
+    # on device by the batcher (make_train_batcher(input_dtype='int16')).
+    # Mono PCM16 WAVs at the model rate ship their RAW codes (device
+    # reconstruction is BIT-EXACT vs the float path, models/serving.py);
+    # everything else decodes to float and requantizes (~1 PCM16 LSB).
+    ship_int16: bool = False
 
     def resolved_candidates(self) -> int:
         if self.candidate_chunks_per_file is not None:
@@ -49,14 +58,81 @@ class LoaderConfig:
         return min(8, max(4, self.max_chunks_per_file * 2))
 
 
+def _int16_row(codes: np.ndarray, T: int, scale: int) -> np.ndarray:
+    """[<=T] int16 codes -> [T+1] row: zero-padded codes + scale column."""
+    row = np.zeros(T + 1, np.int16)
+    row[: codes.shape[0]] = codes
+    row[T] = scale
+    return row
+
+
+def _process_file_int16_exact(path, label, cfg, rng, T):
+    """Exact int16 shipping: select chunks on the float signal the float
+    path would produce, then slice the RAW PCM codes at the same offsets.
+    Returns None when the file is ineligible (caller falls back to the
+    float decode + requantization)."""
+    codes = load_window_int16(
+        path, cfg.sample_rate, max_duration=cfg.load_duration,
+        chunk_duration=cfg.chunk_duration, random_offset=cfg.random_offset,
+        rng=rng)
+    if codes is None or codes.size == 0:
+        return None
+    # int32 before abs: |int16 -32768| overflows back to -32768.
+    peak = int(np.max(np.abs(codes.astype(np.int32))))
+    # The float window the float path yields for this same rng draw
+    # (c/32768, then peak-normalized — both steps reproduce numpy f32
+    # semantics exactly): chunk SELECTION runs on this signal so the int16
+    # and float feeds choose identical chunks from identical offsets.
+    y = codes.astype(np.float32) / 32768.0
+    if peak > 0:
+        y = y / (peak / 32768.0)
+    n_candidates = cfg.resolved_candidates()
+    if estimate_num_chunks(y.shape[0], cfg.sample_rate, cfg.chunk_duration) > n_candidates:
+        fchunks, starts = smart_crop(y, cfg.sample_rate, cfg.chunk_duration,
+                                     max_chunks=n_candidates, return_starts=True)
+    else:
+        fchunks = list(split_audio_into_chunks(y, cfg.sample_rate, cfg.chunk_duration))
+        starts = ([-1] if y.shape[0] <= T
+                  else chunk_starts(y.shape[0], cfg.sample_rate,
+                                    cfg.chunk_duration).tolist())
+    if not fchunks:
+        return None
+    keep = sort_by_activity(fchunks, threshold=cfg.snr_threshold,
+                            return_indices=True)[: cfg.max_chunks_per_file]
+    scale = peak if peak < 32768 else -32768
+    lab = label.astype(np.float32)
+    out = []
+    for i in keep:
+        s = starts[i]
+        c = codes[:T] if s < 0 else codes[s : s + T]
+        out.append((_int16_row(c, T, scale), lab))
+    return out
+
+
+def _requantize_rows(rows, T):
+    """Float fallback for int16 shipping: [(chunk f32 [T], label)] ->
+    [([T+1] int16, label)], one PCM16 LSB of waveform error (the scale
+    column carries 32767, models/serving.quantize_waveform_int16 semantics)."""
+    out = []
+    for x, lab in rows:
+        codes = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+        out.append((_int16_row(codes, T, 32767), lab))
+    return out
+
+
 def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
-    """Worker: one file -> list of (waveform chunk [T], label [C]).
+    """Worker: one file -> list of (waveform chunk [T], label [C]);
+    with cfg.ship_int16, chunks are [T+1] int16 rows instead.
 
     Failed loads return one random-noise chunk with an all-zero label.
     """
     path, label, cfg, salt = task
     rng = np.random.default_rng((cfg.seed + salt) & 0xFFFFFFFF)
     T = int(cfg.sample_rate * cfg.chunk_duration)
+    if cfg.ship_int16:
+        exact = _process_file_int16_exact(path, label, cfg, rng, T)
+        if exact is not None:
+            return exact
     try:
         audio = load_audio_window(
             path, sample_rate=cfg.sample_rate, max_duration=cfg.load_duration,
@@ -75,7 +151,8 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
         # Zero label in the caller's actual width (cfg.num_classes may be
         # unset when the loader was built straight from a label matrix).
         width = np.asarray(label).shape[-1] if label is not None else cfg.num_classes
-        return [(chunk, np.zeros(width, np.float32))]
+        noise = [(chunk, np.zeros(width, np.float32))]
+        return _requantize_rows(noise, T) if cfg.ship_int16 else noise
 
     n_candidates = cfg.resolved_candidates()
     if estimate_num_chunks(audio.shape[0], cfg.sample_rate, cfg.chunk_duration) > n_candidates:
@@ -95,7 +172,7 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
         if x.shape[0] < T:
             x = np.pad(x, (0, T - x.shape[0]))
         out.append((x.astype(np.float32), label.astype(np.float32)))
-    return out
+    return _requantize_rows(out, T) if cfg.ship_int16 else out
 
 
 def process_files(tasks: list) -> list:
