@@ -38,6 +38,11 @@ def get_args(argv=None):
     p.add_argument("--decode_workers", type=int, default=0,
                    help=">0 prefetches file decode on N threads, overlapping "
                         "host decode with device inference")
+    p.add_argument("--int16_io", action="store_true",
+                   help="ship waveforms to the device as int16 PCM codes + "
+                        "scale (bit-exact for mono PCM16 WAVs at the model "
+                        "rate, ~1 LSB otherwise) — same transfer mode as "
+                        "serve/benchmark --int16_io")
     p.add_argument("--benchmark_latency", action="store_true")
     p.add_argument("--profile_memory", action="store_true")
     p.add_argument("--optimize_thresholds", action="store_true")
@@ -136,7 +141,7 @@ def main(argv=None) -> int:
         overlap=args.chunk_overlap, mep_beta=args.lme_beta,
         measure_latency=args.benchmark_latency, profile_memory=args.profile_memory,
         decode_workers=args.decode_workers, max_duration=args.max_duration,
-        cache_dir=args.cache_dir)
+        cache_dir=args.cache_dir, int16_io=args.int16_io)
 
     print("\n=== Evaluation ===")
     for k in ("roc-auc", "cmAP", "mAP", "precision", "recall", "f1",
@@ -178,6 +183,17 @@ def main(argv=None) -> int:
         th = M.optimize_thresholds(y_true, y_scores, classes)
         (out_dir / "thresholds.json").write_text(json.dumps(th, indent=2))
         print(f"[evaluate] per-class thresholds -> {out_dir / 'thresholds.json'}")
+        # The operating point AFTER optimization, next to the fixed-0.5 row
+        # above — the production answer to under-confident score scales
+        # (reference evaluate.py applies its optimized thresholds the same
+        # way; metrics_at_thresholds mirrors the default row's micro math).
+        opt = M.metrics_at_thresholds(y_true, y_scores, th, classes)
+        print(f"[evaluate] @optimized thresholds: "
+              f"precision={opt['precision']:.4f} recall={opt['recall']:.4f} "
+              f"f1={opt['f1']:.4f}")
+        results["precision_opt"] = opt["precision"]
+        results["recall_opt"] = opt["recall"]
+        results["f1_opt"] = opt["f1"]
     species_data = None
     if (args.bootstrap_ci or args.save_csv or args.species_report
             or args.report_html or args.save_html or args.save_benchmark_json):

@@ -291,6 +291,28 @@ def optimize_thresholds(y_true: np.ndarray, y_scores: np.ndarray, classes: list[
     return optimal
 
 
+def metrics_at_thresholds(
+    y_true: np.ndarray,
+    y_scores: np.ndarray,
+    thresholds: dict[str, float],
+    classes: list[str],
+) -> dict[str, float]:
+    """Micro precision/recall/F1 at per-class thresholds — the operating
+    point AFTER optimize_thresholds, computed exactly like evaluate()'s
+    default-0.5 row so the two are comparable (the reference applies its
+    optimized thresholds the same way, cli/evaluate.py there)."""
+    thr = np.asarray([thresholds.get(c, 0.5) for c in classes], np.float32)[None, :]
+    y_pred = (y_scores >= thr).astype(np.float32)
+    tp = float(np.sum(y_true * y_pred))
+    fp = float(np.sum((1 - y_true) * y_pred))
+    fn = float(np.sum(y_true * (1 - y_pred)))
+    precision = tp / (tp + fp + 1e-12)
+    recall = tp / (tp + fn + 1e-12)
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {"precision": precision, "recall": recall, "f1": float(f1)}
+
+
 def bootstrap_ap_ci(
     y_true: np.ndarray,
     y_scores: np.ndarray,

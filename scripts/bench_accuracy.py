@@ -8,12 +8,29 @@ float32, INT8-PTQ, INT8-QAT, and INT8-PTQ served with --int16_io waveform
 shipping (raw PCM16 codes; must match the PTQ row BIT-EXACTLY on these
 mono PCM16 fixtures — models/serving.py exactness guarantee).
 
+Every row also carries the THRESHOLD-OPTIMIZED operating point
+(precision/recall/F1 at per-class F1-optimal thresholds,
+evaluation.metrics.optimize_thresholds + metrics_at_thresholds) so the
+"QAT sharpens fixed-threshold recall" effect is compared against "PTQ +
+optimized thresholds" head-on (round-3 VERDICT ask #5).
+
 Writes the committed round-over-round artifact `ACCURACY.json` at the
 repo root (seeds and geometry recorded). tests/test_hard_benchmark.py
-gates its own training run to the committed float32 row +/- 0.07 cmAP, so
-a regression that costs more than 0.07 cmAP fails the suite.
+re-runs this ladder via run_ladder() and gates EVERY row to the committed
+cmAP +/- 0.07, so a regression in any artifact tier fails the suite.
 
-Usage: JAX_PLATFORMS=cpu python scripts/bench_accuracy.py [out_dir]
+Usage: python scripts/bench_accuracy.py [out_dir]
+
+The backend is PINNED to CPU at highest matmul precision, matching
+tests/conftest.py. NOTE: to regenerate the COMMITTED artifact, prefer
+
+    ACCURACY_REGEN=1 python -m pytest tests/test_hard_benchmark.py
+
+which runs this same run_ladder() inside the exact suite environment —
+standalone-script and in-suite runs compile subtly different numerics
+(conftest's device-count config), and the short QAT fine-tune amplifies
+a ~0.05 float-row drift past the suite gate. The standalone entry point
+remains for ad-hoc measurement on other backends.
 """
 
 from __future__ import annotations
@@ -29,28 +46,42 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_birdnet_tpu")
 
 
-def main() -> None:
-    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="hard_bench_"))
+def run_ladder(out_dir: Path) -> dict:
+    """Train + quantize + evaluate the full artifact ladder; returns the
+    ACCURACY.json artifact dict (nothing written)."""
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
     from fixtures.generate_fixtures import generate_hard_fixtures
 
     import birdnet_stm32_tpu.models.blocks as blocks
 
     # Keras-default BN momentum (0.99) needs hundreds of steps to settle;
-    # this benchmark trains ~200. Same speed-up the gate test uses
-    # (tests/test_hard_benchmark.py) — without it the inference-mode
-    # metrics measure unsettled BN statistics, not the model.
+    # this benchmark trains ~200 — without the override the inference-mode
+    # metrics measure unsettled BN statistics, not the model. Restored at
+    # the end so an in-suite caller doesn't leak it to other tests.
+    bn_saved = blocks.BN_MOMENTUM
     blocks.BN_MOMENTUM = 0.7
+    try:
+        return _run_ladder_inner(out_dir, generate_hard_fixtures)
+    finally:
+        blocks.BN_MOMENTUM = bn_saved
 
+
+def _run_ladder_inner(out_dir: Path, generate_hard_fixtures) -> dict:
     from birdnet_stm32_tpu.config import ModelConfig
     from birdnet_stm32_tpu.conversion.export_tflite import convert_to_tflite
     from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
     from birdnet_stm32_tpu.data.pipeline import AudioLoader, make_train_batcher
     from birdnet_stm32_tpu.data.worker import LoaderConfig
-    from birdnet_stm32_tpu.evaluation.metrics import evaluate
+    from birdnet_stm32_tpu.evaluation.metrics import (
+        evaluate,
+        metrics_at_thresholds,
+        optimize_thresholds,
+    )
     from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
     from birdnet_stm32_tpu.models.runners import FlaxRunner, TFLiteSimRunner
     from birdnet_stm32_tpu.ops.frontend import inputs_for_config
@@ -76,8 +107,15 @@ def main() -> None:
                         snr_threshold=0.0, random_offset=False, seed=0)
 
     def make_loader(**kw):
+        # num_workers=0: single-process, deterministic arrival order. With
+        # threaded workers the reservoir composition depends on decode
+        # completion timing, so two otherwise-identical ladder runs train
+        # on different batch sequences and cmAP wanders by ~0.1 on this
+        # tiny 12-epoch model — which made the per-row suite gate flaky.
+        # Deterministic order + fixed seeds make the committed artifact
+        # and the in-suite re-run the same trajectory.
         return AudioLoader(paths=train_files, labels=labels, cfg=lcfg,
-                           batch_size=32, num_workers=4, **kw)
+                           batch_size=32, num_workers=0, **kw)
 
     val_set = list(make_loader(shuffle=False, infinite=False))
     model = build_dscnn(cfg, class_activation="none")
@@ -97,12 +135,22 @@ def main() -> None:
     rows = []
 
     def report(tag, runner, **eval_kw):
-        m, _, _, ys = evaluate(runner, test_files, list(classes), cfg,
-                               batch_size=32, **eval_kw)
+        m, _, yt, ys = evaluate(runner, test_files, list(classes), cfg,
+                                batch_size=32, **eval_kw)
+        # Threshold-optimized operating point alongside the fixed-0.5 one:
+        # this is the production answer to under-confident scores, so the
+        # ladder records whether QAT's fixed-threshold recall advantage
+        # survives threshold optimization of the plain-PTQ artifact.
+        opt = metrics_at_thresholds(
+            yt, ys, optimize_thresholds(yt, ys, list(classes)), list(classes))
         row = {"artifact": tag, "cmAP": round(m["cmAP"], 4),
                "roc_auc": round(m["roc-auc"], 4),
                "mAP": round(m.get("mAP", float("nan")), 4),
-               "f1": round(m["f1"], 4)}
+               "f1": round(m["f1"], 4),
+               "recall": round(m["recall"], 4),
+               "f1_opt": round(opt["f1"], 4),
+               "recall_opt": round(opt["recall"], 4),
+               "precision_opt": round(opt["precision"], 4)}
         print(json.dumps(row), flush=True)
         rows.append(row)
         return ys
@@ -163,10 +211,18 @@ def main() -> None:
         "seeds": {"fixtures": "generate_hard_fixtures default",
                   "init": 0, "train": 0, "qat": 1, "calib": 0},
         "int16_io_matches_ptq_bitwise": int16_bitwise,
-        "suite_gate": "tests/test_hard_benchmark.py asserts its float32 "
-                      "run within +/- 0.07 cmAP of the float32 row",
+        "suite_gate": "tests/test_hard_benchmark.py re-runs this ladder "
+                      "and asserts EVERY row within +/- 0.07 cmAP of its "
+                      "committed value",
         "rows": rows,
     }
+    return artifact
+
+
+def main() -> None:
+    out_dir = (Path(sys.argv[1]) if len(sys.argv) > 1
+               else Path(tempfile.mkdtemp(prefix="hard_bench_")))
+    artifact = run_ladder(out_dir)
     out = Path(__file__).resolve().parents[1] / "ACCURACY.json"
     out.write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"[accuracy] wrote {out}", flush=True)

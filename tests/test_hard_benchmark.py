@@ -2,124 +2,83 @@
 sat at 1.0000, so the cmAP/threshold/bootstrap machinery had never
 discriminated anything).
 
-Trains a small model on the hard fixture set — six confusable same-band
-classes, SNR sweep down to -10 dB, overlapping distractor calls — through
-the REAL pipeline (AudioLoader -> device batcher -> train_model ->
-evaluation.evaluate over WAV files), then gates the metrics into the
-meaningful band: clearly above chance, clearly below saturation. A change
-that degrades frontend features, training, or evaluation pooling shows up
-here as a metric shift, which the saturated 3-class set could never show.
+Runs the FULL committed accuracy ladder (scripts/bench_accuracy.run_ladder:
+train on the hard fixture set -> PTQ INT8 -> int16-shipped PTQ -> QAT ->
+evaluate each artifact with default AND threshold-optimized operating
+points) and gates EVERY row against the committed ACCURACY.json within
++/- 0.07 cmAP — a regression in any tier (float training, PTQ conversion,
+exact int16 shipping, QAT) fails the suite, not just the float32 row
+(round-3 VERDICT weakness #5).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pytest
+import importlib.util
+import json
+from pathlib import Path
 
-import jax
+import pytest
 
 pytestmark = [pytest.mark.slow, pytest.mark.integration]
 
-
-@pytest.fixture(scope="module")
-def hard_dataset(tmp_path_factory):
-    from tests.fixtures.generate_fixtures import generate_hard_fixtures
-
-    # Same counts as scripts/bench_accuracy.py: the gate below compares
-    # this run's cmAP against the committed ACCURACY.json float32 row, so
-    # the geometries must match.
-    return generate_hard_fixtures(tmp_path_factory.mktemp("hard"),
-                                  train_per_class=24, test_per_class=10)
+_REPO = Path(__file__).resolve().parents[1]
 
 
-def test_hard_benchmark_discriminates(hard_dataset, monkeypatch):
-    import birdnet_stm32_tpu.models.blocks as blocks
+def _load_ladder_module():
+    spec = importlib.util.spec_from_file_location(
+        "bench_accuracy", _REPO / "scripts" / "bench_accuracy.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
-    # Keras-default BN momentum needs 100s of steps to settle; the tiny
-    # run trains dozens (same speed-up as test_trainer.py).
-    monkeypatch.setattr(blocks, "BN_MOMENTUM", 0.7)
 
-    from birdnet_stm32_tpu.config import ModelConfig
-    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
-    from birdnet_stm32_tpu.data.pipeline import AudioLoader, make_train_batcher
-    from birdnet_stm32_tpu.data.worker import LoaderConfig
-    from birdnet_stm32_tpu.evaluation.metrics import evaluate
-    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
-    from birdnet_stm32_tpu.models.runners import FlaxRunner
-    from birdnet_stm32_tpu.training.trainer import train_model
+def test_accuracy_ladder_matches_committed(tmp_path):
+    import os
 
-    train_files, train_label_names, classes = load_file_paths_from_directory(
-        str(hard_dataset / "train"))
-    assert len(classes) == 6  # noise folder excluded from the class list
-    idx = {c: i for i, c in enumerate(classes)}
-    train_labels = np.zeros((len(train_files), len(classes)), np.float32)
-    for r, name in enumerate(train_label_names):
-        if name in idx:  # noise files keep all-zero labels
-            train_labels[r, idx[name]] = 1.0
+    acc_path = _REPO / "ACCURACY.json"
+    artifact = _load_ladder_module().run_ladder(tmp_path)
+    if os.environ.get("ACCURACY_REGEN"):
+        # Regeneration mode: the committed artifact MUST come from this
+        # exact environment (tests/conftest.py backend config) — the
+        # standalone script's config compiles subtly different numerics
+        # and the short QAT fine-tune amplifies a ~0.05 float-row drift
+        # past the gate. ACCURACY_REGEN=1 pytest tests/test_hard_benchmark.py
+        acc_path.write_text(json.dumps(artifact, indent=1) + "\n")
+        return
 
-    cfg = ModelConfig(
-        sample_rate=8000, num_mels=32, spec_width=32, fft_length=256,
-        chunk_duration=1.0, embeddings_size=32, num_classes=len(classes),
-        class_names=list(classes), alpha=0.5, audio_frontend="hybrid",
-        mag_scale="pwl", frontend_trainable=True)
-
-    lcfg = LoaderConfig(sample_rate=cfg.sample_rate,
-                        chunk_duration=cfg.chunk_duration,
-                        num_classes=len(classes), max_chunks_per_file=1,
-                        snr_threshold=0.0, random_offset=False, seed=0)
-    # Identical training run to scripts/bench_accuracy.py's float32 row
-    # (loader geometry, epochs, steps, lr, seeds) so the committed
-    # ACCURACY.json value is this test's expectation.
-    loader = AudioLoader(paths=train_files, labels=train_labels, cfg=lcfg,
-                         batch_size=32, num_workers=4, shuffle=True,
-                         infinite=True)
-    val_loader = AudioLoader(paths=train_files, labels=train_labels,
-                             cfg=lcfg, batch_size=32, num_workers=4,
-                             shuffle=False, infinite=False)
-    val_set = list(val_loader)
-
-    model = build_dscnn(cfg, class_activation="none")
-    variables = init_model(model, cfg, jax.random.key(0))
-    run_dir = hard_dataset / "run"
-    best, history = train_model(
-        model, variables, cfg,
-        train_batches=iter(loader),
-        val_batches=lambda: val_set,
-        run_dir=run_dir, epochs=12, steps_per_epoch=16, learning_rate=3e-3,
-        patience=100, multilabel=True, seed=0,
-        batcher=make_train_batcher(cfg, mixup_alpha=0.0, spec_augment=False),
-    )
-    assert history[-1]["loss"] < history[0]["loss"]
-
-    from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
-
-    model_r, vars_r, cfg_r = load_checkpoint(run_dir, class_activation="sigmoid")
-    test_files, _, _ = load_file_paths_from_directory(
-        str(hard_dataset / "test"), classes=list(classes))
-    runner = FlaxRunner(model_r, vars_r, cfg_r)
-    metrics, _, _, _ = evaluate(runner, test_files, list(classes), cfg,
-                                batch_size=32)
-
-    cmap, rocauc = metrics["cmAP"], metrics["roc-auc"]
-    # Gate against the committed accuracy ladder: this run mirrors the
-    # float32 row of scripts/bench_accuracy.py (same data counts, seeds,
-    # geometry), so a regression costing > 0.07 cmAP fails the suite —
-    # the old (0.35, 0.995) band let a change that halved discrimination
-    # quality pass (round-2 VERDICT weakness #4).
-    import json
-    from pathlib import Path
-
-    acc_path = Path(__file__).resolve().parents[1] / "ACCURACY.json"
     assert acc_path.exists(), (
-        "ACCURACY.json missing — regenerate with scripts/bench_accuracy.py")
-    ladder = json.loads(acc_path.read_text())
-    want = next(r["cmAP"] for r in ladder["rows"] if r["artifact"] == "float32")
-    assert abs(cmap - want) < 0.07, (
-        f"hard-set cmAP {cmap:.3f} drifted > 0.07 from the committed "
-        f"float32 row {want:.3f} (ACCURACY.json) — accuracy regression, "
-        "or regenerate the ladder if the change is intentional")
-    assert rocauc > 0.6, f"roc_auc at chance: {rocauc:.3f}"
+        "ACCURACY.json missing — regenerate with "
+        "ACCURACY_REGEN=1 python -m pytest tests/test_hard_benchmark.py")
+    committed = json.loads(acc_path.read_text())
+    want = {r["artifact"]: r for r in committed["rows"]}
+    got = {r["artifact"]: r for r in artifact["rows"]}
+
+    assert set(got) == set(want) == {
+        "float32", "int8_ptq", "int8_ptq_int16_io", "int8_qat"}
+    for tag, row in got.items():
+        drift = abs(row["cmAP"] - want[tag]["cmAP"])
+        assert drift < 0.07, (
+            f"{tag} cmAP {row['cmAP']:.3f} drifted {drift:.3f} from the "
+            f"committed {want[tag]['cmAP']:.3f} (ACCURACY.json) — accuracy "
+            "regression in this tier, or regenerate the ladder if the "
+            "change is intentional")
+
+    f32 = got["float32"]
+    assert f32["roc_auc"] > 0.6, f"roc_auc at chance: {f32['roc_auc']:.3f}"
     # NOT saturated: -10 dB + distractor samples must keep the benchmark
     # discriminative. If this ever hits 1.0 the benchmark has stopped
     # being able to detect regressions — make it harder.
-    assert cmap < 0.995, f"hard benchmark saturated: cmAP={cmap:.3f}"
+    assert f32["cmAP"] < 0.995, f"hard benchmark saturated: {f32['cmAP']:.3f}"
+
+    # Exact int16 shipping really is exact on these PCM16 fixtures
+    # (run_ladder raises if scores diverge; the artifact records it too).
+    assert artifact["int16_io_matches_ptq_bitwise"] is True
+
+    # The threshold-optimized operating point exists on every row, so the
+    # "QAT recall at a fixed 0.5" claim stays comparable to "PTQ +
+    # optimized thresholds" round over round.
+    for tag, row in got.items():
+        assert 0.0 <= row["f1_opt"] <= 1.0
+        assert row["f1_opt"] >= row["f1"] - 0.05, (
+            f"{tag}: optimized-threshold F1 {row['f1_opt']:.3f} far below "
+            f"the fixed-0.5 F1 {row['f1']:.3f} — optimization broken")
