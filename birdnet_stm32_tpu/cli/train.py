@@ -283,8 +283,19 @@ def main(argv=None) -> int:
         for f in ("sample_rate", "chunk_duration", "num_mels", "spec_width",
                   "fft_length", "audio_frontend", "mag_scale"):
             setattr(args, f, getattr(cfg, f))
-        train_loader, val_loader, class_names, _ = build_loaders(args, for_qat=True)
+        # QAT keeps the int16 feed (half the H2D stream): at flagship
+        # geometry the float32 feed is 2.7 GB/epoch through the link,
+        # which dominated QAT wall time. The batcher stays augmentation-
+        # free (QAT policy) — it only dequantizes + extracts features.
+        qat_int16 = not args.no_int16_feed
+        train_loader, val_loader, class_names, _ = build_loaders(
+            args, for_qat=True, ship_int16=qat_int16)
         mesh = None if args.no_mesh else make_mesh()
+        qat_batcher = None
+        if qat_int16:
+            qat_batcher = make_train_batcher(
+                cfg, spec_augment=False, mixup_probability=0.0,
+                input_dtype="int16")
         # Reference QAT takes the plain --learning_rate (qat.py:287-293
         # there); --qat_learning_rate stays as an explicit override.
         qat_lr = args.qat_learning_rate
@@ -295,7 +306,8 @@ def main(argv=None) -> int:
                 learning_rate=qat_lr,
                 multilabel=args.multilabel, mesh=mesh,
                 num_classes=len(class_names), seed=args.seed,
-                out_dir=(run_dir / f"{keras_stem}_qat") if keras_stem else None)
+                out_dir=(run_dir / f"{keras_stem}_qat") if keras_stem else None,
+                batcher=qat_batcher)
         return 0
 
     cfg_kwargs = dict(

@@ -105,6 +105,7 @@ def run_qat(
     mesh: Mesh | None = None,
     num_classes: int | None = None,
     seed: int = 0,
+    batcher=None,
 ):
     """QAT fine-tuning orchestration (reference training/qat.py:171-306).
 
@@ -119,6 +120,11 @@ def run_qat(
             built WITHOUT mixup/SpecAugment (qat policy).
         val_batches: Zero-arg callable of a finite iterable of the same.
         num_classes: Expected class count from the dataset (checked).
+        batcher: Optional device transform for the train feed — the CLI
+            passes an augmentation-free int16-dequantizing batcher so QAT
+            keeps the half-bandwidth feed (at flagship geometry the
+            float32 stream is 2.7 GB/epoch of H2D, the dominant QAT cost
+            on bandwidth-limited links). None = plain feature extraction.
 
     Returns:
         (best variables, history).
@@ -143,5 +149,5 @@ def run_qat(
         model, variables, cfg, train_batches, val_batches, out_dir,
         epochs=epochs, steps_per_epoch=steps_per_epoch,
         learning_rate=learning_rate, multilabel=multilabel,
-        mesh=mesh, seed=seed, qat=True,
+        mesh=mesh, seed=seed, qat=True, batcher=batcher,
     )

@@ -92,15 +92,30 @@ def main() -> None:
     wi = np.concatenate([
         np.clip(np.round(wf * 32767), -32768, 32767).astype(np.int16),
         np.full((B, 1), 32767, np.int16)], axis=1)
+    # block_until_ready() is unreliable through the tunnel (CLAUDE.md): a
+    # transfer can report ready before the bytes land. Force completion
+    # with a device-dependent scalar read (the whole array must arrive to
+    # be summed), then subtract the measured blocking-read floor.
+    ssum = jax.jit(lambda a: a.astype(jnp.float32).sum())
+    tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(tiny(jnp.zeros((), jnp.float32)))
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tiny(jnp.zeros((), jnp.float32)))
+        floors.append(time.perf_counter() - t0)
+    floor = float(np.median(floors))
+    print(json.dumps({"stage": "blocking_read_floor",
+                      "seconds": round(floor, 4)}), flush=True)
     for tag, arr in (("float32", wf), ("int16", wi)):
-        for _ in range(2):  # warm
-            jnp.asarray(arr).block_until_ready()
+        for _ in range(2):  # warm/compile
+            float(ssum(jnp.asarray(arr)))
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jnp.asarray(arr).block_until_ready()
+            float(ssum(jnp.asarray(arr)))
             ts.append(time.perf_counter() - t0)
-        med = float(np.median(ts))
+        med = max(1e-9, float(np.median(ts)) - floor)
         row = {"stage": f"h2d_{tag}", "seconds_per_batch": round(med, 3),
                "mb_per_batch": round(arr.nbytes / 1e6, 1),
                "mb_per_sec": round(arr.nbytes / 1e6 / med, 1)}
@@ -119,7 +134,7 @@ def main() -> None:
                                  input_dtype="int16")
     state = TrainState.create(variables, tx)
     w_dev = jnp.asarray(wi)
-    y_dev = jnp.asarray(np.eye(cfg.num_classes, np.float32)[
+    y_dev = jnp.asarray(np.eye(cfg.num_classes, dtype=np.float32)[
         rng.integers(0, cfg.num_classes, B)])
     key = jax.random.key(0)
 
@@ -129,12 +144,12 @@ def main() -> None:
         return state, m
 
     state, m = one(state, 0)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # real host read — block_until_ready is unreliable here
     t0 = time.perf_counter()
     iters = 30
     for i in range(1, iters + 1):
         state, m = one(state, i)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # the final loss depends on every enqueued step
     dt = time.perf_counter() - t0
     step_cps = iters * B / dt
     row = {"stage": "device_step_bf16_int16batcher",
