@@ -26,7 +26,7 @@ def quantize_waveform_int16(wave: np.ndarray) -> np.ndarray:
 
     At the device's measured 61.1k INT8 / 115.6k bf16 chunks/s, float32
     3-s/22.05 kHz waveforms are a 16-30 GB/s host->device stream — int16 halves that on
-    any link (and quadruples throughput on the ~20 MB/s tunnel). This
+    any link (measured 1.8x end-to-end on the tunneled chip). This
     REQUANTIZING path costs one PCM16 LSB (~3e-5) of waveform error — the
     fallback for floats that aren't raw PCM16 codes (resampled, downmixed,
     codec-decoded). PCM16 sources at the model rate take the exact path
@@ -112,7 +112,7 @@ def _dequantize_int16(w):
 def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
                           as_numpy: bool = True,
                           stft_precision: str | None = None,
-                          pallas_mode: str = "auto",
+                          pallas_mode: str = "off",
                           input_dtype: str | None = None):
     """waveform batch [B, T] -> scores [B, C], fused when possible.
 
@@ -136,12 +136,18 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
             runners (serving-grade, ~1e-6 relative error, ~half the
             frontend MXU work) and 'highest' otherwise (librosa parity —
             and the INT8 executor's bit-exactness depends on it).
-        pallas_mode: 'auto' (default) computes the frontend with the fused
-            VMEM-resident Pallas kernel (ops/pallas/frontend_kernel.py)
-            when Mosaic compiles on this backend — for the INT8 executor
-            the kernel also fuses the entry int8-quantize + transpose and
-            feeds the integer graph directly (prequantized_input). 'off'
-            forces the XLA composition; 'interpret' runs the kernel in
+        pallas_mode: 'off' (default) uses the XLA frontend composition.
+            'auto' computes the frontend with the fused VMEM-resident
+            Pallas kernel (ops/pallas/frontend_kernel.py) when Mosaic
+            compiles on this backend — for the INT8 executor the kernel
+            also fuses the entry int8-quantize + transpose and feeds the
+            integer graph directly (prequantized_input). The default is
+            OFF from a real-hardware measurement (round 4, v5e): the
+            compiled kernel matches XLA to 5e-7 but runs the frontend
+            30% SLOWER (84.8k vs 110.2k chunks/s — XLA already fuses this
+            chain well) and its summation order flips occasional INT8
+            entry codes, breaking the bit-exact-vs-TFLite guarantee
+            (min cosine 0.99701 e2e). 'interpret' runs the kernel in
             interpreter mode (validation/tests only — slow).
         input_dtype: 'int16' accepts [B, T+1] int16 codes + scale column
             (audio/io.load_chunks_int16 raw PCM codes — bit-exact vs the

@@ -108,9 +108,12 @@ def pcen(
     # Broadcastable [T, 1, ..., 1] coefficient: the combine() broadcasts,
     # so no need to materialize a full spectrogram-sized constant.
     a_seq = jnp.full((x.shape[0],) + (1,) * (x.ndim - 1), 1.0 - b, dtype=S.dtype)
-    c_seq = b * x
     # m[0] must equal S[0]: fold the initial state into the first element.
-    c_seq = c_seq.at[0].add((1.0 - b) * x[0])
+    # b*x[0] + (1-b)*x[0] == x[0], so an elementwise select on an iota mask
+    # does it without the scatter-add (`.at[0].add`) that Pallas TPU
+    # lowering rejects — this op must run inside the fused Mosaic kernel.
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    c_seq = jnp.where(idx == 0, x, b * x)
 
     def combine(left, right):
         a_l, c_l = left

@@ -52,9 +52,11 @@ def test_fused_kernel_guards():
     y = jnp.zeros((8, 8000), jnp.float32)
     with pytest.raises(ValueError, match="2\\*hop"):
         fused_hybrid_frontend(y, 512, 100, 32, interpret=INTERPRET)
-    with pytest.raises(ValueError, match="divisible"):
-        fused_hybrid_frontend(jnp.zeros((6, 8000), jnp.float32), 256, 250, 32,
-                              interpret=INTERPRET)
+    # Any batch size runs since the per-sample-grid rewrite (the former
+    # batch-tile divisibility constraint is gone).
+    out = fused_hybrid_frontend(jnp.zeros((6, 8000), jnp.float32), 256, 250, 32,
+                                interpret=INTERPRET)
+    assert out.shape == (6, 129, 32)
 
 
 def test_hybrid_frontend_input_wrapper(rng):
