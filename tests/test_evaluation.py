@@ -263,3 +263,30 @@ def test_benchmark_json_nan_is_null(tmp_path):
     parsed = json.loads(out.read_text())  # strict parse must succeed
     assert parsed["metrics"]["roc-auc"] is None
     assert parsed["metrics"]["cmAP"] == 0.5
+
+
+def test_metrics_at_thresholds():
+    """The optimized operating point mirrors evaluate()'s micro P/R/F1
+    math, applied at per-class thresholds instead of a flat 0.5."""
+    from birdnet_stm32_tpu.evaluation.metrics import (
+        metrics_at_thresholds,
+        optimize_thresholds,
+    )
+
+    y_true = np.array([[1, 0], [1, 0], [0, 1], [0, 1]], np.float32)
+    # Class 'a' scores are well-separated but BELOW 0.5 (the classic
+    # under-confident head); class 'b' is separated around 0.5.
+    y_scores = np.array([[0.30, 0.10], [0.25, 0.20],
+                         [0.05, 0.70], [0.02, 0.60]], np.float32)
+    at_half = metrics_at_thresholds(y_true, y_scores,
+                                    {"a": 0.5, "b": 0.5}, ["a", "b"])
+    assert at_half["recall"] == pytest.approx(0.5)  # class 'a' missed
+    th = optimize_thresholds(y_true, y_scores, ["a", "b"])
+    assert th["a"] <= 0.25  # found the under-confident operating point
+    opt = metrics_at_thresholds(y_true, y_scores, th, ["a", "b"])
+    assert opt["recall"] == pytest.approx(1.0)
+    assert opt["precision"] == pytest.approx(1.0)
+    assert opt["f1"] == pytest.approx(1.0)
+    # Missing classes fall back to 0.5, not a KeyError.
+    part = metrics_at_thresholds(y_true, y_scores, {"a": 0.2}, ["a", "b"])
+    assert 0.0 <= part["f1"] <= 1.0
