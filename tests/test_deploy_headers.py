@@ -76,6 +76,45 @@ def test_header_hop_agrees_with_reference_firmware_read(tmp_path):
     assert ours == ref_hop
 
 
+def test_reference_generator_on_our_sidecar(tmp_path):
+    """Run the REFERENCE's own firmware header generator on a sidecar this
+    framework writes and diff the audio #defines against ours — the
+    end-to-end form of the interchangeability contract (no reference code
+    is vendored; the installed reference tree is executed directly)."""
+    import importlib.util
+    import json
+    import re
+    from pathlib import Path
+
+    import pytest
+
+    ref = Path("/root/reference/firmware/gen_app_config.py")
+    if not ref.exists():
+        pytest.skip("reference tree not present")
+    spec = importlib.util.spec_from_file_location("ref_gen_app_config", ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    c = cfg()  # 22.05 kHz / 3 s / 256 frames -> hop 258
+    sidecar = tmp_path / "model_config.json"
+    c.save(sidecar)
+    theirs = mod.generate_app_config_h(json.loads(sidecar.read_text()),
+                                       num_classes=c.num_classes)
+    ours = generate_app_config_h(c)
+
+    def defines(text):
+        return dict(re.findall(r"#define (APP_\w+)\s+(\S+)", text))
+
+    d_ref, d_ours = defines(theirs), defines(ours)
+    for key in ("APP_SAMPLE_RATE", "APP_CHUNK_DURATION", "APP_CHUNK_SAMPLES",
+                "APP_FFT_LENGTH", "APP_HOP_LENGTH", "APP_SPEC_WIDTH",
+                "APP_NUM_MELS", "APP_NUM_CLASSES", "APP_AUDIO_FRONTEND"):
+        assert key in d_ref and key in d_ours, key
+        assert d_ref[key] == d_ours[key], (
+            f"{key}: reference generator read {d_ref[key]!r} from our "
+            f"sidecar, our generator emitted {d_ours[key]!r}")
+
+
 def test_undeployable_frontend_rejected():
     """mfcc/log_mel have no firmware mode (the device would feed plain mel
     to a DCT/log1p-trained model) — header generation must fail loudly."""
