@@ -231,7 +231,12 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
         entry_q = None
         if (use_kernel and _kernel_geometry_ok(cfg, cfg.chunk_samples)
                 and entry_transpose_perm(runner.graph) is not None
-                and cfg.audio_frontend in ("hybrid", "librosa", "mfcc", "log_mel")):
+                and cfg.audio_frontend in ("hybrid", "librosa", "mfcc", "log_mel")
+                # pcen's scan doesn't lower in Mosaic (frontend_input's
+                # pcen_blocked guard): in-kernel quantization has no XLA
+                # fallback, so the fused-entry gate must exclude it too.
+                and not (cfg.audio_frontend == "librosa"
+                         and cfg.mag_scale == "pcen" and not _interp)):
             entry_q = entry_quant_params(runner.graph)
 
         fns = {}

@@ -339,10 +339,7 @@ def frontend_input(y: jax.Array, cfg, batch_tile: int = 8,
     Float output is [B, bins, W, 1]; with `quant` (hybrid/librosa only)
     the INT8 executor entry tensor [B, 1, W, bins] int8 is produced
     in-kernel (feed build_executor(pretransposed_input=True,
-    prequantized_input=True)).
-
-    Batches that don't divide into batch_tile are padded in and sliced
-    back out.
+    prequantized_input=True)). Any batch size runs (per-sample grid).
     """
     mode = {"hybrid": "linear", "librosa": "mel",
             "mfcc": "mfcc", "log_mel": "log_mel"}.get(cfg.audio_frontend)
@@ -363,18 +360,14 @@ def frontend_input(y: jax.Array, cfg, batch_tile: int = 8,
         return inputs_for_config(y, cfg)
 
     mag_scale = cfg.mag_scale if mode == "mel" else "none"
-    B = y.shape[0]
-    padb = (-B) % batch_tile
-    if padb:
-        y = jnp.pad(y, ((0, padb), (0, 0)))
     out = fused_spectrogram(
         y, mode=mode, mag_scale=mag_scale, sample_rate=cfg.sample_rate,
         n_fft=cfg.fft_length, mel_bins=cfg.num_mels, spec_width=cfg.spec_width,
         n_mfcc=cfg.n_mfcc, quant=quant, batch_tile=batch_tile,
         interpret=interpret)
     if quant is not None:
-        return out[:B]
-    return out[:B, ..., None]
+        return out
+    return out[..., None]
 
 
 def hybrid_frontend_input(y: jax.Array, cfg, batch_tile: int = 8,
@@ -386,14 +379,10 @@ def hybrid_frontend_input(y: jax.Array, cfg, batch_tile: int = 8,
         return frontend_input(y, cfg, batch_tile=batch_tile, interpret=interpret)
     # Hybrid features regardless of cfg.audio_frontend (legacy semantics).
     if _kernel_geometry_ok(cfg, y.shape[1]) and (interpret or pallas_available()):
-        B = y.shape[0]
-        padb = (-B) % batch_tile
-        if padb:
-            y = jnp.pad(y, ((0, padb), (0, 0)))
         out = fused_spectrogram(y, mode="linear", n_fft=cfg.fft_length,
                                 spec_width=cfg.spec_width,
                                 batch_tile=batch_tile, interpret=interpret)
-        return out[:B, ..., None]
+        return out[..., None]
     from birdnet_stm32_tpu.ops.spectrogram import spectrogram_batch
 
     S = spectrogram_batch(y, sample_rate=cfg.sample_rate, n_fft=cfg.fft_length,
