@@ -146,3 +146,35 @@ def test_batcher_rejects_unknown_input_dtype():
 
     with pytest.raises(ValueError, match="input_dtype"):
         make_train_batcher(ModelConfig(), input_dtype="int8")
+
+
+def test_stereo_wav_falls_back_to_requant(tmp_path):
+    """Stereo PCM16 is ineligible for raw-code shipping (downmix changes
+    sample values): the worker must take the float-decode + requantize
+    path (scale 32767), still within 1 LSB of the float feed."""
+    import wave as wave_mod
+
+    sr = 4000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr * 2) / sr
+    left = 0.5 * np.sin(2 * np.pi * 500 * t)
+    right = 0.3 * np.sin(2 * np.pi * 900 * t) + 0.02 * rng.normal(size=t.size)
+    pcm = np.stack([left, right], axis=1)
+    codes = np.clip(np.round(pcm * 32767), -32768, 32767).astype("<i2")
+    p = tmp_path / "stereo.wav"
+    with wave_mod.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(codes.tobytes())
+
+    label = np.array([1.0, 0.0], np.float32)
+    kw = dict(sample_rate=sr, chunk_duration=1.0, num_classes=2,
+              max_chunks_per_file=1, snr_threshold=0.0, seed=0,
+              load_duration=30.0, random_offset=False)
+    rows_f = process_file((str(p), label, LoaderConfig(**kw), 2))
+    rows_i = process_file((str(p), label, LoaderConfig(ship_int16=True, **kw), 2))
+    assert len(rows_f) == len(rows_i) >= 1
+    assert all(int(r[-1]) == 32767 for r, _ in rows_i)  # requant marker
+    for (xf, _), (xi, _) in zip(rows_f, _dequant_rows(rows_i)):
+        assert np.max(np.abs(xf - xi)) <= 1.0 / 32767.0 + 1e-7
