@@ -136,6 +136,12 @@ def build_bundle(model_path: Path, config_path: Path, labels_path: Path | None,
     ]
     if labels_path is not None and labels_path.exists():
         plan.append(("copy", labels_path, out_dir / "labels.txt"))
+    # Optimized per-class thresholds (evaluate --optimize_thresholds writes
+    # thresholds.json into the run dir): ship them so `serve --thresholds`
+    # runs at the evaluated operating point out of the bundle.
+    thresholds = config_path.parent / "thresholds.json"
+    if thresholds.exists():
+        plan.append(("copy", thresholds, out_dir / "thresholds.json"))
     if labels is not None:
         plan.append(("generate", "app_config.h + app_labels.h",
                      out_dir / "firmware"))

@@ -37,6 +37,11 @@ def get_args(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--top_k", type=int, default=3)
     p.add_argument("--score_threshold", type=float, default=0.01)
+    p.add_argument("--thresholds", default=None, metavar="JSON",
+                   help="per-class thresholds file ({class: threshold}, as "
+                        "written by `evaluate --optimize_thresholds`); "
+                        "classes absent from the file use "
+                        "--score_threshold. Overrides the flat rule")
     p.add_argument("--chunk_overlap", type=float, default=0.0)
     p.add_argument("--bf16", action="store_true",
                    help="serve float checkpoints in bfloat16")
@@ -249,9 +254,26 @@ def main(argv=None) -> int:
     results_file = Path(args.results_file) if args.results_file else (
         audio_dir / "results.txt")
 
+    score_threshold = args.score_threshold
+    if args.thresholds:
+        # Per-class operating point (evaluate --optimize_thresholds):
+        # vectorize over the serving class order; absent classes keep the
+        # flat --score_threshold.
+        import json as _json
+
+        th = _json.loads(Path(args.thresholds).read_text())
+        unknown = sorted(set(th) - set(classes))
+        if unknown:
+            raise SystemExit(
+                f"--thresholds names classes the model doesn't serve: "
+                f"{unknown[:5]}{'...' if len(unknown) > 5 else ''}")
+        score_threshold = np.array(
+            [float(th.get(c, args.score_threshold)) for c in classes],
+            np.float32)
+
     serve_loop(runner, cfg, classes, audio_dir, results_file,
                poll_interval=args.poll_interval, batch_size=args.batch_size,
-               top_k=args.top_k, score_threshold=args.score_threshold,
+               top_k=args.top_k, score_threshold=score_threshold,
                overlap=args.chunk_overlap,
                device_resample=args.device_resample, once=args.once,
                decode_threads=args.decode_threads, int16_io=args.int16_io)

@@ -438,13 +438,20 @@ def classify_in_batches(classify, chunks: np.ndarray, batch_size: int):
     return np.concatenate(scores), dt
 
 
-def top_predictions(pooled: np.ndarray, top_k: int, score_threshold: float) -> list[int]:
+def top_predictions(pooled: np.ndarray, top_k: int,
+                    score_threshold) -> list[int]:
     """Top-k class indices; ranks past the first must clear score_threshold
     (the firmware's APP_SCORE_THRESHOLD display rule, main.c:109-134:
-    the top-1 prediction is always shown)."""
+    the top-1 prediction is always shown).
+
+    score_threshold may be a scalar (the firmware's flat rule) or a
+    per-class [C] vector — the operating point `evaluate
+    --optimize_thresholds` writes (`serve --thresholds`)."""
+    thr = np.broadcast_to(np.asarray(score_threshold, np.float32),
+                          pooled.shape)
     top = np.argsort(pooled)[::-1][:top_k]
     return [int(i) for rank, i in enumerate(top)
-            if rank == 0 or pooled[i] >= score_threshold]
+            if rank == 0 or pooled[i] >= thr[i]]
 
 
 def make_classifier_cache(runner, cfg, as_numpy: bool = True, verbose: bool = False,

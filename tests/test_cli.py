@@ -706,3 +706,52 @@ def test_benchmark_pipelined_matches_serial(wav_dataset, tmp_path, capsys):
     piped16 = run("piped16", "--pipeline", "2", "--int16_io")
     for k in serial:
         assert abs(float(piped16[k]["score"]) - float(serial[k]["score"])) < 2e-3, k
+
+
+def test_serve_per_class_thresholds(wav_dataset, tmp_path, capsys):
+    """serve --thresholds applies the evaluate-optimized per-class
+    operating point (vector rule in top_predictions); unknown classes in
+    the file fail loudly."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+
+    th = tmp_path / "thresholds.json"
+    th.write_text(json.dumps({"bird_a": 0.999, "bird_b": 0.0}))
+    results = tmp_path / "results.txt"
+    assert dispatch(["serve", "--model_path", str(run_dir),
+                     "--audio_dir", str(root), "--results_file", str(results),
+                     "--batch_size", "4", "--once",
+                     "--thresholds", str(th)]) == 0
+    out = capsys.readouterr().out
+    assert "=== DONE ===" in out
+    assert results.exists()
+
+    th_bad = tmp_path / "bad.json"
+    th_bad.write_text(json.dumps({"not_a_class": 0.5}))
+    with pytest.raises(SystemExit, match="classes the model doesn't serve"):
+        dispatch(["serve", "--model_path", str(run_dir),
+                  "--audio_dir", str(root), "--once",
+                  "--thresholds", str(th_bad)])
+
+
+def test_top_predictions_vector_threshold():
+    from birdnet_stm32_tpu.models.serving import top_predictions
+
+    pooled = np.array([0.9, 0.6, 0.3], np.float32)
+    # Flat rule: all three clear 0.2.
+    assert top_predictions(pooled, 3, 0.2) == [0, 1, 2]
+    # Per-class rule: class 1's threshold excludes it; top-1 always shown.
+    thr = np.array([0.95, 0.7, 0.2], np.float32)
+    assert top_predictions(pooled, 3, thr) == [0, 2]
