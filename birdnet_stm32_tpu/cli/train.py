@@ -69,6 +69,13 @@ def get_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--gradient_clip_norm", "--grad_clip", type=float, default=1.0)
     p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--monitor", default="val_loss",
+                   choices=["val_loss", "val_roc_auc"],
+                   help="best-checkpoint / early-stop criterion (default "
+                        "val_loss, the reference's Keras-callback "
+                        "semantics). Mixup's label-union targets can push "
+                        "val BCE up while ranking is still improving on "
+                        "small corpora — monitor val_roc_auc there")
     p.add_argument("--multilabel", action="store_true")
     p.add_argument("--focal_gamma", type=float, default=None)
     p.add_argument("--label_smoothing", type=float, default=0.0)
@@ -442,7 +449,8 @@ def main(argv=None) -> int:
         seed=args.seed,
         loader_tuner=AdaptiveLoaderTuner(train_loader.loader_control),
         loss_fn_override=loss_fn_override,
-        mixed_precision=args.mixed_precision)
+        mixed_precision=args.mixed_precision,
+        monitor=args.monitor)
     ok("train", f"artifacts in {run_dir}")
     return 0
 

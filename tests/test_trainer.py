@@ -321,3 +321,39 @@ def test_clipnorm_is_per_variable():
     opt = tf.keras.optimizers.SGD(learning_rate=1.0, clipnorm=1.0)
     opt.apply_gradients([(tf.constant(grads["b"]), v)])
     np.testing.assert_allclose(-v.numpy(), np.asarray(out["b"]), rtol=1e-5)
+
+
+def test_monitor_val_roc_auc_selects_ranking_best(tmp_path):
+    """monitor='val_roc_auc' keeps the best-AUC checkpoint even when val
+    loss worsens (mixup+BCE's label-union targets push val BCE up while
+    ranking still improves — the measured small-corpus failure mode of
+    the val_loss rule)."""
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    val_set = [make_batch()]
+    run_dir = tmp_path / "run_auc"
+    _, history = train_model(
+        model, variables, cfg, train_iter(), lambda: val_set, run_dir,
+        epochs=2, steps_per_epoch=2, learning_rate=1e-3, patience=100,
+        seed=0, monitor="val_roc_auc")
+    import json
+
+    state = json.loads((run_dir / "train_state.json").read_text())
+    best = state["best_val"]
+    # The watermark is an AUC (in [0,1]) equal to the best recorded epoch
+    # AUC — not a loss.
+    aucs = [h["val_roc_auc"] for h in history if np.isfinite(h["val_roc_auc"])]
+    assert best == pytest.approx(max(aucs))
+    assert (run_dir / "best").exists()
+
+    with pytest.raises(ValueError, match="monitor"):
+        train_model(model, variables, cfg, train_iter(), lambda: val_set,
+                    tmp_path / "bad", epochs=1, steps_per_epoch=1,
+                    monitor="accuracy")
