@@ -129,8 +129,17 @@ def append_history_csv(run_dir: str | Path, epoch: int, metrics: dict) -> None:
 
     p = Path(run_dir) / "history.csv"
     write_header = not p.exists()
+    if write_header:
+        fieldnames = ["epoch"] + sorted(metrics.keys())
+    else:
+        # Resume appends to an existing file: keep ITS column set (a run
+        # resumed across a version that added metric columns must not
+        # write misaligned rows; extra keys are dropped).
+        with open(p) as f:
+            fieldnames = f.readline().strip().split(",")
     with open(p, "a", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=["epoch"] + sorted(metrics.keys()))
+        writer = csv.DictWriter(f, fieldnames=fieldnames,
+                                extrasaction="ignore")
         if write_header:
             writer.writeheader()
         row = {"epoch": epoch}

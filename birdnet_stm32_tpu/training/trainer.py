@@ -224,18 +224,30 @@ def train_model(
     for epoch in range(initial_epoch, epochs):
         t0 = time.perf_counter()
         train_losses = []
+        # Per-epoch stage split (SURVEY §5.1 tracing): host WAIT times per
+        # stage — data = blocked on the loader, dispatch = H2D transfer +
+        # batcher/step enqueue (on this tunnel jnp.asarray blocks for the
+        # copy, so this column IS the transfer time; on local backends it
+        # is near zero and the device runs behind). Recorded into
+        # history.csv so a slow run diagnoses itself.
+        t_data = t_dispatch = 0.0
         for _ in range(steps_per_epoch):
+            t1 = time.perf_counter()
             wave, labels = next(train_batches)
+            t2 = time.perf_counter()
             bkey = jax.random.fold_in(root_key, host_step)
             x, y = batcher(bkey, jnp.asarray(wave), jnp.asarray(labels))
             if multihost:
                 x, y = globalize_batch((x, y), mesh)
             state, metrics = step_fn(state, x, y, root_key)
+            t_data += t2 - t1
+            t_dispatch += time.perf_counter() - t2
             host_step += 1
             train_losses.append(metrics["loss"])
             if loader_tuner is not None:
                 loader_tuner.on_step()
 
+        t_val0 = time.perf_counter()
         val_num, val_den, y_true, y_score = 0.0, 0, [], []
         for wave, labels in val_batches():
             w = jnp.asarray(wave)
@@ -293,6 +305,9 @@ def train_model(
             "val_loss": val_loss,
             "val_roc_auc": auc,
             "seconds": time.perf_counter() - t0,
+            "data_wait_s": round(t_data, 3),
+            "dispatch_s": round(t_dispatch, 3),
+            "val_s": round(time.perf_counter() - t_val0, 3),
         }
         history.append(epoch_metrics)
         ckpt.append_history_csv(run_dir, epoch + 1, epoch_metrics)
