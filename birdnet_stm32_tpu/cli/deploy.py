@@ -42,6 +42,12 @@ def get_args(argv=None):
                    help="bundle output directory (default: <model>_deploy/)")
     p.add_argument("--config", default="",
                    help="deploy config file (JSON or TOML); CLI > env > file")
+    p.add_argument("--thresholds", default="",
+                   help="per-class thresholds JSON to ship in the bundle "
+                        "(evaluate --optimize_thresholds output). Default: "
+                        "auto-pick thresholds.json next to the model or "
+                        "config if present — NOTE evaluate only writes it "
+                        "there when run without --output_dir")
     p.add_argument("--stablehlo", action="store_true",
                    help="also export a portable StableHLO serving module")
     p.add_argument("--dry_run", action="store_true",
@@ -107,7 +113,8 @@ def _sha256(path: Path) -> str:
 
 def build_bundle(model_path: Path, config_path: Path, labels_path: Path | None,
                  out_dir: Path, stablehlo: bool = False,
-                 dry_run: bool = False, batch_size: int = 64) -> dict:
+                 dry_run: bool = False, batch_size: int = 64,
+                 thresholds_path: Path | None = None) -> dict:
     """Assemble the deployment bundle; returns the manifest dict."""
     from birdnet_stm32_tpu.config import ModelConfig
 
@@ -136,12 +143,21 @@ def build_bundle(model_path: Path, config_path: Path, labels_path: Path | None,
     ]
     if labels_path is not None and labels_path.exists():
         plan.append(("copy", labels_path, out_dir / "labels.txt"))
-    # Optimized per-class thresholds (evaluate --optimize_thresholds writes
-    # thresholds.json into the run dir): ship them so `serve --thresholds`
-    # runs at the evaluated operating point out of the bundle.
-    thresholds = config_path.parent / "thresholds.json"
-    if thresholds.exists():
-        plan.append(("copy", thresholds, out_dir / "thresholds.json"))
+    # Optimized per-class thresholds: ship them so `serve --thresholds`
+    # runs at the evaluated operating point out of the bundle. Explicit
+    # path wins; otherwise look next to the model and next to the config
+    # (where `evaluate --optimize_thresholds` WITHOUT --output_dir writes
+    # them — an --output_dir eval needs the explicit --thresholds flag).
+    candidates = ([thresholds_path] if thresholds_path else
+                  [model_path.parent / "thresholds.json",
+                   config_path.parent / "thresholds.json"])
+    for thresholds in candidates:
+        if thresholds and thresholds.exists():
+            plan.append(("copy", thresholds, out_dir / "thresholds.json"))
+            break
+    else:
+        if thresholds_path:
+            raise SystemExit(f"--thresholds not found: {thresholds_path}")
     if labels is not None:
         plan.append(("generate", "app_config.h + app_labels.h",
                      out_dir / "firmware"))
@@ -289,7 +305,8 @@ def main(argv=None) -> int:
     # at its own configured batch).
     build_bundle(model_path, config_path, labels_path, out_dir,
                  stablehlo=args.stablehlo, dry_run=args.dry_run,
-                 batch_size=dcfg.batch_size)
+                 batch_size=dcfg.batch_size,
+                 thresholds_path=Path(args.thresholds) if args.thresholds else None)
     if args.dry_run:
         return 0
 

@@ -267,8 +267,12 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"--thresholds names classes the model doesn't serve: "
                 f"{unknown[:5]}{'...' if len(unknown) > 5 else ''}")
+        # _resolve_classes permits a labels file LONGER than the model's
+        # output; the threshold vector must match the SCORE width, so
+        # truncate to the classes the model actually emits.
+        served = classes[: cfg.num_classes] if cfg.num_classes else classes
         score_threshold = np.array(
-            [float(th.get(c, args.score_threshold)) for c in classes],
+            [float(th.get(c, args.score_threshold)) for c in served],
             np.float32)
 
     serve_loop(runner, cfg, classes, audio_dir, results_file,

@@ -314,7 +314,7 @@ def main(argv=None) -> int:
                 multilabel=args.multilabel, mesh=mesh,
                 num_classes=len(class_names), seed=args.seed,
                 out_dir=(run_dir / f"{keras_stem}_qat") if keras_stem else None,
-                batcher=qat_batcher)
+                batcher=qat_batcher, monitor=args.monitor)
         return 0
 
     cfg_kwargs = dict(
@@ -503,7 +503,8 @@ def _run_tuning(args, cfg_kwargs: dict, class_names: list[str]) -> int:
             learning_rate=p["learning_rate"], optimizer=p["optimizer"],
             weight_decay=p["weight_decay"], gradient_clip_norm=p["gradient_clip_norm"],
             multilabel=args.multilabel, label_smoothing=p["label_smoothing"],
-            batcher=batcher, seed=args.seed, on_epoch_end=report_epoch)
+            batcher=batcher, seed=args.seed, on_epoch_end=report_epoch,
+            monitor=args.monitor)
         return max((h["val_roc_auc"] for h in history
                     if not np.isnan(h["val_roc_auc"])), default=0.0)
 

@@ -106,6 +106,7 @@ def run_qat(
     num_classes: int | None = None,
     seed: int = 0,
     batcher=None,
+    monitor: str = "val_loss",
 ):
     """QAT fine-tuning orchestration (reference training/qat.py:171-306).
 
@@ -149,5 +150,5 @@ def run_qat(
         model, variables, cfg, train_batches, val_batches, out_dir,
         epochs=epochs, steps_per_epoch=steps_per_epoch,
         learning_rate=learning_rate, multilabel=multilabel,
-        mesh=mesh, seed=seed, qat=True, batcher=batcher,
+        mesh=mesh, seed=seed, qat=True, batcher=batcher, monitor=monitor,
     )

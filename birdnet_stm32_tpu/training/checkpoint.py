@@ -129,14 +129,20 @@ def append_history_csv(run_dir: str | Path, epoch: int, metrics: dict) -> None:
 
     p = Path(run_dir) / "history.csv"
     write_header = not p.exists()
-    if write_header:
-        fieldnames = ["epoch"] + sorted(metrics.keys())
-    else:
+    fieldnames = ["epoch"] + sorted(metrics.keys())
+    if not write_header:
         # Resume appends to an existing file: keep ITS column set (a run
         # resumed across a version that added metric columns must not
-        # write misaligned rows; extra keys are dropped).
+        # write misaligned rows; extra keys are dropped). A truncated /
+        # empty file (crash between create and writeheader) falls back to
+        # a fresh header instead of ['']-fieldnames that would drop every
+        # metric silently.
         with open(p) as f:
-            fieldnames = f.readline().strip().split(",")
+            existing = f.readline().strip().split(",")
+        if existing and existing[0] == "epoch":
+            fieldnames = existing
+        else:
+            write_header = True
     with open(p, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fieldnames,
                                 extrasaction="ignore")

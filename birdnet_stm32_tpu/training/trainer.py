@@ -146,9 +146,20 @@ def train_model(
         initial_epoch = int(tstate.get("epoch", 0))
         # Restore the best-val watermark so the first post-resume epoch
         # can't overwrite a better pre-crash checkpoint (cold cosine
-        # restarts routinely degrade the first epochs).
+        # restarts routinely degrade the first epochs). The watermark is
+        # only meaningful under the SAME monitor: an AUC (higher-better)
+        # read as a loss watermark would let the first mediocre epoch
+        # clobber the best checkpoint — reset it on mismatch.
         if tstate.get("best_val") is not None:
-            resumed_best_val = float(tstate["best_val"])
+            if tstate.get("monitor", "val_loss") == monitor:
+                resumed_best_val = float(tstate["best_val"])
+            else:
+                warn("resume", f"previous run monitored "
+                     f"{tstate.get('monitor', 'val_loss')!r}, this one "
+                     f"{monitor!r} — best-checkpoint watermark reset (the "
+                     "existing best/ persists until genuinely beaten on "
+                     "the new metric is not provable; it may be replaced "
+                     "by the first improving epoch)")
         info("resume", f"resuming from epoch {initial_epoch}")
 
     total_steps = (epochs - initial_epoch) * steps_per_epoch
@@ -220,6 +231,7 @@ def train_model(
     best_val = resumed_best_val
     best_variables = variables
     bad_epochs = 0
+    saved_any = False
 
     for epoch in range(initial_epoch, epochs):
         t0 = time.perf_counter()
@@ -316,7 +328,7 @@ def train_model(
                     and (mval < best_val if lower_better else mval > best_val))
         new_best = mval if improved else best_val
         ckpt.save_train_state(
-            run_dir, epoch + 1, multilabel=multilabel,
+            run_dir, epoch + 1, multilabel=multilabel, monitor=monitor,
             best_val=None if not np.isfinite(new_best) else new_best)
         ckpt.save_full_state(run_dir, state)  # preemption-safe resume point
         if on_epoch_end is not None:
@@ -329,12 +341,26 @@ def train_model(
             best_variables = jax.device_get(state.variables())
             ckpt.save_checkpoint(run_dir, best_variables, cfg)
             ok("train", f"new best {monitor}={mval:.4f}, checkpoint saved")
+            saved_any = True
             bad_epochs = 0
         else:
+            if not lower_better and not np.isfinite(mval) and not saved_any:
+                warn("train", f"{monitor} is NaN (degenerate validation "
+                     "labels?) — no best checkpoint saved yet")
             bad_epochs += 1
             if bad_epochs >= patience:
                 warn("train", f"early stopping after {patience} stale epochs")
                 break
+
+    if not saved_any and not (resume and (run_dir / "best").exists()):
+        # A monitored metric that never went finite (e.g. every val batch's
+        # label columns degenerate -> macro AUC NaN) must not leave the run
+        # directory without a checkpoint: convert/evaluate/resume all need
+        # best/. Save the final state and say so.
+        warn("train", f"{monitor} never improved/went finite — saving the "
+             "FINAL epoch's weights as best/ so the run stays usable")
+        best_variables = jax.device_get(state.variables())
+        ckpt.save_checkpoint(run_dir, best_variables, cfg)
 
     ckpt.save_training_curves(run_dir, history)
     return best_variables, history

@@ -755,3 +755,59 @@ def test_top_predictions_vector_threshold():
     # Per-class rule: class 1's threshold excludes it; top-1 always shown.
     thr = np.array([0.95, 0.7, 0.2], np.float32)
     assert top_predictions(pooled, 3, thr) == [0, 2]
+
+
+def test_serve_thresholds_with_longer_labels(wav_dataset, tmp_path, capsys):
+    """_resolve_classes permits a labels file LONGER than the model's
+    output; the per-class threshold vector must match the SCORE width
+    (review finding: it crashed broadcast_to in top_predictions)."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.training.checkpoint import save_checkpoint
+
+    root, sr = wav_dataset
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=3, class_names=["bird_a", "bird_b", "noise"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    run_dir = tmp_path / "ckpt"
+    model = build_dscnn(cfg)
+    save_checkpoint(run_dir, init_model(model, cfg, jax.random.key(0)), cfg)
+
+    labels = tmp_path / "labels.txt"
+    labels.write_text("bird_a\nbird_b\nnoise\nextra_label\n")
+    th = tmp_path / "th.json"
+    th.write_text(json.dumps({"bird_a": 0.2, "extra_label": 0.9}))
+    results = tmp_path / "results.txt"
+    assert dispatch(["serve", "--model_path", str(run_dir),
+                     "--audio_dir", str(root), "--results_file", str(results),
+                     "--labels_path", str(labels), "--batch_size", "4",
+                     "--once", "--thresholds", str(th)]) == 0
+    assert "=== DONE ===" in capsys.readouterr().out
+
+
+def test_deploy_explicit_thresholds(tmp_path, capsys):
+    from birdnet_stm32_tpu.config import ModelConfig
+
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32,
+                      fft_length=128, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=2, class_names=["a", "b"],
+                      audio_frontend="hybrid", mag_scale="pwl", alpha=0.25)
+    model = tmp_path / "bird_quantized.tflite"
+    model.write_bytes(b"\x00" * 16)
+    cfg.save(tmp_path / "bird_model_config.json")
+    th = tmp_path / "elsewhere" / "thresholds.json"
+    th.parent.mkdir()
+    th.write_text(json.dumps({"a": 0.4}))
+    out_dir = tmp_path / "bundle"
+    assert dispatch(["deploy", "--model_path", str(model),
+                     "--output_dir", str(out_dir), "--skip_validate",
+                     "--thresholds", str(th)]) == 0
+    assert json.loads((out_dir / "thresholds.json").read_text()) == {"a": 0.4}
+    # A named-but-missing file fails loudly instead of silently omitting.
+    with pytest.raises(SystemExit, match="thresholds not found"):
+        dispatch(["deploy", "--model_path", str(model),
+                  "--output_dir", str(tmp_path / "b2"), "--skip_validate",
+                  "--thresholds", str(tmp_path / "nope.json")])

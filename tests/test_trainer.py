@@ -357,3 +357,62 @@ def test_monitor_val_roc_auc_selects_ranking_best(tmp_path):
         train_model(model, variables, cfg, train_iter(), lambda: val_set,
                     tmp_path / "bad", epochs=1, steps_per_epoch=1,
                     monitor="accuracy")
+
+
+def test_monitor_nan_auc_still_saves_best(tmp_path):
+    """A val set whose macro AUC is NaN every epoch (degenerate label
+    columns) must still leave a usable best/ checkpoint (final-state
+    fallback) instead of an empty run dir."""
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    w, _ = make_batch()
+    # Every val label is class 0 -> every column degenerate -> AUC NaN.
+    y = np.zeros((w.shape[0], cfg.num_classes), np.float32)
+    y[:, 0] = 1.0
+    run_dir = tmp_path / "run_nan"
+    train_model(model, variables, cfg, train_iter(), lambda: [(w, y)],
+                run_dir, epochs=2, steps_per_epoch=1, patience=100,
+                seed=0, monitor="val_roc_auc")
+    assert (run_dir / "best").exists()
+
+
+def test_train_state_records_monitor(tmp_path):
+    cfg = tiny_cfg()
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    make_batch = toy_batches(cfg)
+
+    def train_iter():
+        while True:
+            yield make_batch()
+
+    run_dir = tmp_path / "run_m"
+    train_model(model, variables, cfg, train_iter(),
+                lambda: [make_batch()], run_dir, epochs=1,
+                steps_per_epoch=1, patience=100, seed=0,
+                monitor="val_roc_auc")
+    import json
+
+    state = json.loads((run_dir / "train_state.json").read_text())
+    # The watermark records WHICH metric it measures, so a resume under a
+    # different --monitor resets instead of misreading an AUC as a loss.
+    assert state["monitor"] == "val_roc_auc"
+
+
+def test_history_csv_survives_empty_file(tmp_path):
+    from birdnet_stm32_tpu.training.checkpoint import append_history_csv
+
+    run_dir = tmp_path / "r"
+    run_dir.mkdir()
+    (run_dir / "history.csv").write_text("")  # truncated by a crash
+    append_history_csv(run_dir, 1, {"loss": 0.5, "val_loss": 0.4})
+    lines = (run_dir / "history.csv").read_text().splitlines()
+    assert lines[0].startswith("epoch,")
+    assert "0.5" in lines[1]
