@@ -24,7 +24,8 @@ def quantize_waveform_int16(wave: np.ndarray) -> np.ndarray:
     half-bandwidth shipping (make_fused_classifier(input_dtype='int16')
     dequantizes on device by dividing codes by |scale|).
 
-    At the device's measured 61.1k INT8 / 115.6k bf16 chunks/s, float32
+    At the device's measured 61.2k INT8 / 116.1k bf16 chunks/s (round-4
+    BENCH_r04.json), float32
     3-s/22.05 kHz waveforms are a 16-30 GB/s host->device stream — int16 halves that on
     any link (measured 1.8x end-to-end on the tunneled chip). This
     REQUANTIZING path costs one PCM16 LSB (~3e-5) of waveform error — the

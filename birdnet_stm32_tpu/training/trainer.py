@@ -156,10 +156,10 @@ def train_model(
             else:
                 warn("resume", f"previous run monitored "
                      f"{tstate.get('monitor', 'val_loss')!r}, this one "
-                     f"{monitor!r} — best-checkpoint watermark reset (the "
-                     "existing best/ persists until genuinely beaten on "
-                     "the new metric is not provable; it may be replaced "
-                     "by the first improving epoch)")
+                     f"{monitor!r} — best-checkpoint watermark reset: the "
+                     "old watermark is not comparable on the new metric, "
+                     "so the existing best/ may be replaced by the first "
+                     "epoch that improves on the new one")
         info("resume", f"resuming from epoch {initial_epoch}")
 
     total_steps = (epochs - initial_epoch) * steps_per_epoch
