@@ -20,17 +20,19 @@ interpreter mode across every export combo (tests/test_pallas.py).
 Applicability: hop*2 >= n_fft (true for every shipped config; callers fall
 back to the XLA path otherwise).
 
-Round-4 hardware verdict: real Mosaic COMPILES this kernel on the
-tunneled v5e (the per-sample 2-D rewrite removed the lane-splitting
-reshapes it rejects), numerics match XLA to 5e-7 — but the kernel runs
-the flagship frontend 30% SLOWER than the XLA composition (84.8k vs
-110.2k chunks/s: XLA already fuses the chain well and its batched matmul
-streams the MXU better than a per-sample grid), and its f32 summation
-order flips occasional INT8 entry codes. Serving therefore defaults to
-the XLA path (make_fused_classifier(pallas_mode='off')); the kernel
-remains the opt-in experimentation surface and the interpreter-mode
-golden reference. Measurement: scripts/bench_pallas_frontend.py,
-docs/performance.md.
+Round-5 hardware verdict — CLOSED: XLA wins at these shapes. Real Mosaic
+compiles this kernel on the v5e (numerics 5e-7 vs XLA), but a
+nine-formulation sweep (per-sample and batched-tile grids, freq- and
+frame-major epilogues, MXU-aligned splits, bf16 limbs — the table in
+docs/hardware-validation.md §1) measured every variant 20-30% behind the
+XLA composition, with the deficit attributed entirely to Mosaic's dot
+lowering vs XLA's window-2 conv lowering: the epilogue is free, the
+transposes are free, and XLA leaves no HBM round-trip for VMEM residency
+to save. Serving therefore defaults to the XLA path
+(make_fused_classifier(pallas_mode='off')) permanently; the kernel
+remains the opt-in experimentation surface (pallas_mode='auto', incl.
+the round-5 grid='tile' formulation) and the interpreter-mode golden
+reference. Measurement: scripts/bench_pallas_frontend.py.
 """
 
 from __future__ import annotations
@@ -80,53 +82,39 @@ def _frame_and_mag(z, base_refs, *, n_fft, hop, power):
     return sq if power == 2.0 else jnp.sqrt(sq)
 
 
-def _kernel(*refs, n_fft, hop, n_frames, spec_width, mode, mag_scale,
-            sample_rate, quant):
-    """One SAMPLE through the full frontend epilogue (grid = batch).
+def _sample_epilogue(S, dct_ref, *, mode, mag_scale, sample_rate, hop,
+                     spec_width, quant, freq_major_out: bool = True):
+    """One sample's post-mel epilogue: [Wf, bins_in] magnitudes (mel/DCT
+    already applied for mel modes; mfcc receives POWER mel) -> final
+    [bins, out_w] float32 (freq_major_out) or [out_w, bins]
+    (frame-major — the tile grid emits this and lets XLA transpose
+    outside the kernel), or — with `quant` — the int8 entry tile
+    [out_w, bins], always frame-major (the executor's entry-TRANSPOSE
+    orientation, so the quant path never transposes in-kernel at all).
 
-    refs: (wave, wcl, wsl, [wcr, wsr], [fb], [dct], out). Every in-kernel
-    array is 2-D — framing via split matmuls, mel/DCT as plain dots, one
-    [Wf, bins] transpose — the dialect subset real Mosaic compiles (the
-    former batch-tile formulation needed lane-splitting reshapes it
-    rejects). The epilogue applies the exact spectrogram_batch
-    (ops/spectrogram.py) behavior matrix — same helper functions, same
-    normalization placement — so outputs match the XLA composition.
-    """
-    wave_ref, wcl_ref, wsl_ref, *rest = refs
-    out_ref = rest[-1]
-    rest = rest[:-1]
-    if n_fft > hop:
-        wcr_ref, wsr_ref, *rest = rest
-    else:
-        wcr_ref = wsr_ref = None
-    fb_ref = rest[0] if mode != "linear" else None
-    dct_ref = rest[1] if mode == "mfcc" else None
+    The math runs frame-major natively: every op here is either
+    elementwise or reduces over BOTH axes, so the values are identical
+    to the freq-major formulation (pcen is the one axis-sensitive op —
+    its time-axis smoother gets local transposes; it is
+    interpreter-only anyway, Mosaic rejects its scan). Applies the exact
+    spectrogram_batch (ops/spectrogram.py) behavior matrix — same helper
+    functions, same normalization placement — so outputs match the XLA
+    composition. Shared by the per-sample and batched-tile grids."""
     axes = (0, 1)
-
-    power = 2.0 if mode == "mfcc" else 1.0
-    z = wave_ref[0]  # [Wf + 1, hop]
-    S = _frame_and_mag(z, (wcl_ref, wsl_ref, wcr_ref, wsr_ref),
-                       n_fft=n_fft, hop=hop, power=power)  # [Wf, F]
-    if fb_ref is not None:
-        # Mel matmul on the MXU while the sample is VMEM-resident (the
-        # firmware applies this per-frame on the M55, audio_mel.c:97-124).
-        S = jnp.dot(S, fb_ref[:], precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-
-    S = S.T  # [bins, Wf] freq-major
+    # S stays [Wf, bins] frame-major throughout.
 
     if mode == "mfcc":
         # power_to_db ref/top_db stats over the FULL frame count, DCT over
         # the mel axis, then slice to spec_width (spectrogram_batch order).
         ref = jnp.max(S, axis=axes, keepdims=True)
         S = mag_ops.power_to_db(S, ref=ref, top_db=80.0, axis=axes)
-        S = jnp.dot(S.T, dct_ref[:], precision=jax.lax.Precision.HIGHEST,
+        S = jnp.dot(S, dct_ref[:], precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)  # [Wf, n_mfcc]
-        S = S.T[:, :spec_width]
+        S = S[:spec_width]
     elif mode == "log_mel":
         S = jnp.log1p(S)
     elif mag_scale == "pcen":
-        S = mag_ops.pcen(S * (2.0**31), sr=sample_rate, hop_length=hop)
+        S = mag_ops.pcen(S.T * (2.0**31), sr=sample_rate, hop_length=hop).T
     elif mag_scale == "pwl":
         S = mag_ops.pwl_compress(mag_ops.normalize_minmax(S, axis=axes))
     elif mag_scale == "db":
@@ -136,25 +124,109 @@ def _kernel(*refs, n_fft, hop, n_frames, spec_width, mode, mag_scale,
     S = mag_ops.normalize_minmax(S, axis=axes)
 
     if quant is None:
+        return S.T if freq_major_out else S
+    # int8-quantize epilogue: emit the INT8 executor's entry tensor in
+    # the entry-TRANSPOSE output orientation [W, bins], i.e. the
+    # graph's leading QUANTIZE -> TRANSPOSE pair collapses into this
+    # kernel (quant/tflite_import.py entry_transpose_perm semantics).
+    scale, zp = quant
+    # Same float ops as the executor's entry quantize (_round_away(x/s)
+    # + zp, quant/tflite_import.py) — a multiply by 1/scale would round
+    # differently in the last ULP and flip occasional int8 codes.
+    f = S / scale
+    q = jnp.sign(f) * jnp.floor(jnp.abs(f) + 0.5) + zp
+    return jnp.clip(q, -128, 127).astype(jnp.int8)  # [W, bins]
+
+
+def _split_refs(refs, *, n_fft, hop, mode):
+    wave_ref, wcl_ref, wsl_ref, *rest = refs
+    out_ref = rest[-1]
+    rest = rest[:-1]
+    if n_fft > hop:
+        wcr_ref, wsr_ref, *rest = rest
+    else:
+        wcr_ref = wsr_ref = None
+    fb_ref = rest[0] if mode != "linear" else None
+    dct_ref = rest[1] if mode == "mfcc" else None
+    return wave_ref, (wcl_ref, wsl_ref, wcr_ref, wsr_ref), fb_ref, dct_ref, out_ref
+
+
+def _kernel(*refs, n_fft, hop, n_frames, spec_width, mode, mag_scale,
+            sample_rate, quant):
+    """One SAMPLE through the full frontend epilogue (grid = batch).
+
+    refs: (wave, wcl, wsl, [wcr, wsr], [fb], [dct], out). Every in-kernel
+    array is 2-D — framing via split matmuls, mel/DCT as plain dots, one
+    [Wf, bins] transpose — the dialect subset real Mosaic compiles (a
+    lane-splitting batch-tile formulation was what it rejected in round 3;
+    the sublane-stacked tile grid of _kernel_tile is the round-5 retry).
+    """
+    wave_ref, base_refs, fb_ref, dct_ref, out_ref = _split_refs(
+        refs, n_fft=n_fft, hop=hop, mode=mode)
+
+    power = 2.0 if mode == "mfcc" else 1.0
+    z = wave_ref[0]  # [Wf + 1, hop]
+    S = _frame_and_mag(z, base_refs, n_fft=n_fft, hop=hop, power=power)  # [Wf, F]
+    if fb_ref is not None:
+        # Mel matmul on the MXU while the sample is VMEM-resident (the
+        # firmware applies this per-frame on the M55, audio_mel.c:97-124).
+        S = jnp.dot(S, fb_ref[:], precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+
+    S = _sample_epilogue(S, dct_ref, mode=mode, mag_scale=mag_scale,
+                         sample_rate=sample_rate, hop=hop,
+                         spec_width=spec_width, quant=quant)
+    if quant is None:
         out_ref[0] = S
     else:
-        # int8-quantize epilogue: emit the INT8 executor's entry tensor in
-        # the entry-TRANSPOSE output orientation [1, W, bins], i.e. the
-        # graph's leading QUANTIZE -> TRANSPOSE pair collapses into this
-        # kernel (quant/tflite_import.py entry_transpose_perm semantics).
-        scale, zp = quant
-        # Same float ops as the executor's entry quantize (_round_away(x/s)
-        # + zp, quant/tflite_import.py) — a multiply by 1/scale would round
-        # differently in the last ULP and flip occasional int8 codes.
-        f = S / scale
-        q = jnp.sign(f) * jnp.floor(jnp.abs(f) + 0.5) + zp
-        q = jnp.clip(q, -128, 127).astype(jnp.int8)
-        out_ref[0, 0] = q.T  # [W, bins]
+        out_ref[0, 0] = S
+
+
+def _kernel_tile(*refs, n_fft, hop, n_frames, spec_width, mode, mag_scale,
+                 sample_rate, quant, tile, bins, out_w):
+    """TILE samples through the frontend per grid program (round-5 batched
+    formulation, docs/hardware-validation.md §1 "remaining open item").
+
+    The tile's waveform rows are stacked along the SUBLANE axis outside the
+    kernel ([tile*(Wf+1), hop] — an XLA-side reshape, so no lane-splitting
+    shape cast ever reaches Mosaic): the framing/DFT matmuls then run ONCE
+    over the whole stack with tile× the MXU rows of the per-sample grid.
+    Frame k of sample g pairs stacked rows g*(Wf+1)+k and +k+1 — both
+    within sample g — so `A[:-1] + B[1:]` yields every frame, plus one
+    garbage boundary row per sample that the per-sample epilogue slices
+    (static sublane-offset slices, which Mosaic accepts) never read.
+    Outputs stack per-sample results along sublanes too; the caller
+    un-stacks with another free XLA reshape.
+    """
+    wave_ref, base_refs, fb_ref, dct_ref, out_ref = _split_refs(
+        refs, n_fft=n_fft, hop=hop, mode=mode)
+
+    power = 2.0 if mode == "mfcc" else 1.0
+    z = wave_ref[0]  # [tile*(Wf+1), hop]
+    S_all = _frame_and_mag(z, base_refs, n_fft=n_fft, hop=hop, power=power)
+    if fb_ref is not None:
+        # One stacked mel matmul (garbage boundary rows included — cheaper
+        # than tile separate dots, and those rows are never read).
+        S_all = jnp.dot(S_all, fb_ref[:], precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+    stride = n_frames + 1
+    for g in range(tile):
+        S = S_all[g * stride : g * stride + n_frames]
+        # Frame-major output ([out_w, bins] rows): the tile kernel never
+        # transposes in-kernel — float callers transpose once in XLA
+        # outside, the quant path needs no transpose at all (entry
+        # orientation IS frame-major).
+        S = _sample_epilogue(S, dct_ref, mode=mode, mag_scale=mag_scale,
+                             sample_rate=sample_rate, hop=hop,
+                             spec_width=spec_width, quant=quant,
+                             freq_major_out=False)
+        out_ref[0, g * out_w : (g + 1) * out_w, :] = S
 
 
 @partial(jax.jit, static_argnames=(
     "mode", "mag_scale", "sample_rate", "n_fft", "mel_bins", "spec_width",
-    "n_mfcc", "quant", "batch_tile", "interpret", "hop", "n_frames"))
+    "n_mfcc", "quant", "batch_tile", "interpret", "hop", "n_frames", "grid"))
 def fused_spectrogram(
     y: jax.Array,
     mode: str = "linear",
@@ -169,6 +241,7 @@ def fused_spectrogram(
     interpret: bool = False,
     hop: int | None = None,
     n_frames: int | None = None,
+    grid: str = "sample",
 ) -> jax.Array:
     """[B, T] waveforms -> frontend features, one fused VMEM-resident pass.
 
@@ -178,11 +251,21 @@ def fused_spectrogram(
     with `quant=(scale, zero_point)` — the INT8 executor entry tensor
     [B, 1, W, bins] int8 (entry QUANTIZE + TRANSPOSE folded in).
 
-    Requires 2*hop >= n_fft. The grid is one program per SAMPLE (every
-    in-kernel array stays 2-D, the dialect subset Mosaic compiles);
-    `batch_tile` is accepted for API compatibility and ignored.
+    Requires 2*hop >= n_fft. Two grids:
+
+    - grid='sample' (default): one program per sample; `batch_tile` is
+      accepted for API compatibility and ignored; any batch size runs.
+    - grid='tile': `batch_tile` samples per program, stacked along the
+      SUBLANE axis so every in-kernel array stays 2-D while the DFT
+      matmuls get batch_tile× the MXU rows (_kernel_tile); requires
+      B % batch_tile == 0 (callers pad or fall back).
     """
-    del batch_tile  # per-sample grid: no batch-divisibility constraint
+    if grid not in ("sample", "tile"):
+        raise ValueError(f"grid must be 'sample'|'tile', got {grid!r}")
+    if grid == "tile" and y.shape[0] % batch_tile:
+        raise ValueError(
+            f"grid='tile' requires B % batch_tile == 0, got B={y.shape[0]} "
+            f"batch_tile={batch_tile}")
     if mode not in VALID_MODES:
         raise ValueError(f"Invalid mode: {mode!r}")
     B, T = y.shape
@@ -220,7 +303,14 @@ def fused_spectrogram(
     pad = n_fft // 2
     need = (n_frames + 1) * hop
     y = jnp.pad(y, ((0, 0), (pad, max(0, need - (T + pad)))))[:, :need]
-    y = y.reshape(B, n_frames + 1, hop)
+    tile = batch_tile if grid == "tile" else 1
+    n_programs = B // tile
+    if grid == "tile":
+        # Stack the tile's samples along the sublane axis (free XLA-side
+        # reshape); in-kernel arrays stay 2-D.
+        y = y.reshape(n_programs, tile * (n_frames + 1), hop)
+    else:
+        y = y.reshape(B, n_frames + 1, hop)
 
     # DFT bases pre-split at the frame boundary (hop): the kernel's framing
     # is a split matmul, and slicing the bases HERE (numpy, static) avoids
@@ -229,7 +319,7 @@ def fused_spectrogram(
     hop_l = min(hop, n_fft)
     operands = [y, jnp.asarray(wc[:hop_l]), jnp.asarray(ws[:hop_l])]
     in_specs = [
-        pl.BlockSpec((1, n_frames + 1, hop), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, tile * (n_frames + 1), hop), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((hop_l, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((hop_l, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -250,6 +340,31 @@ def fused_spectrogram(
         operands.append(jnp.asarray(dct_matrix(mel_bins, n_mfcc)))
         in_specs.append(pl.BlockSpec((mel_bins, n_mfcc), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
+
+    if grid == "tile":
+        # Per-sample outputs stack FRAME-MAJOR along sublanes (the kernel
+        # never transposes); un-stacked below with a free XLA reshape, and
+        # float outputs get their one [W, bins] -> [bins, W] transpose in
+        # XLA outside the kernel.
+        dtype = jnp.float32 if quant is None else jnp.int8
+        out_shape = jax.ShapeDtypeStruct((n_programs, tile * out_w, bins),
+                                         dtype)
+        out_specs = pl.BlockSpec((1, tile * out_w, bins),
+                                 lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            partial(_kernel_tile, n_fft=n_fft, hop=hop, n_frames=n_frames,
+                    spec_width=spec_width, mode=mode, mag_scale=mag_scale,
+                    sample_rate=sample_rate, quant=quant, tile=tile,
+                    bins=bins, out_w=out_w),
+            out_shape=out_shape,
+            grid_spec=pl.GridSpec(grid=(n_programs,), in_specs=in_specs,
+                                  out_specs=out_specs),
+            interpret=interpret,
+        )(*operands)
+        if quant is None:
+            return out.reshape(B, out_w, bins).transpose(0, 2, 1)
+        return out.reshape(B, 1, out_w, bins)
 
     if quant is None:
         out_shape = jax.ShapeDtypeStruct((B, bins, out_w), jnp.float32)
@@ -278,6 +393,7 @@ def fused_hybrid_frontend(
     n_frames: int,
     batch_tile: int = 8,
     interpret: bool = False,
+    grid: str = "sample",
 ) -> jax.Array:
     """[B, T] waveforms -> [B, n_fft//2+1, n_frames] normalized |STFT|.
 
@@ -285,7 +401,8 @@ def fused_hybrid_frontend(
     """
     return fused_spectrogram(y, mode="linear", mag_scale="none", n_fft=n_fft,
                              spec_width=n_frames, hop=hop, n_frames=n_frames,
-                             batch_tile=batch_tile, interpret=interpret)
+                             batch_tile=batch_tile, interpret=interpret,
+                             grid=grid)
 
 
 _PALLAS_OK: bool | None = None

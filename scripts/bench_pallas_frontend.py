@@ -75,17 +75,34 @@ def main() -> None:
     r = sustained_chunks_per_sec(xla_fn, wave)
     print(f"[frontend] XLA HIGHEST: {r:,.0f} chunks/s ({1e6 / r:.1f} us/chunk)",
           flush=True)
-    for tile in (8, 16, 32) if pallas_ok else ():
-        if B % tile:
-            continue
-        fn = jax.jit(lambda w, t=tile: fused_hybrid_frontend(
-            w, cfg.fft_length, hop, n_frames, batch_tile=t).sum())
+    if pallas_ok:
+        fn = jax.jit(lambda w: fused_hybrid_frontend(
+            w, cfg.fft_length, hop, n_frames).sum())
         try:
             r = sustained_chunks_per_sec(fn, wave)
-            print(f"[frontend] pallas tile={tile}: {r:,.0f} chunks/s "
+            print(f"[frontend] pallas per-sample: {r:,.0f} chunks/s "
                   f"({1e6 / r:.1f} us/chunk)", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"[frontend] pallas tile={tile}: FAILED "
+            print(f"[frontend] pallas per-sample: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+    # Round-5 batched-tile formulation (sublane-stacked samples): validate
+    # numerics per tile, then measure.
+    for tile in (2, 4, 8, 16) if pallas_ok else ():
+        if B % tile:
+            continue
+        try:
+            got = np.asarray(fused_hybrid_frontend(
+                small, cfg.fft_length, hop, n_frames, batch_tile=tile,
+                grid="tile"))[..., None]
+            d = np.abs(got - ref).max()
+            fn = jax.jit(lambda w, t=tile: fused_hybrid_frontend(
+                w, cfg.fft_length, hop, n_frames, batch_tile=t,
+                grid="tile").sum())
+            r = sustained_chunks_per_sec(fn, wave)
+            print(f"[frontend] pallas tile-grid tile={tile}: {r:,.0f} chunks/s "
+                  f"({1e6 / r:.1f} us/chunk) max|diff|={d:.3e}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[frontend] pallas tile-grid tile={tile}: FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
     # --- 3. end-to-end INT8 ----------------------------------------------

@@ -135,6 +135,59 @@ def test_fused_epilogue_matches_xla(rng, mode, mag):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+# --- Batched-tile grid (round 5): sublane-stacked samples ------------------
+
+
+@pytest.mark.parametrize("mode,mag", EPILOGUE_COMBOS)
+def test_tile_grid_matches_sample_grid(rng, mode, mag):
+    """The round-5 batched-tile formulation (tile samples per program,
+    stacked along sublanes) produces the same features as the per-sample
+    grid. Same math per sample — the only drift is the backend's dot
+    blocking changing summation order with the stacked M (ulp-level), and
+    pcen's local-transpose smoother reordering a few float ops."""
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import fused_spectrogram
+
+    B, T, sr = 8, 8000, 8000
+    y = jnp.asarray(rng.normal(0, 0.5, (B, T)).astype(np.float32))
+    kw = dict(mode=mode, mag_scale=mag, sample_rate=sr, n_fft=256,
+              mel_bins=32, spec_width=32, n_mfcc=13, interpret=INTERPRET)
+    a = np.asarray(fused_spectrogram(y, grid="sample", **kw))
+    b = np.asarray(fused_spectrogram(y, grid="tile", batch_tile=4, **kw))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_tile_grid_int8_entry_matches_sample_grid(rng):
+    """The tile grid's frame-major int8-entry epilogue emits the same
+    codes as the per-sample grid (zero transposes in-kernel) — up to the
+    occasional one-code flip where the backend's M-dependent dot blocking
+    lands a feature value on a rounding boundary."""
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import fused_spectrogram
+
+    y = jnp.asarray(rng.normal(0, 0.5, (8, 8000)).astype(np.float32))
+    kw = dict(mode="linear", n_fft=256, spec_width=32,
+              quant=(1.0 / 255.0, -128), interpret=INTERPRET)
+    a = np.asarray(fused_spectrogram(y, grid="sample", **kw))
+    b = np.asarray(fused_spectrogram(y, grid="tile", batch_tile=2, **kw))
+    assert a.dtype == b.dtype == np.int8
+    assert a.shape == b.shape
+    diff = a.astype(np.int32) - b.astype(np.int32)
+    assert np.abs(diff).max() <= 1
+    assert (diff != 0).mean() < 0.01
+
+
+def test_tile_grid_rejects_indivisible_batch():
+    from birdnet_stm32_tpu.ops.pallas.frontend_kernel import fused_spectrogram
+
+    y = jnp.zeros((6, 8000), jnp.float32)
+    with pytest.raises(ValueError, match="batch_tile"):
+        fused_spectrogram(y, mode="linear", n_fft=256, spec_width=32,
+                          grid="tile", batch_tile=4, interpret=INTERPRET)
+    with pytest.raises(ValueError, match="grid"):
+        fused_spectrogram(y, mode="linear", n_fft=256, spec_width=32,
+                          grid="bogus", interpret=INTERPRET)
+
+
 @pytest.mark.parametrize("frontend", ["hybrid", "librosa", "mfcc", "log_mel"])
 def test_frontend_input_matches_inputs_for_config(rng, frontend):
     """The general fused dispatch produces the same model input as the XLA
