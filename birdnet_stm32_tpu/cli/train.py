@@ -97,12 +97,18 @@ def get_args(argv=None):
                    help="override the auto-selected loss (reference --loss)")
     p.add_argument("--max_duration", type=float, default=30.0,
                    help="max seconds decoded per file during loading")
+    p.add_argument("--train_feed", default="int16",
+                   choices=["int16", "ulaw", "float32"],
+                   help="host->device training-waveform encoding. int16 "
+                        "(default): half the float32 bytes; PCM16 WAVs at "
+                        "the model rate ship raw codes and dequantize "
+                        "BIT-EXACTLY on device, other sources requantize at "
+                        "~1 LSB. ulaw: 8-bit mu-law, QUARTER of the float32 "
+                        "bytes at ~2.2%% relative waveform error (training "
+                        "quality cost measured by the accuracy ladder, "
+                        "ACCURACY.json). float32: raw waveforms")
     p.add_argument("--no_int16_feed", action="store_true",
-                   help="ship float32 waveforms to the device instead of the "
-                        "default int16 code rows (int16 halves the "
-                        "host->device stream; PCM16 WAVs at the model rate "
-                        "ship raw codes and dequantize BIT-EXACTLY on "
-                        "device, other sources requantize at ~1 LSB)")
+                   help="deprecated alias for --train_feed float32")
     p.add_argument("--cache_dir", default=None,
                    help="decoded-waveform cache directory: files decode + "
                         "resample once (epoch 1); later epochs memmap-slice "
@@ -127,6 +133,12 @@ def get_args(argv=None):
     p.add_argument("--no_mesh", action="store_true", help="single-device (skip data-parallel mesh)")
     # Mode dispatch (reference cli/train.py:303-321)
     p.add_argument("--qat", action="store_true", help="QAT fine-tune an existing run_dir checkpoint")
+    p.add_argument("--qat_act", action="store_true",
+                   help="with --qat: fake-quantize activations/input/logits "
+                        "too (per-tensor STE) — simulates what PTQ actually "
+                        "quantizes, unlike the reference's weights-only "
+                        "recipe (measured uplift: ACCURACY.json "
+                        "int8_qat_act row)")
     p.add_argument("--qat_learning_rate", type=float, default=None,
                    help="QAT fine-tune LR (default: --learning_rate when "
                         "given, else 1e-5)")
@@ -146,11 +158,17 @@ def get_args(argv=None):
     args.lr_given = args.learning_rate is not None
     if args.learning_rate is None:
         args.learning_rate = 1e-3
+    if args.no_int16_feed:
+        args.train_feed = "float32"
     return args
 
 
-def build_loaders(args, for_qat: bool = False, ship_int16: bool = False):
-    """Discover files, split, upsample, and build train/val iterators."""
+def build_loaders(args, for_qat: bool = False, ship: str = "float32"):
+    """Discover files, split, upsample, and build train/val iterators.
+
+    ship: training-feed waveform encoding — 'float32' | 'int16' | 'ulaw'
+    (LoaderConfig.ship_int16/ship_ulaw; validation always ships float32).
+    """
     from birdnet_stm32_tpu.data.dataset import (
         get_classes_with_most_samples,
         load_file_paths_from_directory,
@@ -192,7 +210,8 @@ def build_loaders(args, for_qat: bool = False, ship_int16: bool = False):
         snr_threshold=args.snr_threshold, seed=args.seed,
         load_duration=getattr(args, "max_duration", 30.0),
         cache_dir=getattr(args, "cache_dir", None),
-        ship_int16=ship_int16,
+        ship_int16=ship == "int16",
+        ship_ulaw=ship == "ulaw",
     )
     from birdnet_stm32_tpu.parallel.distributed import host_shard
 
@@ -290,19 +309,19 @@ def main(argv=None) -> int:
         for f in ("sample_rate", "chunk_duration", "num_mels", "spec_width",
                   "fft_length", "audio_frontend", "mag_scale"):
             setattr(args, f, getattr(cfg, f))
-        # QAT keeps the int16 feed (half the H2D stream): at flagship
-        # geometry the float32 feed is 2.7 GB/epoch through the link,
-        # which dominated QAT wall time. The batcher stays augmentation-
-        # free (QAT policy) — it only dequantizes + extracts features.
-        qat_int16 = not args.no_int16_feed
+        # QAT keeps the compressed feed (int16 default, --train_feed ulaw
+        # for quarter-bandwidth): at flagship geometry the float32 feed is
+        # 2.7 GB/epoch through the link, which dominated QAT wall time.
+        # The batcher stays augmentation-free (QAT policy) — it only
+        # dequantizes + extracts features.
         train_loader, val_loader, class_names, _ = build_loaders(
-            args, for_qat=True, ship_int16=qat_int16)
+            args, for_qat=True, ship=args.train_feed)
         mesh = None if args.no_mesh else make_mesh()
         qat_batcher = None
-        if qat_int16:
+        if args.train_feed != "float32":
             qat_batcher = make_train_batcher(
                 cfg, spec_augment=False, mixup_probability=0.0,
-                input_dtype="int16")
+                input_dtype=args.train_feed)
         # Reference QAT takes the plain --learning_rate (qat.py:287-293
         # there); --qat_learning_rate stays as an explicit override.
         qat_lr = args.qat_learning_rate
@@ -314,7 +333,8 @@ def main(argv=None) -> int:
                 multilabel=args.multilabel, mesh=mesh,
                 num_classes=len(class_names), seed=args.seed,
                 out_dir=(run_dir / f"{keras_stem}_qat") if keras_stem else None,
-                batcher=qat_batcher, monitor=args.monitor)
+                batcher=qat_batcher, monitor=args.monitor,
+                act_fq=args.qat_act)
         return 0
 
     cfg_kwargs = dict(
@@ -364,12 +384,12 @@ def main(argv=None) -> int:
             learning_rate=args.learning_rate, multilabel=args.multilabel, seed=args.seed)
         return 0
 
-    # int16 feed (half the host->device bytes/step): standard training path
-    # only — find_lr/tune/probe feed model inputs without the dequantizing
-    # batcher, QAT keeps the reference's float feed for its short runs.
-    int16_feed = not args.no_int16_feed and not args.find_lr and not args.tune
+    # Compressed feed (int16 = half, ulaw = quarter of the float32
+    # host->device bytes/step): standard training path only — find_lr/tune/
+    # probe feed model inputs without the dequantizing batcher.
+    feed = args.train_feed if not (args.find_lr or args.tune) else "float32"
     train_loader, val_loader, class_names, raw_labels = build_loaders(
-        args, ship_int16=int16_feed)
+        args, ship=feed)
     cfg = ModelConfig(num_classes=len(class_names), class_names=class_names, **cfg_kwargs)
     info("train", f"{len(train_loader.paths)} train files, "
                   f"{len(val_loader.paths)} val files, {len(class_names)} classes")
@@ -416,7 +436,7 @@ def main(argv=None) -> int:
         freq_mask_max=args.freq_mask_max, time_mask_max=args.time_mask_max,
         stft_precision="high" if args.mixed_precision else "highest",
         feature_dtype=jnp.bfloat16 if args.mixed_precision else None,
-        input_dtype="int16" if int16_feed else None)
+        input_dtype=feed if feed != "float32" else None)
     class_weights = None if args.no_class_weights else balanced_class_weights(
         raw_labels, class_names)
 

@@ -319,14 +319,22 @@ def make_train_batcher(
     ship_int16 loader (half the host->device bytes) and dequantizes on
     device with the correctly-rounded division of models/serving before
     the frontend — bit-exact vs the float32 feed for PCM16 sources.
+    'ulaw' accepts [B, T] int8 mu-law rows from a ship_ulaw loader
+    (QUARTER of the float32 bytes, ~2.2% relative waveform error —
+    fidelity measured by the accuracy ladder's float32_ulaw_feed row).
     """
-    if input_dtype not in (None, "float32", "int16"):
-        raise ValueError(f"input_dtype must be None|'float32'|'int16', got {input_dtype!r}")
+    if input_dtype not in (None, "float32", "int16", "ulaw"):
+        raise ValueError(
+            f"input_dtype must be None|'float32'|'int16'|'ulaw', got {input_dtype!r}")
     dequantize = None
     if input_dtype == "int16":
         from birdnet_stm32_tpu.models.serving import _dequantize_int16
 
         dequantize = _dequantize_int16
+    elif input_dtype == "ulaw":
+        from birdnet_stm32_tpu.models.serving import _dequantize_ulaw
+
+        dequantize = _dequantize_ulaw
 
     @partial(jax.jit)
     def batcher(key, wave, labels):

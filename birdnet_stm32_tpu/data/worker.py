@@ -51,11 +51,38 @@ class LoaderConfig:
     # reconstruction is BIT-EXACT vs the float path, models/serving.py);
     # everything else decodes to float and requantizes (~1 PCM16 LSB).
     ship_int16: bool = False
+    # Ship chunks as 8-bit mu-law rows [T] int8 — QUARTER of the float32
+    # bytes (half of int16), dequantized on device by the batcher
+    # (make_train_batcher(input_dtype='ulaw')). Log companding keeps
+    # ~2.2% RELATIVE waveform error at every amplitude (the right shape
+    # for spectrogram features, which compress magnitudes anyway); the
+    # accuracy ladder measures the training-quality cost (ACCURACY.json
+    # float32_ulaw_feed row). Mutually exclusive with ship_int16.
+    ship_ulaw: bool = False
 
     def resolved_candidates(self) -> int:
         if self.candidate_chunks_per_file is not None:
             return self.candidate_chunks_per_file
         return min(8, max(4, self.max_chunks_per_file * 2))
+
+
+_ULAW_MU = 255.0
+_ULAW_LOG1P_MU = float(np.log1p(_ULAW_MU))
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """[-1, 1] float waveform -> int8 mu-law codes in [-127, 127]
+    (mu = 255, the G.711 companding curve on a symmetric 8-bit grid).
+    Inverse: models/serving._dequantize_ulaw (device) — round-trip error
+    is <= half a companded step, ~2.2% relative at every amplitude."""
+    x = np.clip(x, -1.0, 1.0)
+    f = np.sign(x) * np.log1p(_ULAW_MU * np.abs(x)) / _ULAW_LOG1P_MU
+    return np.round(f * 127.0).astype(np.int8)
+
+
+def _ulaw_rows(rows):
+    """[(chunk f32 [T], label)] -> [([T] int8 mu-law codes, label)]."""
+    return [(ulaw_encode(x), lab) for x, lab in rows]
 
 
 def _int16_row(codes: np.ndarray, T: int, scale: int) -> np.ndarray:
@@ -122,11 +149,14 @@ def _requantize_rows(rows, T):
 
 def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
     """Worker: one file -> list of (waveform chunk [T], label [C]);
-    with cfg.ship_int16, chunks are [T+1] int16 rows instead.
+    with cfg.ship_int16, chunks are [T+1] int16 rows, with cfg.ship_ulaw
+    [T] int8 mu-law rows, instead.
 
     Failed loads return one random-noise chunk with an all-zero label.
     """
     path, label, cfg, salt = task
+    if cfg.ship_int16 and cfg.ship_ulaw:
+        raise ValueError("ship_int16 and ship_ulaw are mutually exclusive")
     rng = np.random.default_rng((cfg.seed + salt) & 0xFFFFFFFF)
     T = int(cfg.sample_rate * cfg.chunk_duration)
     if cfg.ship_int16:
@@ -152,7 +182,9 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
         # unset when the loader was built straight from a label matrix).
         width = np.asarray(label).shape[-1] if label is not None else cfg.num_classes
         noise = [(chunk, np.zeros(width, np.float32))]
-        return _requantize_rows(noise, T) if cfg.ship_int16 else noise
+        if cfg.ship_int16:
+            return _requantize_rows(noise, T)
+        return _ulaw_rows(noise) if cfg.ship_ulaw else noise
 
     n_candidates = cfg.resolved_candidates()
     if estimate_num_chunks(audio.shape[0], cfg.sample_rate, cfg.chunk_duration) > n_candidates:
@@ -172,7 +204,9 @@ def process_file(task: tuple[str, np.ndarray, LoaderConfig, int]):
         if x.shape[0] < T:
             x = np.pad(x, (0, T - x.shape[0]))
         out.append((x.astype(np.float32), label.astype(np.float32)))
-    return _requantize_rows(out, T) if cfg.ship_int16 else out
+    if cfg.ship_int16:
+        return _requantize_rows(out, T)
+    return _ulaw_rows(out) if cfg.ship_ulaw else out
 
 
 def process_files(tasks: list) -> list:

@@ -14,6 +14,8 @@ the exact Keras layer name, which makes checkpoint transplant
 
 from __future__ import annotations
 
+import contextvars
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -21,14 +23,27 @@ from flax import linen as nn
 BN_MOMENTUM = 0.99
 BN_EPS = 1e-3
 
+# Activation fake-quant hook (quant/fake_quant.activation_fake_quant): when
+# set, every hookable relu6 output runs through it — the QAT-with-
+# activations step sets this DURING TRACING of its loss so the simulated
+# quantization noise covers the same tensors TFLite PTQ quantizes, without
+# threading a flag through every block signature. A ContextVar (not a
+# module global) so nothing can leak across traces or threads.
+_ACT_FQ: contextvars.ContextVar = contextvars.ContextVar("act_fq", default=None)
+
 
 def make_divisible(v: float, divisor: int = 8) -> int:
     """Round a channel count to the nearest multiple of `divisor` (min = divisor)."""
     return max(divisor, int(v + divisor / 2) // divisor * divisor)
 
 
-def relu6(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+def relu6(x: jnp.ndarray, hookable: bool = True) -> jnp.ndarray:
+    """ReLU6; `hookable=False` opts a call site out of activation
+    fake-quant (the frontend's, matching the reference QAT's
+    audio_frontend exclusion, training/qat.py:24-27)."""
+    y = jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+    fq = _ACT_FQ.get() if hookable else None
+    return fq(y) if fq is not None else y
 
 
 def batch_norm(x, name: str, train: bool, freeze_bn: bool = False):

@@ -195,7 +195,7 @@ class AudioFrontend(nn.Module):
             )(y)
             y = nn.BatchNorm(use_running_average=(not train) or freeze_bn,
                              momentum=BN_MOMENTUM, epsilon=BN_EPS, name="raw_fb_bn")(y)
-            y = relu6(y)
+            y = relu6(y, hookable=False)  # frontend excluded from act fq
             y = MagnitudeScaling(self.mag_scale, self.mel_bins, name="mag")(y)
             return jnp.transpose(y, (0, 2, 1))[..., None]  # [B, M, W, 1]
 

@@ -110,6 +110,17 @@ def _dequantize_int16(w):
     return _div_exact_int(codes, scale)
 
 
+def _dequantize_ulaw(q):
+    """[B, T] int8 mu-law codes -> [B, T] float32 waveforms (inverse of
+    data/worker.ulaw_encode: mu = 255 companding on a symmetric 8-bit
+    grid). Quarter of the float32 host->device bytes; ~2.2% relative
+    waveform error at every amplitude (log companding) — a TRAINING feed,
+    not a bit-exact serving one (the accuracy ladder measures the cost,
+    ACCURACY.json float32_ulaw_feed row)."""
+    f = q.astype(jnp.float32) / 127.0
+    return jnp.sign(f) * jnp.expm1(jnp.abs(f) * jnp.float32(np.log1p(255.0))) / 255.0
+
+
 def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
                           as_numpy: bool = True,
                           stft_precision: str | None = None,

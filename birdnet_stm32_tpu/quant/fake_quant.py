@@ -75,6 +75,50 @@ def fake_quantize_ste(w: jax.Array, **kw) -> jax.Array:
     return _ste(w, fake_quantize(w, **kw))
 
 
+def fake_quantize_act(x: jax.Array, num_bits: int = 8) -> jax.Array:
+    """Per-tensor ACTIVATION fake-quant with straight-through gradient.
+
+    Round-5 extension past the reference recipe (its QAT fake-quantizes
+    weights only, training/qat.py:30-68, while PTQ's error is dominated by
+    activation quantization — ACCURACY.json showed QAT BELOW PTQ on cmAP).
+    Simulates what the TFLite converter does to every activation tensor:
+    per-tensor asymmetric affine int8 with zero always representable.
+    Ranges are dynamic per batch (the MinMax-observer surrogate for the
+    converter's calibrated ranges — for the post-ReLU6 tensors this hook
+    covers, the range is [0, ~6] and batch min/max is a tight estimator).
+    """
+    qmax = (1 << num_bits) - 1
+    x_min = jnp.minimum(jnp.min(x), 0.0)  # zero must be exactly representable
+    x_max = jnp.maximum(jnp.max(x), 0.0)
+    scale = jnp.maximum((x_max - x_min) / qmax, 1e-10)
+    q = jnp.round((x - x_min) / scale) * scale + x_min
+    return _ste(x, q)
+
+
+class activation_fake_quant:
+    """Context manager arming the model-wide activation fake-quant hook
+    (models/blocks._ACT_FQ — applied after every hookable relu6). Enter it
+    around the loss TRACE so the quantization noise is part of the traced
+    computation; the frontend opts out via relu6(hookable=False)."""
+
+    def __init__(self, num_bits: int = 8):
+        self.num_bits = num_bits
+        self._token = None
+
+    def __enter__(self):
+        from birdnet_stm32_tpu.models import blocks
+
+        self._token = blocks._ACT_FQ.set(
+            lambda y: fake_quantize_act(y, num_bits=self.num_bits))
+        return self
+
+    def __exit__(self, *exc):
+        from birdnet_stm32_tpu.models import blocks
+
+        blocks._ACT_FQ.reset(self._token)
+        return False
+
+
 def is_quantizable(path: tuple, leaf: Any) -> bool:
     """QAT weight selection, mirroring reference qat.py:24-77:
     conv/dense kernels only — skip biases, BN params, the frontend, and

@@ -41,6 +41,7 @@ def make_qat_train_step(
     donate: bool = True,
     kernel_l2: float = 1e-4,
     frontend_trainable: bool = True,
+    act_fq: bool = False,
 ):
     """Build the jitted QAT fine-tuning step.
 
@@ -49,19 +50,38 @@ def make_qat_train_step(
     gamma/beta and (per frontend_trainable) the frontend are excluded
     from optimizer updates like the reference's layer-level freeze.
 
+    act_fq=True additionally fake-quantizes what PTQ actually quantizes
+    (round-5 uplift past the reference's weights-only recipe): the model
+    input (the entry QUANTIZE), every hookable ReLU6 output
+    (fake_quant.activation_fake_quant hook), and the logits — per-tensor
+    asymmetric STE (fake_quant.fake_quantize_act).
+
     Returns:
         step(state, x, y, rng) -> (state, metrics).
     """
+    from birdnet_stm32_tpu.quant.fake_quant import (
+        activation_fake_quant,
+        fake_quantize_act,
+    )
 
     def step(state: TrainState, x, y, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def compute_loss(params):
             q_params = quantize_params(params, num_bits=num_bits, per_channel=per_channel, ste=True)
-            logits = model.apply(
-                {"params": q_params, "batch_stats": state.batch_stats},
-                x, train=True, freeze_bn=True, rngs={"dropout": rng},
-            )
+            variables = {"params": q_params, "batch_stats": state.batch_stats}
+            if act_fq:
+                with activation_fake_quant(num_bits):
+                    logits = model.apply(
+                        variables, fake_quantize_act(x, num_bits), train=True,
+                        freeze_bn=True, rngs={"dropout": rng},
+                    )
+                logits = fake_quantize_act(logits, num_bits)
+            else:
+                logits = model.apply(
+                    variables, x, train=True, freeze_bn=True,
+                    rngs={"dropout": rng},
+                )
             loss = loss_fn(logits, y)
             if kernel_l2 > 0:
                 loss = loss + conv_kernel_l2(params, kernel_l2)
@@ -107,6 +127,7 @@ def run_qat(
     seed: int = 0,
     batcher=None,
     monitor: str = "val_loss",
+    act_fq: bool = False,
 ):
     """QAT fine-tuning orchestration (reference training/qat.py:171-306).
 
@@ -150,5 +171,6 @@ def run_qat(
         model, variables, cfg, train_batches, val_batches, out_dir,
         epochs=epochs, steps_per_epoch=steps_per_epoch,
         learning_rate=learning_rate, multilabel=multilabel,
-        mesh=mesh, seed=seed, qat=True, batcher=batcher, monitor=monitor,
+        mesh=mesh, seed=seed, qat=True, qat_act=act_fq, batcher=batcher,
+        monitor=monitor,
     )

@@ -95,6 +95,7 @@ def train_model(
     seed: int = 0,
     loader_tuner: AdaptiveLoaderTuner | None = None,
     qat: bool = False,
+    qat_act: bool = False,
     loss_fn_override=None,
     kernel_l2: float = 1e-4,
     mixed_precision: bool = False,
@@ -113,6 +114,9 @@ def train_model(
         batcher: Optional jitted device transform (key, wave, labels) ->
             (model inputs, labels); defaults to plain feature extraction.
         qat: Use the QAT step (STE fake-quant, frozen BN).
+        qat_act: With qat, also fake-quantize input/activations/logits
+            (quant/qat.make_qat_train_step act_fq — simulates what PTQ
+            actually quantizes; the reference recipe is weights-only).
         loss_fn_override: Replace the auto-selected loss (distillation uses
             this with [B, 2C] concatenated hard+teacher targets).
         on_epoch_end: Optional callback (epoch_index, metrics dict) invoked
@@ -183,7 +187,8 @@ def train_model(
         from birdnet_stm32_tpu.quant.qat import make_qat_train_step
 
         step_fn = make_qat_train_step(model, tx, loss_fn, mesh=mesh, kernel_l2=kernel_l2,
-                                      frontend_trainable=cfg.frontend_trainable)
+                                      frontend_trainable=cfg.frontend_trainable,
+                                      act_fq=qat_act)
     else:
         step_fn = make_train_step(
             model, tx, loss_fn, mesh=mesh, frontend_trainable=cfg.frontend_trainable,

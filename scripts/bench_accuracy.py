@@ -129,6 +129,32 @@ def _run_ladder_inner(out_dir: Path, generate_hard_fixtures) -> dict:
                 batcher=make_train_batcher(cfg, mixup_alpha=0.0, spec_augment=False))
     model_f, vars_f, _ = load_checkpoint(run_dir, class_activation="sigmoid")
 
+    # Round-5 row: the same float training fed through the 8-bit mu-law
+    # shipping path (quarter of the float32 host->device bytes,
+    # data/worker.ulaw_encode -> serving._dequantize_ulaw). This measures
+    # the TRAINING-fidelity cost of the companded feed — the instrument
+    # the round-4 VERDICT asked for before defaulting a lossy feed.
+    import dataclasses
+
+    lcfg_ulaw = dataclasses.replace(lcfg, ship_ulaw=True)
+
+    def make_loader_ulaw(**kw):
+        return AudioLoader(paths=train_files, labels=labels, cfg=lcfg_ulaw,
+                           batch_size=32, num_workers=0, **kw)
+
+    model_u = build_dscnn(cfg, class_activation="none")
+    vars_u0 = init_model(model_u, cfg, jax.random.key(0))
+    ulaw_dir = out_dir / "run_ulaw"
+    train_model(model_u, vars_u0, cfg,
+                train_batches=iter(make_loader_ulaw(shuffle=True, infinite=True)),
+                val_batches=lambda: val_set, run_dir=ulaw_dir,
+                epochs=12, steps_per_epoch=16, learning_rate=3e-3,
+                patience=100, multilabel=True, seed=0,
+                batcher=make_train_batcher(cfg, mixup_alpha=0.0,
+                                           spec_augment=False,
+                                           input_dtype="ulaw"))
+    model_uf, vars_uf, _ = load_checkpoint(ulaw_dir, class_activation="sigmoid")
+
     test_files, _, _ = load_file_paths_from_directory(str(data / "test"),
                                                       classes=list(classes))
 
@@ -156,6 +182,7 @@ def _run_ladder_inner(out_dir: Path, generate_hard_fixtures) -> dict:
         return ys
 
     report("float32", FlaxRunner(model_f, vars_f, cfg))
+    report("float32_ulaw_feed", FlaxRunner(model_uf, vars_uf, cfg))
 
     # PTQ: calibration from real train-file features (production policy).
     rng = np.random.default_rng(0)
@@ -200,6 +227,25 @@ def _run_ladder_inner(out_dir: Path, generate_hard_fixtures) -> dict:
                                         class_activation="sigmoid"))
     report("int8_qat", TFLiteSimRunner(str(tfl_q)))
 
+    # Round-5 row: QAT with ACTIVATION fake-quant (input + post-ReLU6 +
+    # logits, quant/qat.make_qat_train_step act_fq) — the reference recipe
+    # fake-quantizes weights only while PTQ's error is dominated by
+    # activation quantization; this row answers whether simulating what
+    # PTQ actually does recovers the QAT<PTQ gap the round-4 ladder found.
+    qat_act_dir = out_dir / "qat_act"
+    model_qa = build_dscnn(cfg, class_activation="none")
+    train_model(model_qa, vars_f, cfg,
+                train_batches=iter(make_loader(shuffle=True, infinite=True)),
+                val_batches=lambda: val_set, run_dir=qat_act_dir,
+                epochs=4, steps_per_epoch=16, learning_rate=3e-4,
+                patience=100, multilabel=True, seed=1, qat=True, qat_act=True,
+                batcher=make_train_batcher(cfg, mixup_alpha=0.0, spec_augment=False))
+    _, vars_qa, _ = load_checkpoint(qat_act_dir, class_activation="sigmoid")
+    tfl_qa = out_dir / "model_qat_act.tflite"
+    tfl_qa.write_bytes(convert_to_tflite(vars_qa, cfg, calib, quantize="int8",
+                                         class_activation="sigmoid"))
+    report("int8_qat_act", TFLiteSimRunner(str(tfl_qa)))
+
     artifact = {
         "benchmark": "hard synthetic set (generate_hard_fixtures: 6 "
                      "confusable classes, SNR to -10 dB, distractors)",
@@ -209,7 +255,8 @@ def _run_ladder_inner(out_dir: Path, generate_hard_fixtures) -> dict:
                      "steps_per_epoch": 16, "batch_size": 32,
                      "learning_rate": 3e-3, "bn_momentum": 0.7},
         "seeds": {"fixtures": "generate_hard_fixtures default",
-                  "init": 0, "train": 0, "qat": 1, "calib": 0},
+                  "init": 0, "train": 0, "qat": 1, "qat_act": 1,
+                  "ulaw_feed": 0, "calib": 0},
         "int16_io_matches_ptq_bitwise": int16_bitwise,
         "suite_gate": "tests/test_hard_benchmark.py re-runs this ladder "
                       "and asserts EVERY row within +/- 0.07 cmAP of its "
@@ -219,11 +266,112 @@ def _run_ladder_inner(out_dir: Path, generate_hard_fixtures) -> dict:
     return artifact
 
 
+def run_float_variance(out_dir: Path, seeds=(0, 1, 2, 3, 4)) -> dict:
+    """Seed-variance study of the ladder's float tier -> the
+    ACCURACY_VARIANCE.json artifact (round-4 VERDICT weakness #5: the
+    suite's per-row gate band must be justified by measured sigma, not
+    assumed). Re-trains ONLY the float row with different init/train
+    seeds on the SAME fixtures and the same geometry as run_ladder, and
+    reports per-seed cmAP/roc_auc plus their spread."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+    from fixtures.generate_fixtures import generate_hard_fixtures
+
+    import birdnet_stm32_tpu.models.blocks as blocks
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.data.dataset import load_file_paths_from_directory
+    from birdnet_stm32_tpu.data.pipeline import AudioLoader, make_train_batcher
+    from birdnet_stm32_tpu.data.worker import LoaderConfig
+    from birdnet_stm32_tpu.evaluation.metrics import evaluate
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner
+    from birdnet_stm32_tpu.training.checkpoint import load_checkpoint
+    from birdnet_stm32_tpu.training.trainer import train_model
+
+    bn_saved = blocks.BN_MOMENTUM
+    blocks.BN_MOMENTUM = 0.7
+    try:
+        data = generate_hard_fixtures(out_dir / "data", train_per_class=24,
+                                      test_per_class=10)
+        train_files, names, classes = load_file_paths_from_directory(str(data / "train"))
+        idx = {c: i for i, c in enumerate(classes)}
+        labels = np.zeros((len(train_files), len(classes)), np.float32)
+        for r, n in enumerate(names):
+            if n in idx:
+                labels[r, idx[n]] = 1.0
+        cfg = ModelConfig(
+            sample_rate=8000, num_mels=32, spec_width=32, fft_length=256,
+            chunk_duration=1.0, embeddings_size=32, num_classes=len(classes),
+            class_names=list(classes), alpha=0.5, audio_frontend="hybrid",
+            mag_scale="pwl", frontend_trainable=True)
+        test_files, _, _ = load_file_paths_from_directory(str(data / "test"),
+                                                          classes=list(classes))
+        rows = []
+        for seed in seeds:
+            lcfg = LoaderConfig(sample_rate=cfg.sample_rate,
+                                chunk_duration=cfg.chunk_duration,
+                                num_classes=len(classes), max_chunks_per_file=1,
+                                snr_threshold=0.0, random_offset=False, seed=seed)
+
+            def make_loader(**kw):
+                return AudioLoader(paths=train_files, labels=labels, cfg=lcfg,
+                                   batch_size=32, num_workers=0, **kw)
+
+            val_set = list(make_loader(shuffle=False, infinite=False))
+            model = build_dscnn(cfg, class_activation="none")
+            variables = init_model(model, cfg, jax.random.key(seed))
+            run_dir = out_dir / f"var_seed{seed}"
+            train_model(model, variables, cfg,
+                        train_batches=iter(make_loader(shuffle=True, infinite=True)),
+                        val_batches=lambda: val_set, run_dir=run_dir,
+                        epochs=12, steps_per_epoch=16, learning_rate=3e-3,
+                        patience=100, multilabel=True, seed=seed,
+                        batcher=make_train_batcher(cfg, mixup_alpha=0.0,
+                                                   spec_augment=False))
+            model_f, vars_f, _ = load_checkpoint(run_dir, class_activation="sigmoid")
+            m, _, _, _ = evaluate(FlaxRunner(model_f, vars_f, cfg), test_files,
+                                  list(classes), cfg, batch_size=32)
+            row = {"seed": seed, "cmAP": round(m["cmAP"], 4),
+                   "roc_auc": round(m["roc-auc"], 4)}
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+    finally:
+        blocks.BN_MOMENTUM = bn_saved
+
+    cmaps = np.array([r["cmAP"] for r in rows])
+    artifact = {
+        "what": "float-tier seed variance on the hard ladder (same "
+                "fixtures/geometry as ACCURACY.json; init + loader + "
+                "train seeds varied together)",
+        "seeds": list(seeds),
+        "rows": rows,
+        "cmAP_mean": round(float(cmaps.mean()), 4),
+        "cmAP_std": round(float(cmaps.std(ddof=1)), 4),
+        "cmAP_range": round(float(cmaps.max() - cmaps.min()), 4),
+        "gate_policy": "the measured sigma (0.07-level: the 12-epoch "
+                       "trajectory is chaotic) means absolute row gates "
+                       "are only honest at the 3-sigma catastrophic "
+                       "level; tests/test_hard_benchmark.py therefore "
+                       "gates rows at 3*sigma + a mean-3*sigma "
+                       "distribution floor, and catches fine regressions "
+                       "with same-trajectory relational asserts "
+                       "(PTQ-vs-float conversion drop, int16 bitwise), "
+                       "which have no seed noise.",
+    }
+    return artifact
+
+
 def main() -> None:
     out_dir = (Path(sys.argv[1]) if len(sys.argv) > 1
                else Path(tempfile.mkdtemp(prefix="hard_bench_")))
+    repo = Path(__file__).resolve().parents[1]
+    if "--variance" in sys.argv:
+        artifact = run_float_variance(out_dir)
+        out = repo / "ACCURACY_VARIANCE.json"
+        out.write_text(json.dumps(artifact, indent=1) + "\n")
+        print(f"[accuracy] wrote {out}", flush=True)
+        return
     artifact = run_ladder(out_dir)
-    out = Path(__file__).resolve().parents[1] / "ACCURACY.json"
+    out = repo / "ACCURACY.json"
     out.write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"[accuracy] wrote {out}", flush=True)
 

@@ -65,12 +65,14 @@ def main() -> None:
     # --- 1. loader rate, float32 vs int16 rows ------------------------------
     paths, labels, class_names = load_file_paths_from_directory(args.audio_dir)
     labels_oh = one_hot_labels(labels, class_names)
-    for tag, ship in (("float32", False), ("int16", True)):
+    for tag, ship in (("float32", None), ("int16", "int16"), ("ulaw", "ulaw")):
         lcfg = LoaderConfig(sample_rate=cfg.sample_rate,
                             chunk_duration=cfg.chunk_duration,
                             num_classes=len(class_names),
                             max_chunks_per_file=2, snr_threshold=0.1,
-                            seed=0, load_duration=30.0, ship_int16=ship)
+                            seed=0, load_duration=30.0,
+                            ship_int16=ship == "int16",
+                            ship_ulaw=ship == "ulaw")
         loader = AudioLoader(paths, labels_oh, lcfg, batch_size=B,
                              num_workers=4, infinite=True)
         it = iter(loader)
@@ -92,6 +94,9 @@ def main() -> None:
     wi = np.concatenate([
         np.clip(np.round(wf * 32767), -32768, 32767).astype(np.int16),
         np.full((B, 1), 32767, np.int16)], axis=1)
+    from birdnet_stm32_tpu.data.worker import ulaw_encode
+
+    wu = ulaw_encode(wf)  # [B, T] int8 mu-law rows (quarter of float32)
     # block_until_ready() is unreliable through the tunnel (CLAUDE.md): a
     # transfer can report ready before the bytes land. Force completion
     # with a device-dependent scalar read (the whole array must arrive to
@@ -107,7 +112,7 @@ def main() -> None:
     floor = float(np.median(floors))
     print(json.dumps({"stage": "blocking_read_floor",
                       "seconds": round(floor, 4)}), flush=True)
-    for tag, arr in (("float32", wf), ("int16", wi)):
+    for tag, arr in (("float32", wf), ("int16", wi), ("ulaw", wu)):
         for _ in range(2):  # warm/compile
             float(ssum(jnp.asarray(arr)))
         ts = []
@@ -158,9 +163,36 @@ def main() -> None:
     results["step_cps"] = step_cps
     print(json.dumps(row), flush=True)
 
+    # Same step with the ulaw-dequantizing batcher (the dequant is a few
+    # elementwise ops fused into the frontend — expect ~= the int16 rate).
+    batcher_u = make_train_batcher(cfg, stft_precision="high",
+                                   feature_dtype=jnp.bfloat16,
+                                   input_dtype="ulaw")
+    wu_dev = jnp.asarray(wu)
+    state_u = TrainState.create(variables, tx)
+
+    def one_u(state, i):
+        x, y2 = batcher_u(jax.random.fold_in(key, i), wu_dev, y_dev)
+        state, m = step(state, x, y2, key)
+        return state, m
+
+    state_u, m = one_u(state_u, 0)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        state_u, m = one_u(state_u, i)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    step_cps_u = iters * B / dt
+    print(json.dumps({"stage": "device_step_bf16_ulawbatcher",
+                      "chunks_per_sec": round(step_cps_u, 1),
+                      "seconds_per_step": round(dt / iters, 4)}), flush=True)
+    results["step_cps_ulaw"] = step_cps_u
+
     # --- derived epoch model ------------------------------------------------
-    for tag in ("float32", "int16"):
-        per_step = results[f"h2d_{tag}"] + B / step_cps
+    for tag in ("float32", "int16", "ulaw"):
+        cps = results["step_cps_ulaw"] if tag == "ulaw" else results["step_cps"]
+        per_step = results[f"h2d_{tag}"] + B / cps
         decode_bound = args.steps * B / results[f"loader_{tag}"]
         serial = args.steps * per_step
         print(json.dumps({

@@ -103,6 +103,81 @@ def test_qat_step_trains_and_freezes_bn(rng):
     )
 
 
+def test_fake_quantize_act_properties(rng):
+    """Per-tensor activation fake-quant: 256 levels, zero exactly
+    representable, STE identity gradient."""
+    from birdnet_stm32_tpu.quant.fake_quant import fake_quantize_act
+
+    x = jnp.asarray(rng.uniform(0, 6, (4, 33)).astype(np.float32))
+    q = fake_quantize_act(x)
+    assert len(np.unique(np.asarray(q))) <= 255
+    step = float(jnp.max(x)) / 255
+    assert float(jnp.max(jnp.abs(q - x))) <= step / 2 + 1e-6
+    # Zero representable: an input containing 0 keeps it exact.
+    x0 = x.at[0, 0].set(0.0)
+    assert float(fake_quantize_act(x0)[0, 0]) == 0.0
+    # STE: gradient of sum(fq(x)) is all-ones.
+    g = jax.grad(lambda v: fake_quantize_act(v).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g), np.ones_like(g))
+
+
+def test_relu6_act_fq_hook(rng):
+    """The blocks.relu6 hook fires only inside activation_fake_quant and
+    only for hookable call sites; the context always resets."""
+    from birdnet_stm32_tpu.models.blocks import _ACT_FQ, relu6
+    from birdnet_stm32_tpu.quant.fake_quant import activation_fake_quant
+
+    x = jnp.asarray(rng.uniform(-1, 7, (3, 40)).astype(np.float32))
+    plain = np.asarray(relu6(x))
+    with activation_fake_quant(num_bits=4):
+        hooked = np.asarray(relu6(x))
+        unhooked = np.asarray(relu6(x, hookable=False))
+    assert _ACT_FQ.get() is None  # context reset
+    np.testing.assert_array_equal(unhooked, plain)
+    assert not np.array_equal(hooked, plain)  # 4-bit grid is coarse
+    assert len(np.unique(hooked)) <= 16  # 4-bit affine grid
+    np.testing.assert_array_equal(np.asarray(relu6(x)), plain)  # hook gone
+
+
+def test_qat_step_act_fq_trains(rng):
+    """make_qat_train_step(act_fq=True) runs, keeps BN frozen, and traces
+    the activation noise into the loss (loss differs from weights-only)."""
+    cfg = ModelConfig(sample_rate=4000, num_mels=16, spec_width=32, fft_length=128,
+                      chunk_duration=1.0, embeddings_size=32, num_classes=3,
+                      audio_frontend="librosa", mag_scale="none")
+    model = build_dscnn(cfg, class_activation="none")
+    variables = init_model(model, cfg)
+    tx = optax.adam(1e-4)
+    loss_fn = make_loss_fn(multilabel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (8, *cfg.input_shape())).astype(np.float32))
+    y = jnp.asarray(np.eye(3, dtype=np.float32)[rng.integers(0, 3, 8)])
+
+    state_w = TrainState.create(variables, tx)
+    step_w = make_qat_train_step(model, tx, loss_fn, donate=False)
+    state_a = TrainState.create(variables, tx)
+    step_a = make_qat_train_step(model, tx, loss_fn, donate=False, act_fq=True)
+
+    losses_w, losses_a = [], []
+    for i in range(3):
+        state_w, mw = step_w(state_w, x, y, jax.random.key(i))
+        state_a, ma = step_a(state_a, x, y, jax.random.key(i))
+        losses_w.append(float(mw["loss"]))
+        losses_a.append(float(ma["loss"]))
+    assert all(np.isfinite(losses_a))
+    # Activation noise is in the traced loss: trajectories diverge.
+    assert losses_a != losses_w
+    # BN still frozen under act_fq.
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables["batch_stats"])[0],
+        jax.tree_util.tree_flatten_with_path(state_a.batch_stats)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Kernels moved.
+    assert not np.array_equal(
+        np.asarray(variables["params"]["stem_conv"]["kernel"]),
+        np.asarray(state_a.params["stem_conv"]["kernel"]))
+
+
 def test_cosine_similarity_edge_cases():
     z = np.zeros(10)
     v = np.ones(10)
