@@ -231,7 +231,8 @@ def build_loaders(args, for_qat: bool = False, ship: str = "float32"):
     # pass is a small fraction of the epoch's bytes.
     val_lcfg = dataclasses.replace(
         lcfg, random_offset=False, max_chunks_per_file=1,
-        snr_threshold=args.snr_threshold * 5.0, ship_int16=False)
+        snr_threshold=args.snr_threshold * 5.0, ship_int16=False,
+        ship_ulaw=False)
     val_loader = AudioLoader(
         val_paths, one_hot_labels(val_labels, class_names), val_lcfg,
         batch_size=args.batch_size, num_workers=args.num_workers,

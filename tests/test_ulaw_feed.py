@@ -123,6 +123,28 @@ def test_loader_yields_int8_batches(tmp_path):
     assert y.shape == (4, 2)
 
 
+def test_val_loader_never_ships_ulaw(tmp_path):
+    """Regression: the validation loader must ship float32 even when the
+    train feed is ulaw — the trainer's val loop feeds inputs_for_config
+    directly, and raw int8 code rows would silently promote to garbage
+    features (caught live on the flagship probe, round 5)."""
+    from birdnet_stm32_tpu.cli.train import build_loaders, get_args
+
+    sr = 4000
+    for i in range(6):
+        d = tmp_path / ("a" if i % 2 else "b")
+        d.mkdir(exist_ok=True)
+        _write_wav(d / f"{i}.wav", sr, 2.0, seed=i)
+    args = get_args(["--data_path_train", str(tmp_path),
+                     "--train_feed", "ulaw", "--val_split", "0.34",
+                     "--sample_rate", str(sr), "--chunk_duration", "1.0"])
+    train_loader, val_loader, _, _ = build_loaders(args, ship=args.train_feed)
+    assert train_loader.cfg.ship_ulaw and not train_loader.cfg.ship_int16
+    assert not val_loader.cfg.ship_ulaw and not val_loader.cfg.ship_int16
+    w, _ = next(iter(val_loader))
+    assert w.dtype == np.float32
+
+
 def test_batcher_ulaw_close_to_float(tmp_path):
     """make_train_batcher(input_dtype='ulaw') produces features close to
     the float batcher's (same key -> same SpecAugment/mixup draws; the
