@@ -51,6 +51,12 @@ def get_args(argv=None):
                         "ship their RAW codes — scores are BIT-EXACT vs "
                         "the float path; other sources requantize (one "
                         "PCM16 LSB, ~3e-5)")
+    p.add_argument("--ulaw_io", action="store_true",
+                   help="ship waveforms as int8 mu-law codes: QUARTER of "
+                        "the float32 host->device stream at ~2.2%% relative "
+                        "waveform error — NOT bit-exact (measured score "
+                        "cosine in docs/performance.md); for link-bound "
+                        "hosts where the int16 stream still binds")
     p.add_argument("--cache_dir", default=None,
                    help="decoded-waveform cache directory (audio/io."
                         "cached_waveform): the first pass decodes each file "
@@ -99,7 +105,7 @@ def _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample,
 def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
                   overlap=0.0, csv_path=None, score_threshold=0.0,
                   timeout=None, device_resample=False,
-                  cache_dir=None, int16_io=False) -> dict:
+                  cache_dir=None, int16_io=False, ulaw_io=False) -> dict:
     """Drive the batched inference loop and print the [BENCH] protocol.
 
     With device_resample=True, files are decoded at their native sample
@@ -115,12 +121,14 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
     )
 
     classifier_for = make_classifier_cache(
-        runner, cfg, verbose=True, input_dtype="int16" if int16_io else None)
+        runner, cfg, verbose=True,
+        input_dtype="int16" if int16_io else ("ulaw" if ulaw_io else None))
 
     print("[info] frontend+model fused into one device dispatch; "
           "[BENCH] 'model' covers both, 'frontend' reads 0.0")
     _warmup_all_rates(classifier_for, cfg, batch_size, files, device_resample,
-                      np.int16 if int16_io else np.float32)
+                      np.int16 if int16_io else (np.int8 if ulaw_io
+                                                 else np.float32))
 
     per_file_rows = []
     t_read = t_frontend = t_model = 0.0
@@ -142,7 +150,7 @@ def run_benchmark(runner, cfg, classes, files, top_k=3, batch_size=64,
         chunks, src_rate, dur_s, read_ms = decode_for_classify(
             path, cfg, overlap, max_duration=None,
             device_resample=device_resample, cache_dir=cache_dir,
-            int16_io=int16_io)
+            int16_io=int16_io, ulaw_io=ulaw_io)
         if chunks.shape[0] == 0:
             print(f"file: {Path(path).name}  SKIP (no audio)")
             continue
@@ -198,7 +206,8 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
                             batch_size=64, overlap=0.0, csv_path=None,
                             score_threshold=0.0, decode_workers=4,
                             max_outstanding=16, device_resample=False,
-                            cache_dir=None, int16_io=False) -> dict:
+                            cache_dir=None, int16_io=False,
+                            ulaw_io=False) -> dict:
     """Pipelined serving driver: threaded decode overlapped with async
     device dispatch.
 
@@ -221,7 +230,8 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
     )
 
     classifier_for = make_classifier_cache(
-        runner, cfg, as_numpy=False, input_dtype="int16" if int16_io else None)
+        runner, cfg, as_numpy=False,
+        input_dtype="int16" if int16_io else ("ulaw" if ulaw_io else None))
 
     def decode(path):
         # int16 conversion happens inside decode_for_classify, on this
@@ -229,13 +239,14 @@ def run_benchmark_pipelined(runner, cfg, classes, files, top_k=3,
         return decode_for_classify(
             path, cfg, overlap, max_duration=None,
             device_resample=device_resample, cache_dir=cache_dir,
-            int16_io=int16_io)
+            int16_io=int16_io, ulaw_io=ulaw_io)
 
     print(f"[info] pipelined serving: {decode_workers} decode threads, "
           f"<= {max_outstanding} device batches in flight")
     _warmup_all_rates(lambda r: (lambda w: np.asarray(classifier_for(r)(w))),
                       cfg, batch_size, files, device_resample,
-                      np.int16 if int16_io else np.float32)
+                      np.int16 if int16_io else (np.int8 if ulaw_io
+                                                 else np.float32))
 
     per_file_rows = []
     total_chunks = 0
@@ -387,13 +398,15 @@ def main(argv=None) -> int:
                 batch_size=args.batch_size, overlap=args.chunk_overlap,
                 csv_path=args.csv, decode_workers=args.pipeline,
                 device_resample=args.device_resample,
-                cache_dir=args.cache_dir, int16_io=args.int16_io)
+                cache_dir=args.cache_dir, int16_io=args.int16_io,
+                ulaw_io=args.ulaw_io)
     else:
         def drive():
             run_benchmark(runner, cfg, classes, files, top_k=args.top_k,
                           batch_size=args.batch_size, overlap=args.chunk_overlap,
                           csv_path=args.csv, device_resample=args.device_resample,
-                          cache_dir=args.cache_dir, int16_io=args.int16_io)
+                          cache_dir=args.cache_dir, int16_io=args.int16_io,
+                          ulaw_io=args.ulaw_io)
 
     if args.trace_dir:
         import jax

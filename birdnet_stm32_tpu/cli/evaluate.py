@@ -43,6 +43,11 @@ def get_args(argv=None):
                         "scale (bit-exact for mono PCM16 WAVs at the model "
                         "rate, ~1 LSB otherwise) — same transfer mode as "
                         "serve/benchmark --int16_io")
+    p.add_argument("--ulaw_io", action="store_true",
+                   help="ship waveforms as int8 mu-law codes (quarter "
+                        "bandwidth, companded — NOT bit-exact; measures "
+                        "the serving-side fidelity cost with the full "
+                        "metrics stack)")
     p.add_argument("--benchmark_latency", action="store_true")
     p.add_argument("--profile_memory", action="store_true")
     p.add_argument("--optimize_thresholds", action="store_true")
@@ -141,7 +146,8 @@ def main(argv=None) -> int:
         overlap=args.chunk_overlap, mep_beta=args.lme_beta,
         measure_latency=args.benchmark_latency, profile_memory=args.profile_memory,
         decode_workers=args.decode_workers, max_duration=args.max_duration,
-        cache_dir=args.cache_dir, int16_io=args.int16_io)
+        cache_dir=args.cache_dir, int16_io=args.int16_io,
+        ulaw_io=args.ulaw_io)
 
     print("\n=== Evaluation ===")
     for k in ("roc-auc", "cmAP", "mAP", "precision", "recall", "f1",

@@ -53,6 +53,11 @@ def get_args(argv=None):
                         "inside the fused dispatch). BIT-EXACT vs the "
                         "float path for mono PCM16 WAVs at the model "
                         "rate (raw codes); ~1 LSB error otherwise")
+    p.add_argument("--ulaw_io", action="store_true",
+                   help="ship waveforms as int8 mu-law codes (quarter of "
+                        "the float32 host->device stream; NOT bit-exact — "
+                        "~2.2%% relative companding error, measured score "
+                        "cosine in docs/performance.md)")
     p.add_argument("--decode_threads", type=int, default=0,
                    help="decode N files ahead on threads, overlapping host "
                         "decode with device compute (0 = serial)")
@@ -81,7 +86,7 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
                score_threshold: float = 0.01, overlap: float = 0.0,
                device_resample: bool = False, once: bool = False,
                max_polls: int | None = None, decode_threads: int = 0,
-               int16_io: bool = False) -> int:
+               int16_io: bool = False, ulaw_io: bool = False) -> int:
     """Watch `audio_dir`; classify + record new files. Returns files served.
 
     With decode_threads > 0 the next files decode on host threads while
@@ -99,7 +104,8 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
     from birdnet_stm32_tpu.data.dataset import supported_audio_extensions
 
     classifier_for = make_classifier_cache(
-        runner, cfg, input_dtype="int16" if int16_io else None)
+        runner, cfg,
+        input_dtype="int16" if int16_io else ("ulaw" if ulaw_io else None))
     exts = supported_audio_extensions()
 
     done = _recorded_files(results_file)
@@ -118,7 +124,8 @@ def serve_loop(runner, cfg, classes, audio_dir: Path, results_file: Path,
             # thread (raw PCM16 codes when eligible, requantize fallback).
             chunks, src_rate, _dur, _ms = decode_for_classify(
                 path, cfg, overlap, max_duration=None,
-                device_resample=device_resample, int16_io=int16_io)
+                device_resample=device_resample, int16_io=int16_io,
+                ulaw_io=ulaw_io)
         except Exception as e:
             return rel, None, cfg.sample_rate, e
         return rel, chunks, src_rate, None
@@ -280,7 +287,8 @@ def main(argv=None) -> int:
                top_k=args.top_k, score_threshold=score_threshold,
                overlap=args.chunk_overlap,
                device_resample=args.device_resample, once=args.once,
-               decode_threads=args.decode_threads, int16_io=args.int16_io)
+               decode_threads=args.decode_threads, int16_io=args.int16_io,
+               ulaw_io=args.ulaw_io)
     return 0
 
 

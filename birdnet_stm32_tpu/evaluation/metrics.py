@@ -61,6 +61,7 @@ def evaluate(
     max_duration: float = 60.0,
     cache_dir: str | None = None,
     int16_io: bool = False,
+    ulaw_io: bool = False,
 ) -> tuple[dict, list[dict], np.ndarray, np.ndarray]:
     """Per-chunk inference -> pooled file scores -> metrics.
 
@@ -85,6 +86,9 @@ def evaluate(
             column (models/serving.py): raw PCM codes (bit-exact) for
             mono PCM16 WAVs at the model rate, requantized (one LSB)
             otherwise — the production bulk-serving transfer mode.
+        ulaw_io: Ship waveforms as int8 mu-law codes (quarter-bandwidth,
+            companded — NOT bit-exact; this flag exists so the fidelity
+            cost is measurable with the full metrics stack).
 
     Returns:
         (metrics dict, per_file list, y_true [N,C], y_scores [N,C]).
@@ -110,13 +114,23 @@ def evaluate(
         make_fused_classifier,
     )
 
+    if int16_io and ulaw_io:
+        raise ValueError("int16_io and ulaw_io are mutually exclusive")
     classify = make_fused_classifier(
-        runner, cfg, input_dtype="int16" if int16_io else None)
+        runner, cfg,
+        input_dtype="int16" if int16_io else ("ulaw" if ulaw_io else None))
     if int16_io:
         def _chunks(path, cfg, overlap, max_duration, _rate, cache_dir):
             return chunks_for_classify_int16(
                 path, cfg, overlap, max_duration=max_duration,
                 cache_dir=cache_dir)
+    elif ulaw_io:
+        from birdnet_stm32_tpu.models.serving import quantize_waveform_ulaw
+
+        def _chunks(path, cfg, overlap, max_duration, _rate, cache_dir):
+            return quantize_waveform_ulaw(chunks_for_file(
+                path, cfg, overlap, max_duration=max_duration,
+                cache_dir=cache_dir))
     else:
         _chunks = chunks_for_file
     warmed = False

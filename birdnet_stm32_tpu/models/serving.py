@@ -114,11 +114,24 @@ def _dequantize_ulaw(q):
     """[B, T] int8 mu-law codes -> [B, T] float32 waveforms (inverse of
     data/worker.ulaw_encode: mu = 255 companding on a symmetric 8-bit
     grid). Quarter of the float32 host->device bytes; ~2.2% relative
-    waveform error at every amplitude (log companding) — a TRAINING feed,
-    not a bit-exact serving one (the accuracy ladder measures the cost,
-    ACCURACY.json float32_ulaw_feed row)."""
+    waveform error at every amplitude (log companding). Used by the
+    training feed (make_train_batcher(input_dtype='ulaw'), fidelity
+    gated by ACCURACY.json's float32_ulaw_feed row) and by the serving
+    ingress (make_fused_classifier(input_dtype='ulaw') — NOT bit-exact,
+    measured score cosine in docs/performance.md; the INT8 bit-exact
+    headline requires the int16 or float path)."""
     f = q.astype(jnp.float32) / 127.0
     return jnp.sign(f) * jnp.expm1(jnp.abs(f) * jnp.float32(np.log1p(255.0))) / 255.0
+
+
+def quantize_waveform_ulaw(wave: np.ndarray) -> np.ndarray:
+    """[-1, 1] float waveforms [B, T] -> [B, T] int8 mu-law codes for
+    quarter-bandwidth shipping (host twin of the device's
+    _dequantize_ulaw; the same companding encode the training feed uses,
+    data/worker.ulaw_encode)."""
+    from birdnet_stm32_tpu.data.worker import ulaw_encode
+
+    return ulaw_encode(np.asarray(wave, np.float32))
 
 
 def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
@@ -167,16 +180,21 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
             and dequantizes on device inside the same dispatch with
             correctly-rounded division — halves the host->device waveform
             stream (13.7 GB/s of float32 at the device's measured rate).
-            None = float32 waveforms [B, T].
+            'ulaw' accepts [B, T] int8 mu-law codes
+            (quantize_waveform_ulaw) — QUARTER of the float32 stream at
+            ~2.2% relative waveform error; NOT bit-exact (measured score
+            cosine in docs/performance.md) — for link-bound hosts where
+            the int16 stream still binds. None = float32 waveforms [B, T].
     """
     if stft_precision is None:
         stft_precision = ("high" if getattr(runner, "dtype", None) is not None
                           else "highest")
     if pallas_mode not in ("auto", "off", "interpret"):
         raise ValueError(f"Invalid pallas_mode: {pallas_mode!r}")
-    if input_dtype not in (None, "float32", "int16"):
+    if input_dtype not in (None, "float32", "int16", "ulaw"):
         raise ValueError(f"Invalid input_dtype: {input_dtype!r}")
-    _dequant_in = input_dtype == "int16"
+    _dequant = {"int16": _dequantize_int16,
+                "ulaw": _dequantize_ulaw}.get(input_dtype)
 
     from birdnet_stm32_tpu.ops.pallas.frontend_kernel import (
         frontend_input,
@@ -194,13 +212,13 @@ def make_fused_classifier(runner, cfg, input_sample_rate: int | None = None,
         from birdnet_stm32_tpu.ops.resample import resample_chunk_batch
 
         def _wave(wave):
-            if _dequant_in:
-                wave = _dequantize_int16(wave)
+            if _dequant is not None:
+                wave = _dequant(wave)
             return resample_chunk_batch(wave, input_sample_rate, cfg)
     else:
         def _wave(wave):
-            if _dequant_in:
-                wave = _dequantize_int16(wave)
+            if _dequant is not None:
+                wave = _dequant(wave)
             return wave
 
     # bf16 float runners consume bf16 features: request them from the
@@ -354,7 +372,8 @@ def make_embedder(runner, cfg, stft_precision: str | None = None):
 def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
                         device_resample: bool = False,
                         cache_dir: str | None = None,
-                        int16_io: bool = False):
+                        int16_io: bool = False,
+                        ulaw_io: bool = False):
     """One probe + one decode for the serving drivers (cli/benchmark.py,
     cli/serve.py): (chunks [N, T], src_rate, audio_seconds, read_ms).
 
@@ -370,8 +389,12 @@ def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
     mono PCM16 WAVs already at the decode rate ship their RAW sample codes
     (bit-exact vs the float path after the device dequant); everything
     else decodes to float and requantizes (quantize_waveform_int16, one
-    PCM16 LSB of error).
+    PCM16 LSB of error). ulaw_io=True returns [N, T] int8 mu-law codes
+    (quarter-bandwidth, companded — NOT bit-exact; pair with
+    make_fused_classifier(input_dtype='ulaw')).
     """
+    if int16_io and ulaw_io:
+        raise ValueError("int16_io and ulaw_io are mutually exclusive")
     from birdnet_stm32_tpu.audio.io import audio_info
     from birdnet_stm32_tpu.evaluation.metrics import chunks_for_file
 
@@ -395,6 +418,8 @@ def decode_for_classify(path, cfg, overlap: float = 0.0, max_duration=None,
         chunks = chunks_for_file(str(path), cfg, overlap,
                                  max_duration=max_duration,
                                  sample_rate=src_rate, cache_dir=cache_dir)
+        if ulaw_io:
+            chunks = quantize_waveform_ulaw(chunks)
     if duration <= 0.0 and len(chunks):
         # No header duration (e.g. stream estimate failed): approximate
         # from the chunk count (overlapped chunks double-count time).

@@ -145,6 +145,50 @@ def test_val_loader_never_ships_ulaw(tmp_path):
     assert w.dtype == np.float32
 
 
+def test_serving_ulaw_ingress_close_to_float(tmp_path):
+    """make_fused_classifier(input_dtype='ulaw') on mu-law chunks tracks
+    the float-ingress scores closely (companded-waveform error only),
+    and decode_for_classify(ulaw_io=True) emits [N, T] int8 rows."""
+    import jax
+
+    from birdnet_stm32_tpu.config import ModelConfig
+    from birdnet_stm32_tpu.models.dscnn import build_dscnn, init_model
+    from birdnet_stm32_tpu.models.runners import FlaxRunner
+    from birdnet_stm32_tpu.models.serving import (
+        decode_for_classify,
+        make_fused_classifier,
+    )
+
+    sr = 8000
+    cfg = ModelConfig(sample_rate=sr, num_mels=32, spec_width=32,
+                      fft_length=256, chunk_duration=1.0, embeddings_size=32,
+                      num_classes=4, class_names=list("abcd"), alpha=0.25,
+                      audio_frontend="hybrid", mag_scale="pwl")
+    model = build_dscnn(cfg, class_activation="softmax")
+    v = init_model(model, cfg, jax.random.key(0))
+    runner = FlaxRunner(model, v, cfg)
+
+    rng = np.random.default_rng(0)
+    wave = np.clip(rng.normal(0, 0.1, int(sr * 2.2)), -0.999, 0.999).astype(np.float32)
+    path = tmp_path / "u.wav"
+    save_wav(wave * 0.7, path, sample_rate=sr)
+
+    f32_chunks, *_ = decode_for_classify(path, cfg)
+    u_chunks, *_ = decode_for_classify(path, cfg, ulaw_io=True)
+    assert u_chunks.dtype == np.int8
+    assert u_chunks.shape == f32_chunks.shape  # [N, T], no scale column
+
+    s_f32 = make_fused_classifier(runner, cfg)(f32_chunks)
+    s_u = make_fused_classifier(runner, cfg, input_dtype="ulaw")(u_chunks)
+    a, b = s_f32.ravel(), s_u.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.995
+    np.testing.assert_allclose(s_u, s_f32, atol=0.1)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        decode_for_classify(path, cfg, int16_io=True, ulaw_io=True)
+
+
 def test_batcher_ulaw_close_to_float(tmp_path):
     """make_train_batcher(input_dtype='ulaw') produces features close to
     the float batcher's (same key -> same SpecAugment/mixup draws; the
