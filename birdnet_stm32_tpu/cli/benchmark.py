@@ -391,6 +391,8 @@ def main(argv=None) -> int:
                    if p.suffix.lower() in supported_audio_extensions())
     if not files:
         raise SystemExit(f"no audio files under {args.audio_dir}")
+    if args.int16_io and args.ulaw_io:
+        raise SystemExit("--int16_io and --ulaw_io are mutually exclusive")
     if args.pipeline > 0:
         def drive():
             run_benchmark_pipelined(

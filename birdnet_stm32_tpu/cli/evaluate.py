@@ -111,6 +111,8 @@ def main(argv=None) -> int:
     from birdnet_stm32_tpu.cli.deploy import resolve_config_path
 
     args.config_path = resolve_config_path(model_path, args.config_path)
+    if args.int16_io and args.ulaw_io:
+        raise SystemExit("--int16_io and --ulaw_io are mutually exclusive")
     runner = load_model_runner(model_path, args.config_path, dtype=dtype)
     cfg = getattr(runner, "cfg", None)
     if cfg is None:

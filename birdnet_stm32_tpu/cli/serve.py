@@ -282,6 +282,8 @@ def main(argv=None) -> int:
             [float(th.get(c, args.score_threshold)) for c in served],
             np.float32)
 
+    if args.int16_io and args.ulaw_io:
+        raise SystemExit("--int16_io and --ulaw_io are mutually exclusive")
     serve_loop(runner, cfg, classes, audio_dir, results_file,
                poll_interval=args.poll_interval, batch_size=args.batch_size,
                top_k=args.top_k, score_threshold=score_threshold,
