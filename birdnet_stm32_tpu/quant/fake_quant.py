@@ -88,11 +88,16 @@ def fake_quantize_act(x: jax.Array, num_bits: int = 8) -> jax.Array:
     covers, the range is [0, ~6] and batch min/max is a tight estimator).
     """
     qmax = (1 << num_bits) - 1
-    x_min = jnp.minimum(jnp.min(x), 0.0)  # zero must be exactly representable
+    x_min = jnp.minimum(jnp.min(x), 0.0)
     x_max = jnp.maximum(jnp.max(x), 0.0)
     scale = jnp.maximum((x_max - x_min) / qmax, 1e-10)
-    q = jnp.round((x - x_min) / scale) * scale + x_min
-    return _ste(x, q)
+    # Integer zero point (TFLite affine semantics): the grid is anchored so
+    # 0.0 maps to an exact code — for post-ReLU6 tensors zp == 0 and this
+    # reduces to the min-anchored grid, but logits/input have x_min < 0
+    # and an un-nudged grid would represent zero only approximately.
+    zp = jnp.round(-x_min / scale)
+    q = jnp.clip(jnp.round(x / scale) + zp, 0.0, float(qmax))
+    return _ste(x, (q - zp) * scale)
 
 
 class activation_fake_quant:

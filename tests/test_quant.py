@@ -113,9 +113,13 @@ def test_fake_quantize_act_properties(rng):
     assert len(np.unique(np.asarray(q))) <= 255
     step = float(jnp.max(x)) / 255
     assert float(jnp.max(jnp.abs(q - x))) <= step / 2 + 1e-6
-    # Zero representable: an input containing 0 keeps it exact.
+    # Zero representable EXACTLY, including with a negative-min range
+    # (logits): the integer zero-point nudge, TFLite affine semantics.
     x0 = x.at[0, 0].set(0.0)
     assert float(fake_quantize_act(x0)[0, 0]) == 0.0
+    xn = jnp.asarray(rng.normal(0, 2.0, (4, 33)).astype(np.float32))
+    xn = xn.at[0, 0].set(0.0)
+    assert float(fake_quantize_act(xn)[0, 0]) == 0.0
     # STE: gradient of sum(fq(x)) is all-ones.
     g = jax.grad(lambda v: fake_quantize_act(v).sum())(x)
     np.testing.assert_array_equal(np.asarray(g), np.ones_like(g))
