@@ -297,6 +297,9 @@ def main(argv=None) -> int:
         args.run_dir = str(run_dir)  # downstream branches (tuning) use args
         info("train", f"--checkpoint_path file mapped to run dir {run_dir}")
 
+    if args.qat_act and not args.qat:
+        raise SystemExit("--qat_act requires --qat (it extends the QAT "
+                         "fine-tune step; plain training never fake-quantizes)")
     if args.qat:
         from birdnet_stm32_tpu.quant.qat import run_qat
         from birdnet_stm32_tpu.training.checkpoint import _is_multilabel
