@@ -109,7 +109,83 @@ def hlo_fusion_opcodes(hlo_text: str) -> dict[str, str]:
     return out
 
 
+def profile_trace(fused, wave, opcodes, trace_dir, n_iters, B):
+    """Trace + aggregate + print top ops and op-class shares."""
+    try:
+        with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
+            for _ in range(n_iters):
+                out = fused(wave)
+            float(out)
+        sums = parse_perfetto(trace_dir)
+    except Exception as e:  # noqa: BLE001 — tracing may be unsupported here
+        print(json.dumps({"stage": "profiler",
+                          "error": f"{type(e).__name__}: {e}"[:200]}))
+        sums = None
+    if not sums:
+        print(json.dumps({"stage": "profiler",
+                          "note": "no device trace events captured on this "
+                                  "backend; stage microbenchmarks above are "
+                                  "the attribution"}), flush=True)
+        return
+    total = sum(sums.values())
+    top = sorted(sums.items(), key=lambda kv: -kv[1])[:14]
+    n_chunks = n_iters * B
+    for name, t in top:
+        print(json.dumps({"op": name[:60], "hlo": opcodes.get(name, "?")[:60],
+                          "share_pct": round(100 * t / total, 1),
+                          "us_per_chunk": round(t / n_chunks, 3)}), flush=True)
+    classes: dict[str, float] = defaultdict(float)
+    for name, t in sums.items():
+        k = opcodes.get(name, "?")
+        if "convolution" in k:
+            k = "convolution(+fused elementwise)"
+        elif "dot" in k:
+            k = "dot(+fused elementwise)"
+        elif any(s in k for s in ("copy", "transpose", "reshape", "pad",
+                                  "slice", "convert", "bitcast")):
+            k = "layout/convert"
+        elif k == "?":
+            k = "other"
+        else:
+            k = "elementwise/reduce fusion"
+        classes[k] += t
+    for k, t in sorted(classes.items(), key=lambda kv: -kv[1]):
+        print(json.dumps({"op_class": k, "share_pct": round(100 * t / total, 1),
+                          "us_per_chunk": round(t / n_chunks, 3)}), flush=True)
+
+
+def main_int8(B: int) -> None:
+    """Per-op attribution of the fused INT8 serving path (exact requant)."""
+    from birdnet_stm32_tpu.models.runners import TFLiteSimRunner
+    from birdnet_stm32_tpu.models.serving import make_fused_classifier
+
+    cfg = ModelConfig.load(f"{CKPT}_model_config.json")
+    runner = TFLiteSimRunner(f"{CKPT}.tflite")
+    classify = make_fused_classifier(runner, cfg, as_numpy=False)
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32))
+    fused = jax.jit(lambda w: classify(w).sum())
+    opcodes = {}
+    try:
+        opcodes = hlo_fusion_opcodes(fused.lower(wave).compile().as_text())
+    except Exception:  # noqa: BLE001
+        pass
+    float(fused(wave))
+    from birdnet_stm32_tpu.utils.benchmarking import (
+        sustained_chunks_per_sec as scs,
+    )
+
+    r = scs(fused, wave)
+    print(json.dumps({"stage": "fused_e2e_int8", "chunks_per_sec": round(r),
+                      "us_per_chunk": round(1e6 / r, 2)}), flush=True)
+    profile_trace(fused, wave, opcodes, "/tmp/jax_trace_int8", 8, B)
+
+
 def main() -> None:
+    if "--int8" in sys.argv:
+        sys.argv.remove("--int8")
+        main_int8(int(sys.argv[1]) if len(sys.argv) > 1 else 2048)
+        return
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     cfg = ModelConfig.load(f"{CKPT}_model_config.json")
     model, variables, _ = load_reference_model(f"{CKPT}.keras",
@@ -160,7 +236,6 @@ def main() -> None:
           flush=True)
 
     # --- jax.profiler perfetto trace ------------------------------------
-    trace_dir = "/tmp/jax_trace_bf16"
     fused = jax.jit(lambda w: classify(w).sum())
     opcodes = {}
     try:
@@ -169,46 +244,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — attribution still useful without it
         pass
     float(fused(wave))  # compiled + warm
-    try:
-        with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
-            for _ in range(8):
-                out = fused(wave)
-            float(out)
-        sums = parse_perfetto(trace_dir)
-    except Exception as e:  # noqa: BLE001 — tracing may be unsupported here
-        print(json.dumps({"stage": "profiler", "error": f"{type(e).__name__}: {e}"[:200]}))
-        sums = None
-    if not sums:
-        print(json.dumps({"stage": "profiler",
-                          "note": "no device trace events captured on this "
-                                  "backend; stage microbenchmarks above are "
-                                  "the attribution"}), flush=True)
-        return
-    total = sum(sums.values())
-    top = sorted(sums.items(), key=lambda kv: -kv[1])[:14]
-    n_chunks = 8 * B
-    for name, t in top:
-        print(json.dumps({"op": name[:60], "hlo": opcodes.get(name, "?")[:60],
-                          "share_pct": round(100 * t / total, 1),
-                          "us_per_chunk": round(t / n_chunks, 3)}), flush=True)
-    # Aggregate by op class for the docs table.
-    classes: dict[str, float] = defaultdict(float)
-    for name, t in sums.items():
-        k = opcodes.get(name, "?")
-        if "convolution" in k:
-            k = "convolution(+fused elementwise)"
-        elif "dot" in k:
-            k = "dot(+fused elementwise)"
-        elif any(s in k for s in ("copy", "transpose", "reshape", "pad", "slice", "convert", "bitcast")):
-            k = "layout/convert"
-        elif k == "?":
-            k = "other"
-        else:
-            k = "elementwise/reduce fusion"
-        classes[k] += t
-    for k, t in sorted(classes.items(), key=lambda kv: -kv[1]):
-        print(json.dumps({"op_class": k, "share_pct": round(100 * t / total, 1),
-                          "us_per_chunk": round(t / n_chunks, 3)}), flush=True)
+    profile_trace(fused, wave, opcodes, "/tmp/jax_trace_bf16", 8, B)
 
 
 if __name__ == "__main__":
