@@ -239,6 +239,17 @@ def test_train_convert_evaluate_benchmark(wav_dataset, tmp_path, capsys):
     header = csv_path.read_text().splitlines()[0]
     assert header.startswith("file,chunks,top1")
 
+    # mu-law ingress through the same driver (quarter-bandwidth transfer).
+    assert dispatch([
+        "benchmark", "--model_path", str(run_dir), "--audio_dir", str(root),
+        "--top_k", "2", "--ulaw_io",
+    ]) == 0
+    assert "=== DONE ===" in capsys.readouterr().out
+    # The two compressed transfers are mutually exclusive, loudly.
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        dispatch(["benchmark", "--model_path", str(run_dir),
+                  "--audio_dir", str(root), "--int16_io", "--ulaw_io"])
+
     # Deploy: package the run dir into a bundle (headers + manifest) and
     # validate it on the local device.
     bundle = tmp_path / "bundle"

@@ -292,6 +292,63 @@ def test_fake_quantize_idempotent(w):
     assert np.all(np.abs(wqq - wq) <= scale / 2 + 1e-6)
 
 
+waveforms_1d = (
+    st.integers(min_value=4, max_value=256).flatmap(
+        lambda n: st.lists(
+            st.floats(min_value=-1.5, max_value=1.5, width=32,
+                      allow_nan=False, allow_infinity=False),
+            min_size=n, max_size=n))
+    .map(lambda xs: np.asarray(xs, np.float32))
+)
+
+
+@common
+@given(waveforms_1d)
+def test_ulaw_round_trip_relative_bound(x):
+    """decode(encode(x)) stays within half a companded step of clip(x):
+    relative ~2.2% plus the bottom-step absolute floor (mu=255 log grid,
+    data/worker.ulaw_encode <-> the serving/batcher decoder)."""
+    from birdnet_stm32_tpu.data.worker import ulaw_encode
+
+    LN = np.float32(np.log1p(255.0))
+    q = ulaw_encode(x)
+    y = np.sign(q.astype(np.float32)) * np.expm1(
+        np.abs(q.astype(np.float32)) / 127.0 * LN) / 255.0
+    xc = np.clip(x, -1.0, 1.0)
+    rel_step = np.expm1(LN / 254.0)
+    tol = np.abs(xc) * rel_step + 1.1 * np.expm1(LN / 254.0) / 255.0
+    assert np.all(np.abs(y - xc) <= tol + 1e-7)
+    assert q.dtype == np.int8 and np.all(np.abs(q.astype(np.int32)) <= 127)
+
+
+@common
+@given(waveforms_1d)
+def test_ulaw_encode_monotone_and_odd(x):
+    """The companding code is a monotone odd function of the sample value:
+    sorting samples sorts codes, and encode(-x) == -encode(x)."""
+    from birdnet_stm32_tpu.data.worker import ulaw_encode
+
+    order = np.argsort(x, kind="stable")
+    codes = ulaw_encode(x).astype(np.int32)
+    sorted_codes = codes[order]
+    assert np.all(np.diff(sorted_codes) >= 0)
+    np.testing.assert_array_equal(ulaw_encode(-x).astype(np.int32), -codes)
+
+
+@common
+@given(waveforms_1d)
+def test_ulaw_encode_idempotent_through_decode(x):
+    """encode(decode(encode(x))) == encode(x): decoded values sit at grid
+    centers, so a second pass reproduces the same codes."""
+    from birdnet_stm32_tpu.data.worker import ulaw_encode
+
+    LN = np.float32(np.log1p(255.0))
+    q = ulaw_encode(x)
+    y = np.sign(q.astype(np.float32)) * np.expm1(
+        np.abs(q.astype(np.float32)) / 127.0 * LN) / 255.0
+    np.testing.assert_array_equal(ulaw_encode(y), q)
+
+
 # ---------------------------------------------------------------------------
 # Audio round-trips (reference audio/io.py)
 # ---------------------------------------------------------------------------
