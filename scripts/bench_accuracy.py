@@ -365,7 +365,11 @@ def main() -> None:
                else Path(tempfile.mkdtemp(prefix="hard_bench_")))
     repo = Path(__file__).resolve().parents[1]
     if "--variance" in sys.argv:
-        artifact = run_float_variance(out_dir)
+        seeds = tuple(range(5))
+        for a in sys.argv:
+            if a.startswith("--seeds="):
+                seeds = tuple(int(s) for s in a.split("=", 1)[1].split(","))
+        artifact = run_float_variance(out_dir, seeds=seeds)
         out = repo / "ACCURACY_VARIANCE.json"
         out.write_text(json.dumps(artifact, indent=1) + "\n")
         print(f"[accuracy] wrote {out}", flush=True)
