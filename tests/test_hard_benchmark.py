@@ -8,7 +8,7 @@ int16-shipped PTQ -> QAT -> QAT+activation-fake-quant -> evaluate each
 artifact with default AND threshold-optimized operating points) and gates
 EVERY row against the committed ACCURACY.json within the band the
 committed 10-seed variance study justifies (ACCURACY_VARIANCE.json,
-max(3*sigma, range/2)) — a regression in any tier fails the suite, not
+3*sigma + a mean-3*sigma distribution floor) — a regression in any tier fails the suite, not
 just the float32 row (round-3 weakness #5; band measured per round-4
 weakness #5). Relational asserts (PTQ-vs-float conversion drop,
 ulaw-feed-vs-float fidelity) are seed-noise-free by construction.
