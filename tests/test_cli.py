@@ -639,6 +639,19 @@ def test_serve_int16_io_matches_float(wav_dataset, tmp_path, capsys):
     for k in a:
         np.testing.assert_array_equal(c[k], b[k], err_msg=k)
 
+    # mu-law ingress (quarter-bandwidth, companded): scores track the
+    # float path within the ~2.2% relative waveform error's score effect.
+    res_u = tmp_path / "res_ulaw.txt"
+    assert dispatch(base + ["--results_file", str(res_u), "--ulaw_io"]) == 0
+    capsys.readouterr()
+    u = scores_of(res_u)
+    assert u.keys() == a.keys()
+    for k in a:
+        np.testing.assert_allclose(u[k], a[k], atol=0.05, err_msg=k)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        dispatch(base + ["--results_file", str(tmp_path / "x.txt"),
+                         "--int16_io", "--ulaw_io"])
+
 
 def test_serve_skips_undecodable_file(wav_dataset, tmp_path, capsys):
     """A garbage .wav in the watched dir is skipped (message printed, not
